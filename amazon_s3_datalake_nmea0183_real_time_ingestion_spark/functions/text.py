@@ -1,0 +1,76 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+All JVM-side column expressions (no Python UDFs) so they survive 100 TB:
+tokenization, shingling, n-gram extraction, heuristic quality scoring,
+token counting, and rolling-hash document fingerprinting.  Each has an
+exactly-equivalent ANSI-SQL formulation for oracle verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small language-agnostic stopword set used by the quality heuristic.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Lower-cased whitespace tokens, empties removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (BPE-ish proxy: words + punctuation runs are
+    counted by the regex variant in plans/tierc)."""
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles ('w1 w2 w3') — MinHash/Jaccard unit.
+
+    Documents shorter than k tokens yield a single shingle of all tokens,
+    so no document hashes to an empty set.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
+    )
+
+
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """Array of character n-grams of the lower-cased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    low = F.lower(c)
+    ln = F.length(low)
+    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substring(low, i, n))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.size(stop) / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: blend of length, mean word
+    length sanity, and stopword presence (C4/Gopher-style rule scoring)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c)
+    mean_wlen = F.length(c) / F.greatest(n_tok, F.lit(1))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wlen_ok = F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(c) > 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_ok + wlen_ok + stop_ok) / F.lit(3.0), 4)
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """64-hex md5 fingerprint of whitespace-normalized lower-cased text —
+    the exact-dedup key for documents."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.md5(norm)

@@ -1,0 +1,77 @@
+"""Reverse-geocode enrichment as a broadcast dimension join
+(SURVEY.md §2 A11, §7.4.2; reference: hello.py:28-45,96,138-156).
+
+The reference calls Amazon Location's PlaceIndex once per record
+(MaxResults=1).  A per-row external API call cannot survive 100 TB; the
+Spark-first replacement is a **static geo dimension** keyed by 1°×1° grid
+cell, broadcast to every executor (64,800 rows ≈ a few MB), so enrichment
+is a hash-probe inside whole-stage codegen with zero shuffle.
+
+The dimension is *deterministic* — every attribute is a pure arithmetic
+function of the cell id — so any SQL oracle can regenerate it exactly
+(see plans/oracle_fragments.geo_dim_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import GEO_COLUMNS
+
+GRID_CELLS = 180 * 360  # 64,800
+
+
+def grid_cell(lon: Column, lat: Column) -> Column:
+    """1°×1° grid-cell id in [0, 64800): (floor(lat)+90)*360 + floor(lon)+180.
+
+    Inputs are clamped to the valid lat/lon domain so edge values (±90/±180)
+    land in the boundary cell rather than out of range.
+    """
+    lat_c = F.least(F.greatest(lat, F.lit(-90.0)), F.lit(89.999999))
+    lon_c = F.least(F.greatest(lon, F.lit(-180.0)), F.lit(179.999999))
+    return (
+        (F.floor(lat_c) + F.lit(90)) * F.lit(360) + F.floor(lon_c) + F.lit(180)
+    ).cast("bigint")
+
+
+def build_geo_dim(spark: SparkSession) -> DataFrame:
+    """The deterministic geo dimension: cell -> 9 enrichment attributes
+    (the exact attribute set the reference pulls from Amazon Location,
+    hello.py:148-156).  timezone_offset is seconds east of UTC derived from
+    the cell's longitude band (15° per hour)."""
+    cell = F.col("id")
+    lon_west = (cell % 360) - 180  # western edge of the cell, degrees
+    return spark.range(GRID_CELLS).select(
+        cell.alias("geo_cell"),
+        (cell % 9999 + 1).cast("string").alias("addressnumber"),
+        F.concat(F.lit("Street "), (cell % 1000).cast("string")).alias("street"),
+        F.concat(F.lit("City-"), (cell % 500).cast("string")).alias("municipality"),
+        F.concat(F.lit("Region-"), (cell % 100).cast("string")).alias("region"),
+        F.concat(F.lit("Sub-"), (cell % 200).cast("string")).alias("subregion"),
+        F.lpad((cell % 100000).cast("string"), 5, "0").alias("postalcode"),
+        F.concat(F.lit("Country-"), (cell % 240).cast("string")).alias("country"),
+        F.concat(F.lit("Zone/"), (cell % 24).cast("string")).alias("timezone_name"),
+        (F.floor((lon_west + 180) / 15) * 3600 - 12 * 3600)
+        .cast("int")
+        .alias("timezone_offset"),
+    )
+
+
+def enrich_geocode(
+    df: DataFrame,
+    geo_dim: DataFrame,
+    lon_col: str = "longitude",
+    lat_col: str = "latitude",
+) -> DataFrame:
+    """Broadcast-join the 9 geo attributes onto df by grid cell.
+
+    Left join: rows with null/invalid coordinates keep null enrichment —
+    the reference would instead fail the record; our error routing keeps
+    them visible (SURVEY.md §7.5)."""
+    keyed = df.withColumn("geo_cell", grid_cell(F.col(lon_col), F.col(lat_col)))
+    return keyed.join(F.broadcast(geo_dim), "geo_cell", "left").drop("geo_cell")
+
+
+def geo_columns() -> list[str]:
+    return list(GEO_COLUMNS)

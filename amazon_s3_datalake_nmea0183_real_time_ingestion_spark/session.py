@@ -1,0 +1,38 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads), but
+every conf below is chosen for the 1000-executor / 100 TB design point:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic broadcast demotion).
+- shuffle partitions sized for the local box; on a real cluster AQE coalesces
+  from a high initial number, so the static value matters little.
+- Arrow enabled for the (rare) pandas-UDF paths.
+- UTC session timezone so event-time semantics are deployment-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "nmea-datalake-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,39 @@
+"""Parquet table loaders for the driver testdata (TESTDATA.md).
+
+Plain ``spark.read.parquet`` — declarative scans so Catalyst gets predicate
+pushdown + column pruning for free.  ``register_temp_views`` mirrors the
+DuckDB oracle's pre-registered view names so ``spark.sql`` text can be
+shared verbatim between engines where dialects agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

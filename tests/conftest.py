@@ -1,0 +1,13 @@
+from __future__ import annotations
+
+import pytest
+
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
