@@ -1,0 +1,716 @@
+"""Tier B — the relational surface the reference exposes via Athena SQL
+(SURVEY.md §2 Tier B; Athena provisioned at cdk_datalake_mvp_stack.py:63,68).
+
+Every query is pure DataFrame/Spark-SQL — Catalyst owns pushdown, pruning,
+join strategy (broadcast for the small dims), partial aggregation, and
+TakeOrderedAndProject for top-k.  The paired oracle strings are DuckDB SQL
+over the driver's pre-registered views.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import register, table
+
+# ---------------------------------------------------------------------------
+# B1 scan + partition/predicate pruning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_prune",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+      AND l_quantity > 45
+    """,
+)
+def q_scan_prune(spark: SparkSession, sf: str) -> DataFrame:
+    # Filters + 3-col projection reach the parquet scan (PushedFilters /
+    # ReadSchema visible in .explain("formatted")).
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+            & (F.col("l_quantity") > 45)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "q_project_filter",
+    oracle="""
+    SELECT o_orderkey AS okey,
+           o_totalprice * 0.9 AS discounted,
+           upper(o_orderstatus) AS status
+    FROM orders
+    WHERE o_totalprice > 1000.0 AND o_orderstatus <> 'F'
+    """,
+)
+def q_project_filter(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    return (
+        o.filter((F.col("o_totalprice") > 1000.0) & (F.col("o_orderstatus") != "F"))
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            (F.col("o_totalprice") * 0.9).alias("discounted"),
+            F.upper("o_orderstatus").alias("status"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B3 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_inner(spark: SparkSession, sf: str) -> DataFrame:
+    # customer/nation are small → Catalyst broadcasts both; single shuffle
+    # for the final aggregation only.
+    o, c, n = (table(spark, sf, t) for t in ("orders", "customer", "nation"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 3000.0)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    big = table(spark, sf, "orders").filter(F.col("o_totalprice") > 3000.0)
+    return c.join(big, big.o_custkey == c.c_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    # Orders with no line items ("devices with no heartbeat" shape).
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    return o.join(li, li.l_orderkey == o.o_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    WITH bands AS (
+      SELECT r AS band_id, 900.0 + r * 10.0 AS lo, 900.0 + (r + 1) * 10.0 AS hi
+      FROM (SELECT unnest(range(10)) AS r)
+    )
+    SELECT b.band_id, count(*) AS n_parts,
+           round(avg(p.p_retailprice), 2) AS avg_price
+    FROM part p
+    JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def q_join_range(spark: SparkSession, sf: str) -> DataFrame:
+    # Theta/range join against a tiny generated band dim — broadcast it so
+    # the non-equi condition is evaluated with BroadcastNestedLoopJoin
+    # instead of a cartesian shuffle.
+    p = table(spark, sf, "part")
+    bands = spark.range(10).select(
+        F.col("id").alias("band_id"),
+        (900.0 + F.col("id") * 10.0).alias("lo"),
+        (900.0 + (F.col("id") + 1) * 10.0).alias("hi"),
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           max(c.event_id) FILTER (WHERE c.ts = mc.max_click_ts) AS asof_click_id
+    FROM events p
+    JOIN (SELECT p2.event_id, max(c2.ts) AS max_click_ts
+          FROM events p2 JOIN events c2
+            ON c2.user_id = p2.user_id AND c2.event_type = 'click' AND c2.ts <= p2.ts
+          WHERE p2.event_type = 'purchase'
+          GROUP BY p2.event_id) mc ON mc.event_id = p.event_id
+    JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click'
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click by the same user at
+    or before the purchase time (SURVEY.md §2 B3 'latest heartbeat <= t').
+
+    Spark-first formulation: union the two streams, single window sorted by
+    (user, ts) carrying the last click forward — ONE shuffle on user_id, no
+    self-join explosion.  At 100 TB this scales as a sort within user
+    partitions; the naive time-range self-join would not.
+    """
+    ev = table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.col("event_id"), F.lit(1).alias("is_click")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), F.col("event_id"), F.lit(0).alias("is_click")
+    )
+    merged = clicks.unionByName(purchases)
+    # At equal ts the click sorts first (is_click desc) → '<=' semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lastclick = F.last(
+        F.when(F.col("is_click") == 1, F.col("event_id")), ignorenulls=True
+    ).over(w)
+    # Tie-break duplicate-ts clicks by max event_id like the oracle.
+    last_ts = F.last(
+        F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True
+    ).over(w)
+    mx = F.max(
+        F.when((F.col("is_click") == 1), F.col("event_id"))
+    ).over(
+        Window.partitionBy("user_id", "ts")
+    )
+    out = (
+        merged.withColumn("asof_click_id", lastclick)
+        .withColumn("asof_click_ts", last_ts)
+        .filter((F.col("is_click") == 0) & F.col("asof_click_id").isNotNull())
+    )
+    # Resolve "several clicks at the exact asof timestamp" to max event_id.
+    clicks_by_ts = clicks.groupBy("user_id", F.col("ts").alias("cts")).agg(
+        F.max("event_id").alias("max_click_at_ts")
+    )
+    return (
+        out.join(
+            clicks_by_ts,
+            (out.user_id == clicks_by_ts.user_id) & (out.asof_click_ts == clicks_by_ts.cts),
+        )
+        .select(
+            out.event_id.alias("purchase_id"),
+            out.user_id,
+            F.col("max_click_at_ts").alias("asof_click_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4 aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_basic(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q1 shape: map-side partial agg + single shuffle on the 2 keys.
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+@register("q_agg_approx", oracle=None)  # HLL sketches differ per engine → rows-only
+def q_agg_approx(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           count(*) AS n_cust,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    c, n, r = (table(spark, sf, t) for t in ("customer", "nation", "region"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"), "c_acctbal")
+        .rollup("region_name", "nation_name")
+        .agg(F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    return (
+        o.select(F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority"), "o_totalprice")
+        .cube("status", "priority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5 window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           round(value, 2) AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+)
+def q_win_rank(spark: SparkSession, sf: str) -> DataFrame:
+    # "Latest heartbeat per device" — the reference's flagship analytic shape.
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
+@register(
+    "q_win_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 2) AS delta
+    FROM events
+    """,
+)
+def q_win_lag(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+@register(
+    "q_win_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS rolling_avg
+    FROM events
+    """,
+)
+def q_win_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("rolling_avg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6 sort / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS total
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # orderBy+limit → TakeOrderedAndProject: per-partition heap + driver
+    # merge of k rows, never a global sort.
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(F.col("total").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B7 set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_union",
+    oracle="""
+    SELECT user_id, 'click' AS src FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, 'view' AS src FROM events WHERE event_type = 'view'
+    """,
+)
+def q_union(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", F.lit("click").alias("src"))
+    views = ev.filter(F.col("event_type") == "view").select("user_id", F.lit("view").alias("src"))
+    return clicks.unionByName(views)
+
+
+@register(
+    "q_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def q_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "q_except",
+    oracle="""
+    SELECT user_id, day(ts) AS dom FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id, day(ts) AS dom FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_except(spark: SparkSession, sf: str) -> DataFrame:
+    # user-days with views but no purchase (set semantics, not EXCEPT ALL)
+    ev = table(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.dayofmonth("ts").alias("dom")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.dayofmonth("ts").alias("dom")
+    )
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# B8-B11 scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           lower(p_type) AS type_l,
+           substring(p_name, 1, 8) AS name_prefix,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           CASE WHEN contains(p_name, 'a') THEN 1 ELSE 0 END AS has_a,
+           trim(p_name) AS name_trim,
+           regexp_extract(p_type, '([A-Za-z]+)', 1) AS first_word
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf: str) -> DataFrame:
+    p = table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.when(F.col("p_name").contains("a"), 1).otherwise(0).alias("has_a"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.regexp_extract("p_type", r"([A-Za-z]+)", 1).alias("first_word"),
+    )
+
+
+@register(
+    "q_fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mon,
+           day(o_orderdate) AS dom,
+           strftime(o_orderdate, '%Y-%m-%d') AS ymd,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def q_fn_datetime(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ymd"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_extendedprice - 1000.0), 2) AS abs_diff,
+           round(sqrt(l_quantity), 4) AS sqrt_qty,
+           round(ln(l_extendedprice), 4) AS ln_price,
+           round(power(l_discount, 2), 6) AS disc_sq,
+           CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS price_bucket
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 1000.0), 2).alias("abs_diff"),
+        F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+        F.round(F.log("l_extendedprice"), 4).alias("ln_price"),
+        F.round(F.pow("l_discount", 2), 6).alias("disc_sq"),
+        F.floor(F.col("l_extendedprice") / 100.0).cast("bigint").alias("price_bucket"),
+    )
+
+
+@register(
+    "q_fn_haversine",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey % 180) - 90 + 0.5 AS lat1,
+             (c_custkey % 360) - 180 + 0.5 AS lon1,
+             ((c_custkey * 7) % 180) - 90 + 0.5 AS lat2,
+             ((c_custkey * 7) % 360) - 180 + 0.5 AS lon2
+      FROM customer)
+    SELECT c_custkey,
+           round(2 * 6371.0 * asin(sqrt(
+             pow(sin(radians(lat2 - lat1) / 2), 2) +
+             cos(radians(lat1)) * cos(radians(lat2)) *
+             pow(sin(radians(lon2 - lon1) / 2), 2)
+           )), 2) AS dist_km
+    FROM pts
+    """,
+)
+def q_fn_haversine(spark: SparkSession, sf: str) -> DataFrame:
+    # Great-circle distance as pure column math (SURVEY.md §2 B10) — the
+    # "reported speed vs actual displacement" check on position telemetry.
+    c = table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    lat1 = (k % 180) - 90 + 0.5
+    lon1 = (k % 360) - 180 + 0.5
+    lat2 = ((k * 7) % 180) - 90 + 0.5
+    lon2 = ((k * 7) % 360) - 180 + 0.5
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    h = F.pow(F.sin(dlat), 2) + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(dlon), 2)
+    return c.select(
+        "c_custkey",
+        F.round(2 * 6371.0 * F.asin(F.sqrt(h)), 2).alias("dist_km"),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           CASE WHEN list_contains(string_split(text, ' '), 'spark')
+                THEN 1 ELSE 0 END AS has_spark
+    FROM documents
+    """,
+)
+def q_fn_array(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        toks.getItem(0).alias("first_token"),
+        F.when(F.array_contains(toks, "spark"), 1).otherwise(0).alias("has_spark"),
+    )
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B12 subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_subquery",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 2) AS bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 500.0)
+    """,
+)
+def q_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    # Scalar + IN + correlated EXISTS subqueries through spark.sql —
+    # exercises Catalyst's subquery decorrelation (SURVEY.md §4).
+    table(spark, sf, "customer").createOrReplaceTempView("v_customer")
+    table(spark, sf, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS bal
+        FROM v_customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_customer)
+          AND c_custkey IN (SELECT o_custkey FROM v_orders WHERE o_orderstatus = 'O')
+          AND EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 500.0)
+        """
+    )

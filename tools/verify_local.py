@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()[key]`` on Spark and, when an oracle exists, the
+matching ``oracle_sql()[key]`` on DuckDB over the same parquet, comparing:
+
+- row count
+- sorted column names
+- order-insensitive value hash (rows sorted by their full stringified
+  tuple, NaN/None normalized, floats repr'd)
+
+Usage: python tools/verify_local.py [key ...]   (default: all keys)
+       SF_DIR=/root/testdata/sf0.01 python tools/verify_local.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 2**53:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    import duckdb
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    keys = sys.argv[1:] or list(qs)
+
+    spark = get_spark("verify-local")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    failures, passed, rows_only = [], 0, 0
+    for key in keys:
+        t0 = time.time()
+        try:
+            sdf = qs[key](spark, SF_DIR)
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            spark_cols = list(sdf.columns)
+        except Exception as e:  # noqa: BLE001
+            failures.append((key, f"SPARK ERROR: {type(e).__name__}: {str(e)[:300]}"))
+            print(f"[FAIL] {key}: spark error")
+            continue
+        if key not in oracles:
+            rows_only += 1
+            print(f"[rows-only] {key}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[key])
+            duck_cols = list(rel.columns)
+            duck_rows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((key, f"DUCKDB ERROR: {type(e).__name__}: {str(e)[:300]}"))
+            print(f"[FAIL] {key}: duckdb error")
+            continue
+        problems = []
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
+            problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        if not problems:
+            hs = _hash_rows(spark_cols, spark_rows)
+            hd = _hash_rows(duck_cols, duck_rows)
+            if hs != hd:
+                problems.append(f"value-hash spark={hs} duck={hd}")
+                # show first differing rows for debugging
+                order_s = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+                order_d = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+                ls = sorted("|".join(_norm_cell(r[i]) for i in order_s) for r in spark_rows)
+                ld = sorted("|".join(_norm_cell(r[i]) for i in order_d) for r in duck_rows)
+                for a, b in zip(ls, ld):
+                    if a != b:
+                        problems.append(f"  first diff:\n   spark: {a[:220]}\n   duck : {b[:220]}")
+                        break
+        if problems:
+            failures.append((key, "; ".join(problems)))
+            print(f"[FAIL] {key}: {problems[0]}")
+        else:
+            passed += 1
+            print(f"[ok] {key}: {len(spark_rows)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n{passed} matched, {rows_only} rows-only, {len(failures)} failed / {len(keys)} keys")
+    for k, msg in failures:
+        print(f"--- {k}\n{msg}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
