@@ -1,0 +1,210 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2 Tier C).
+
+All JVM-side DataFrame compositions (no Python UDFs), built on the portable
+md5-based hashes in ``functions.hashing`` so every stage is reproducible in
+any ANSI-SQL engine for verification.
+
+Scale notes (the 100 TB design points):
+- MinHash signatures are computed with ONE groupBy over (doc, shingle-hash)
+  using n_perm parallel ``min`` aggregates — no n_perm-fold row blowup, and
+  partial aggregation halves shuffle volume.
+- LSH banding turns all-pairs O(n²) into an equi-join on (band, signature),
+  which Spark shuffles by key — worst case is bucket skew, handled by AQE
+  skew-join splitting.
+- Exact-Jaccard verification joins only LSH *candidates* (semi-join
+  restricted), never all pairs.
+- SimHash uses 60 parallel sum aggregates (one pass), then bands the
+  signature into 15-bit chunks for the candidate join.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import MERSENNE_P, md5_i64, md5_u32, perm_coeff_a, perm_coeff_b
+from ..functions.text import tokens, word_shingles
+
+SIMHASH_BITS = 60  # md5_i64 yields 60-bit non-negative hashes
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """Deterministic exact dedup: keep the first row per key group under
+    ``order_by`` (C1 — duplicate heartbeats from retried downlinks)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                k: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs — the Jaccard/MinHash unit set."""
+    return (
+        docs.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
+                       n_perm: int = 16) -> DataFrame:
+    """Wide MinHash signature (mh0..mh{n-1}) per document: one shuffle,
+    n_perm parallel min-aggregates over universal-hash permutations."""
+    h = md5_u32(F.col("shingle")) % MERSENNE_P
+    hashed = shingles.select(F.col(id_col), h.alias("h"))
+    aggs = [
+        F.min((F.lit(perm_coeff_a(i)) * F.col("h") + F.lit(perm_coeff_b(i))) % MERSENNE_P).alias(f"mh{i}")
+        for i in range(n_perm)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, id_col: str = "doc_id", n_perm: int = 16,
+              n_bands: int = 4) -> DataFrame:
+    """Long-format (id, band_id, band_sig): md5 over each band's
+    comma-joined permutation minima."""
+    rows_per_band = n_perm // n_bands
+    band_cols = []
+    for b in range(n_bands):
+        parts = [F.col(f"mh{b * rows_per_band + j}").cast("string") for j in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws(",", *parts)).alias(f"band{b}"))
+    wide = sigs.select(F.col(id_col), *band_cols)
+    stack_expr = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    return wide.selectExpr(
+        id_col, f"stack({n_bands}, {stack_expr}) AS (band_id, band_sig)"
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH bucket."""
+    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_sig")
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(shingles: DataFrame, candidates: DataFrame,
+                   id_col: str = "doc_id", threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets, restricted to candidates."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 3, n_perm: int = 16,
+                     n_bands: int = 4, threshold: float = 0.8) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
+    candidate join → exact-Jaccard verification (C2)."""
+    sh = shingle_set(docs, id_col, text_col, k)
+    sigs = minhash_signatures(sh, id_col, n_perm)
+    cands = lsh_candidate_pairs(lsh_bands(sigs, id_col, n_perm, n_bands), id_col)
+    return jaccard_verify(sh, cands, id_col, threshold)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        threshold: float = 0.6) -> DataFrame:
+    """Exact all-candidate n-gram Jaccard via inverted-index self-join —
+    the exact counterpart MinHash approximates.  At scale, prefilter
+    high-document-frequency shingles before the self-join."""
+    sh = shingle_set(docs, id_col, text_col, k)
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    pairs = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        pairs.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document over its distinct token set: one groupBy
+    with 60 parallel sign-sum aggregates, then bit reassembly."""
+    toks = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .distinct()
+        .select(F.col(id_col), md5_i64(F.col("tok")).alias("h"))
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    grouped = toks.groupBy(id_col).agg(*sums)
+    bits = [
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        for b in range(SIMHASH_BITS)
+    ]
+    simhash = reduce(lambda x, y: x + y, bits)
+    return grouped.select(F.col(id_col), simhash.alias("simhash"))
+
+
+def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4,
+                  max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 60-bit signature into 15-bit
+    chunks (exact-match candidate join), verify Hamming distance."""
+    chunk = SIMHASH_BITS // n_bands
+    mask = (1 << chunk) - 1
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftright(F.col("simhash"), b * chunk).bitwiseAND(F.lit(mask)).alias("band_val"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band_id", "bb.band_val")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_id", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_id", "band_val")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

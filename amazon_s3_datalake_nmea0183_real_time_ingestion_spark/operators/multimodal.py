@@ -1,0 +1,94 @@
+"""Multimodal columns (SURVEY.md §2 Tier C5): opaque ``binary`` payloads +
+typed metadata structs, with Arrow-batched feature extraction.
+
+Design for 100 TB:
+- assets are rows of (id, modality, payload binary, meta struct) — the
+  payload is NEVER interpreted by Catalyst, so scans prune it unless a
+  stage actually needs bytes;
+- decode / feature-extraction runs through ``mapInPandas`` (Arrow batch
+  transfer, one Python worker per core, zero per-row overhead) and each
+  batch yields a columnar frame;
+- heavyweight decoders (image/audio/video) are STUBBED here — the
+  container has no codec libraries — behind ``NotImplementedError`` with a
+  deterministic byte-level fake, but the Spark-side plumbing (schema,
+  batching, partition preservation) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ASSET_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("first_byte", IntegerType()),
+        StructField("byte_sum_mod", LongType()),
+    ]
+)
+
+
+def pack_assets(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Pack text + metadata + vector into one typed multimodal row:
+    (asset_id, modality, payload binary, meta struct, vector)."""
+    joined = docs.join(
+        embeddings, docs.doc_id == embeddings.vec_id, "inner"
+    )
+    return joined.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text").alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.col("lang"), F.col("source"), F.col("n_chars"), F.col("label")
+        ).alias("meta"),
+        F.col("embedding").alias("vector"),
+    )
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched byte-level feature extraction over the binary payload.
+
+    This is the sanctioned pattern for decode/resize/frame-sample stages:
+    per-batch vectorized Python, schema declared up front, no driver
+    round-trip.  Real image decode would replace `_fake_decode`.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                    "byte_sum_mod": payloads.map(lambda b: int(sum(b)) % 997).astype("int64"),
+                }
+            )
+
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        _batches, ASSET_FEATURE_SCHEMA
+    )
+
+
+def decode_image(payload: bytes) -> dict:
+    """Image decode stub — codec libraries are not available in this
+    container.  The real implementation would return width/height/pixels
+    via PIL/libvips inside the `extract_features` batch loop."""
+    raise NotImplementedError(
+        "image decode requires codec libraries not present in this environment; "
+        "use extract_features() byte-level features or plug a decoder in here"
+    )

@@ -1,0 +1,113 @@
+"""Vector similarity search over ``array<float>`` embedding columns
+(SURVEY.md §2 Tier C3).
+
+- ``cosine_topk`` — brute force: broadcast the (small) query set against
+  the full corpus, rank per query.  This IS the right 100 TB baseline: the
+  corpus side stays partitioned, each executor scores its shard against
+  the broadcast queries, and top-k resolves with one shuffle of k rows per
+  query (per-partition heap via window over rounded sims).
+- ``ivf_topk`` — scale path: coarse quantization.  Centroids (here: per
+  label-group elementwise means, i.e. one k-means iteration from labeled
+  seeds) are broadcast; every vector is assigned to its nearest centroid
+  (map-side only); a query probes only its nearest centroid's cluster —
+  the scored candidate set shrinks by ~n_clusters×.
+
+Similarities are computed in float64 and ROUNDED before ranking so results
+are engine-independent (ties broken by vector id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k: per query, the k most similar corpus
+    vectors (self excluded), ranked on round(sim, 6) with id tie-break."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
+def label_centroids(corpus: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding", round_to: int = 6) -> DataFrame:
+    """Elementwise mean vector per label group, components rounded so the
+    centroid doubles are identical in any engine that averages the same
+    values (cross-engine float-sum order differences vanish at round 6)."""
+    pos = (
+        corpus.select(F.col(label_col).alias("centroid_id"),
+                      F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("centroid_id", "pos")
+        .agg(F.round(F.avg("x"), round_to).alias("m"))
+    )
+    return pos.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Map-side nearest-centroid assignment (broadcast centroids)."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        F.round(cosine_similarity(F.col(vec_col), F.col("centroid")), 6).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, F.col("centroid_id").alias("cluster"))
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF probe-1 search: score only the cluster the query's nearest
+    centroid owns."""
+    assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
+    q_assigned = assign_to_centroids(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cluster"
+    )
+    scored = (
+        assigned.join(q_assigned, "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qvec"), F.col(vec_col)), 6).alias("sim"),
+        )
+    )
+    return _ranked_topk(scored, k)

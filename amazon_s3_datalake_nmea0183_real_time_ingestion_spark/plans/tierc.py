@@ -1,1 +1,558 @@
-"""Tier C query keys — populated next."""
+"""Tier C — LLM-training-data pipeline operators (SURVEY.md §2 Tier C;
+BASELINE.json north star): dedup family, similarity search, text analysis,
+multimodal columns, sessionization.
+
+Near-dup keys plant ground-truth duplicates by unioning the documents /
+embeddings tables with perturbed copies of ids < 50 (deterministic in both
+engines), so candidate generation provably finds them.  All hashing is the
+portable md5-based scheme (functions.hashing), making the DuckDB oracles
+exact replicas, not approximations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import md5_u32
+from ..functions.text import char_ngrams, doc_fingerprint, quality_score, token_count, tokens
+from ..functions.vectors import cosine_similarity, l2_norm
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_near_dup,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from ..operators.multimodal import extract_features, pack_assets
+from ..operators.sessionize import gap_sessions
+from ..operators.similarity import cosine_topk, ivf_topk, label_centroids
+from .registry import register, table
+
+# ---------------------------------------------------------------------------
+# planted-duplicate corpora (identical construction on both engines)
+# ---------------------------------------------------------------------------
+
+
+def _doc_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz9 qq8")).alias("text"),
+        )
+    )
+    return d.unionByName(dups)
+
+
+_CORPUS_SQL = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, concat(text, ' zz9 qq8') AS text
+      FROM documents WHERE doc_id < 50
+    )
+"""
+
+_TOKS_SQL = r"""
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      FROM corpus
+    )
+"""
+
+_SHINGLES_SQL = """
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+2], ' ')
+                       for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
+        FROM toks)
+    )
+"""
+
+
+def _emb_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    dups = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    return e.select("vec_id", "embedding", "label").unionByName(dups)
+
+
+_EMB_CORPUS_SQL = """
+    ecorpus AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding, label
+      FROM embeddings WHERE vec_id < 50
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# C1 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_exact",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def x_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """C1: deterministic exact dedup (keep first by event_id) — the
+    'retried satellite downlink' case keyed like (deviceid, packetid)."""
+    ev = table(spark, sf, "events")
+    return exact_dedup(ev, ["user_id", "event_type"], [F.col("event_id")]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 — MinHash-LSH near-dup (+ SimHash + exact n-gram Jaccard)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_near",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_TOKS_SQL}, {_SHINGLES_SQL},
+    h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS hh FROM sh),
+    perms AS (SELECT i,
+                     (1103515245 * (i + 1) + 12345) % 2147483647 AS a,
+                     (1103515245 * (i + 1000003) + 12345) % 2147483647 AS b
+              FROM unnest(range(16)) u(i)),
+    mh AS (SELECT doc_id, i, min((a * hh + b) % 2147483647) AS mn
+           FROM h CROSS JOIN perms GROUP BY doc_id, i),
+    bands AS (SELECT doc_id, i // 4 AS band_id,
+                     md5(string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i)) AS band_sig
+              FROM mh GROUP BY doc_id, i // 4),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band_id, band_sig)
+             WHERE a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b, round(n / (za.s + zb.s - n), 4) AS jaccard
+    FROM inter
+    JOIN sz za ON za.doc_id = id_a
+    JOIN sz zb ON zb.doc_id = id_b
+    WHERE n / (za.s + zb.s - n) >= 0.8
+    """,
+)
+def x_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
+    """C2: MinHash(16 perms)-LSH(4 bands) near-dup with exact-Jaccard
+    verification of candidates."""
+    return minhash_near_dup(_doc_corpus(spark, sf), threshold=0.8)
+
+
+@register(
+    "x_dedup_simhash",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_TOKS_SQL},
+    tok AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hh FROM tok),
+    bits AS (SELECT doc_id, b,
+                    sum(CASE WHEN (hh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM h CROSS JOIN unnest(range(60)) u(b) GROUP BY doc_id, b),
+    sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id),
+    banded AS (SELECT doc_id, simhash, b AS band_id,
+                      (simhash >> (b * 15)) & 32767 AS band_val
+               FROM sig CROSS JOIN unnest(range(4)) u(b))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a JOIN banded b USING (band_id, band_val)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+)
+def x_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash(60-bit) near-dup: 15-bit band candidate join + Hamming≤8."""
+    sigs = simhash_signatures(_doc_corpus(spark, sf))
+    return simhash_pairs(sigs, n_bands=4, max_hamming=8)
+
+
+@register(
+    "x_dedup_ngram",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_TOKS_SQL}, {_SHINGLES_SQL},
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, round(n / (za.s + zb.s - n), 4) AS jaccard
+    FROM inter
+    JOIN sz za ON za.doc_id = id_a
+    JOIN sz zb ON zb.doc_id = id_b
+    WHERE n / (za.s + zb.s - n) >= 0.6
+    """,
+)
+def x_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram (3-word shingle) Jaccard dedup via inverted-index join —
+    the exact method MinHash approximates."""
+    return ngram_jaccard_pairs(_doc_corpus(spark, sf), k=3, threshold=0.6)
+
+
+@register(
+    "x_dedup_embed",
+    oracle=f"""
+    WITH {_EMB_CORPUS_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+    FROM ecorpus a JOIN ecorpus b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99
+    """,
+)
+def x_dedup_embed(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup within label blocks (blocking keeps the
+    pair space linear per block — at scale, LSH buckets replace labels)."""
+    e = _emb_corpus(spark, sf)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "label")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "label")
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.99)
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 — similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_sim_topk",
+    oracle="""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                      c.vec_id ASC) AS INT) AS rank,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+    QUALIFY rank <= 5
+    """,
+)
+def x_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors — broadcast queries,
+    score corpus shards in place, per-query heap."""
+    e = table(spark, sf, "embeddings")
+    out = cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "x_sim_ivf",
+    oracle="""
+    WITH cent AS (
+      SELECT label AS centroid_id, p, round(avg(embedding[p]::DOUBLE), 6) AS m
+      FROM embeddings CROSS JOIN unnest(range(1, 65)) u(p)
+      GROUP BY label, p),
+    centv AS (SELECT centroid_id, list(m ORDER BY p) AS centroid FROM cent GROUP BY centroid_id),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN centv c) t
+      WHERE rn = 1)
+    SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) DESC,
+                      a.vec_id ASC) AS INT) AS rank,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS sim
+    FROM assign q JOIN assign a ON a.cluster = q.cluster AND a.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+    QUALIFY rank <= 3
+    """,
+)
+def x_sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF probe-1 ANN: coarse centroids (label-seeded means, rounded to
+    engine-independent doubles), map-side assignment, search only the
+    query's cluster."""
+    e = table(spark, sf, "embeddings")
+    cents = label_centroids(e)
+    out = ivf_topk(e, e.filter(F.col("vec_id") < 10), cents, k=3)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# C4 — text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_text_tf",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+      FROM documents),
+    cnt AS (SELECT lang, term, count(*) AS n FROM toks GROUP BY lang, term)
+    SELECT lang, term, n,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS INT) AS rnk
+    FROM cnt QUALIFY rnk <= 10
+    """,
+)
+def x_text_tf(spark: SparkSession, sf: str) -> DataFrame:
+    """Term frequency: top-10 terms per language (tokenize → explode →
+    count → windowed top-k)."""
+    d = table(spark, sf, "documents")
+    cnt = (
+        d.select("lang", F.explode(tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+_LANG_SETS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "que", "y", "los", "una"],
+}
+
+
+@register(
+    "x_text_langid",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+             len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS s_en,
+             len(list_filter(t, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
+             len(list_filter(t, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+             len(list_filter(t, x -> list_contains(['el','que','y','los','una'], x))) AS s_es
+      FROM toks)
+    SELECT doc_id,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM scored
+    """,
+)
+def x_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic language ID: stopword-set hit counts, fixed-priority
+    argmax (en>de>fr>es), 'und' when no evidence."""
+    d = table(spark, sf, "documents")
+    t = tokens("text")
+
+    def _hits(words: list[str]):
+        return F.size(F.filter(t, lambda x: x.isin(*words)))
+
+    s_en, s_de, s_fr, s_es = (
+        _hits(_LANG_SETS["en"]),
+        _hits(_LANG_SETS["de"]),
+        _hits(_LANG_SETS["fr"]),
+        _hits(_LANG_SETS["es"]),
+    )
+    pred = (
+        F.when((s_en == 0) & (s_de == 0) & (s_fr == 0) & (s_es == 0), F.lit("und"))
+        .when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), F.lit("en"))
+        .when((s_de >= s_fr) & (s_de >= s_es), F.lit("de"))
+        .when(s_fr >= s_es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return d.select("doc_id", pred.alias("pred_lang"))
+
+
+@register(
+    "x_text_quality",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(t) AS n_tok,
+             length(text) / greatest(len(t), 1) AS mean_wlen,
+             len(list_filter(t, x -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], x)))
+               / greatest(len(t), 1) AS stop_ratio
+      FROM toks)
+    SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+           round(((CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END) +
+                  (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 12.0 THEN 1.0 ELSE 0.0 END) +
+                  (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+    FROM m
+    """,
+)
+def x_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Rule-based quality scoring (C4/Gopher-style): length, mean word
+    length, stopword presence."""
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("int").alias("n_tok"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "x_text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS INT) AS token_cnt,
+           length(text) AS n_chars_actual,
+           length(text) - length(replace(text, ' ', '')) AS n_spaces
+    FROM documents
+    """,
+)
+def x_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting + simple character statistics."""
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("int").alias("token_cnt"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+        .cast("bigint")
+        .alias("n_spaces"),
+    )
+
+
+@register(
+    "x_text_fingerprint",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt, lower(text) AS low
+      FROM documents)
+    SELECT doc_id, md5(nt) AS fingerprint,
+           (SELECT min(('0x' || substr(md5(g), 1, 8))::BIGINT)
+            FROM unnest([substr(low, i, 5)
+                         for i in range(1, greatest(length(low) - 4, 1) + 1)]) u(g)) AS min_gram_hash
+    FROM norm
+    """,
+)
+def x_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text (exact-dedup key) +
+    winnowing-style minimum 5-gram rolling hash."""
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fingerprint"),
+        F.array_min(F.transform(char_ngrams("text", 5), md5_u32)).alias("min_gram_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C5 — multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_multimodal",
+    oracle="""
+    SELECT d.doc_id AS asset_id, 'text' AS modality, d.lang, d.source,
+           d.n_chars, octet_length(encode(d.text)) AS n_bytes,
+           round(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS vec_norm
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+)
+def x_multimodal(spark: SparkSession, sf: str) -> DataFrame:
+    """C5: pack text+metadata+vector into a typed multimodal row (binary
+    payload + meta struct + embedding), then project typed fields back."""
+    packed = pack_assets(table(spark, sf, "documents"), table(spark, sf, "embeddings"))
+    return packed.select(
+        "asset_id",
+        "modality",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+        F.col("meta.n_chars").alias("n_chars"),
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.round(l2_norm(F.col("vector")), 6).alias("vec_norm"),
+    )
+
+
+@register(
+    "x_multimodal_binary",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, sum(unicode(c)) AS bsum
+      FROM (SELECT doc_id, unnest([substr(text, i, 1)
+                                   for i in range(1, length(text) + 1)]) AS c
+            FROM documents) t
+      GROUP BY doc_id)
+    SELECT d.doc_id AS asset_id, 'text' AS modality,
+           octet_length(encode(d.text)) AS n_bytes,
+           unicode(substr(d.text, 1, 1)) AS first_byte,
+           CAST(c.bsum % 997 AS BIGINT) AS byte_sum_mod
+    FROM documents d JOIN chars c ON c.doc_id = d.doc_id
+    """,
+)
+def x_multimodal_binary(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched binary feature extraction (mapInPandas) over opaque
+    payload bytes — the decode/feature stage of an image/audio pipeline,
+    with byte-level features standing in for codec output."""
+    packed = pack_assets(table(spark, sf, "documents"), table(spark, sf, "embeddings"))
+    feats = extract_features(packed)
+    return feats.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        "first_byte",
+        "byte_sum_mod",
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6 — sessionization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_session",
+    oracle="""
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    f AS (SELECT user_id, us,
+                 CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+                      THEN 1 ELSE 0 END AS flag
+          FROM t),
+    s AS (SELECT user_id, us,
+                 CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY us
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM f)
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_s
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def x_session(spark: SparkSession, sf: str) -> DataFrame:
+    """C6: 30-minute-gap sessionization per user (batch analog of
+    session_window; streaming variant lives in streaming/)."""
+    ev = table(spark, sf, "events")
+    return gap_sessions(ev, gap_seconds=1800)
