@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the ``noop`` sink (full pipeline runs, rows are
+materialized executor-side, nothing is collected to the driver) — the same
+way Spark's own benchmark suites measure query time without sink cost.
+
+The headline set spans every tier of SURVEY.md §2: the reference's ETL hot
+path (flatten/geocode/partition), the relational Tier B surface (agg, join,
+window, top-k, subquery), and the Tier C LLM-pipeline operators (dedup
+family, similarity search, text analysis, sessionization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    # reference ETL hot path (Tier A)
+    "op_flatten_soh",
+    "op_geocode_join",
+    "op_event_partition",
+    # relational surface (Tier B)
+    "q_agg_basic",
+    "q_agg_rollup",
+    "q_join_inner",
+    "q_join_asof",
+    "q_win_rank",
+    "q_win_rolling",
+    "q_topk",
+    "q_subquery",
+    "q_fn_haversine",
+    # LLM-pipeline extensions (Tier C)
+    "x_dedup_exact",
+    "x_dedup_near",
+    "x_dedup_simhash",
+    "x_sim_topk",
+    "x_text_tf",
+    "x_text_quality",
+    "x_session",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> int:
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    keys = [k for k in HEADLINE if k in qs]
+
+    # JVM/codegen warmup on a tiny query so q1 doesn't pay startup cost.
+    qs[keys[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for key in keys:
+        t0 = time.perf_counter()
+        qs[key](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
