@@ -1,0 +1,200 @@
+"""Structured Streaming ingest pipeline — the reference's full dataflow
+(SURVEY.md §3.1–3.2, §7.1 M3; reference: hello.py:64-236 +
+cdk_datalake_mvp_stack.py:160-253).
+
+One ``StreamingQuery`` reproduces API Gateway → Firehose → Lambda → S3:
+
+- **source**: file stream over a landing directory of JSON-line envelopes
+  (stands in for Firehose DirectPut; declared ENVELOPE_SCHEMA, no infer).
+- **trigger**: 60 s processing-time (Firehose 60 s buffer,
+  cdk_datalake_mvp_stack.py:166); ``available_now`` for tests/backfill.
+- **foreachBatch multi-sink** (the Lambda's per-batch contract,
+  hello.py:26,194-199):
+    1. three raw-zone JSON tees partitioned by *processing-time* y/m/d
+       (hello.py:201-234),
+    2. SOH branch → parse → geocode broadcast join → 30-col flatten →
+       ``stage/`` parquet partitioned by *event-time* y/m/d
+       (hello.py:140-175 + cdk_datalake_mvp_stack.py:206-214,228-238),
+    3. unparseable SOH payloads → ``error/`` (Firehose error prefix,
+       cdk_datalake_mvp_stack.py:213),
+    4. threshold alerts → ``alerts/`` (hello.py:112-116,181-192; SNS in
+       the reference is commented out),
+    5. per-class counters logged (hello.py:56-58 flags).
+
+Sensor/unknown rows are durable in raw zones but NEVER reach stage —
+the reference appends only SOH records to the Firehose return
+(hello.py:194-199); see SURVEY.md §7.4.3.
+
+Scale notes (100 TB / 1000 executors): every per-batch transform is pure
+column expressions inside whole-stage codegen; the only join is a
+broadcast hash join against the ~65k-row geo dimension (no shuffle); the
+stage sink shuffles once on the partition keys (repartition before write
+so each micro-batch emits one file per event-day instead of
+files × tasks). Checkpointing makes the file sinks exactly-once per
+batch-id; the reference is only at-least-once (SURVEY.md §7.4.1).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.datetime_fns import event_partition_cols, processing_partition_cols
+from ..operators.alerts import alert_rows
+from ..operators.classify import classify_records
+from ..operators.flatten import flatten_soh, parse_soh_payload
+from ..operators.geocode import build_geo_dim, enrich_geocode
+from ..schemas import CLASS_SENSOR, CLASS_SOH, CLASS_UNKNOWN, ENVELOPE_SCHEMA
+
+
+@dataclass
+class PipelineBatchResult:
+    """Per-class counters for one micro-batch (A22, hello.py:56-58)."""
+
+    batch_id: int
+    counts: dict[str, int] = field(default_factory=dict)
+
+
+def read_landing_stream(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream source over JSON-line envelopes (A1 ``src_ingest``).
+
+    ``maxFilesPerTrigger`` approximates Firehose's 64 MB size cap
+    (cdk_datalake_mvp_stack.py:167) — bounds per-batch input volume."""
+    reader = spark.readStream.schema(ENVELOPE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(landing_dir)
+
+
+def build_stage_rows(
+    soh: DataFrame, geo_dim: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """SOH branch → (stage-ready 30-col rows + partition keys, error rows).
+
+    A payload that fails ``from_json`` (null struct, or a partial parse
+    with no ``d`` epoch — the event-partition key) is routed to error —
+    the Spark analog of Firehose conversion failure → ``error/``."""
+    parsed = parse_soh_payload(soh)
+    bad = F.col("soh").isNull() | F.col("soh.d").isNull()
+    errors = parsed.filter(bad).select("recordId", "msg_class", "payload_text")
+    good = parsed.filter(~bad)
+    enriched = enrich_geocode(good, geo_dim, lon_col="soh.ln", lat_col="soh.lt")
+    stage = flatten_soh(enriched, geo_enriched=True)
+    parts = event_partition_cols("date_time")
+    stage = (
+        stage.withColumn("year", parts["year"])
+        .withColumn("month", parts["month"])
+        .withColumn("day", parts["day"])
+    )
+    return stage, errors
+
+
+def _write_raw_tee(cls_df: DataFrame, path: str) -> None:
+    """Raw-zone JSON tee partitioned by processing-time y/m/d
+    (hello.py:52-62,201-234 — wall-clock ``now.strftime`` partitions)."""
+    parts = processing_partition_cols()
+    (
+        cls_df.withColumn("year", parts["year"])
+        .withColumn("month", parts["month"])
+        .withColumn("day", parts["day"])
+        .coalesce(1)  # one file per class per micro-batch, like one Lambda upload
+        .write.mode("append")
+        .partitionBy("year", "month", "day")
+        .json(path)
+    )
+
+
+def process_batch(
+    batch: DataFrame,
+    batch_id: int,
+    lake_dir: str,
+    geo_dim: DataFrame,
+    reference_compat_raw_tee: bool = True,
+) -> PipelineBatchResult:
+    """The foreachBatch body — the Lambda's records-in/records-out contract
+    re-expressed as declarative multi-sink writes."""
+    classified = classify_records(batch)
+    classified.persist()
+    try:
+        counts = {
+            r["msg_class"]: r["cnt"]
+            for r in classified.groupBy("msg_class").agg(F.count("*").alias("cnt")).collect()
+        }
+
+        if reference_compat_raw_tee:
+            for cls in (CLASS_SOH, CLASS_SENSOR, CLASS_UNKNOWN):
+                cls_df = classified.filter(F.col("msg_class") == cls)
+                if counts.get(cls, 0):
+                    _write_raw_tee(cls_df.drop("msg_class", "payload_text"),
+                                   os.path.join(lake_dir, "raw", cls))
+
+        soh = classified.filter(F.col("msg_class") == CLASS_SOH)
+        stage, errors = build_stage_rows(soh, geo_dim)
+        stage.persist()
+        try:
+            (
+                # one shuffle on the event-date keys so each partition dir gets
+                # one file per micro-batch (matches Firehose's 64 MB buffering
+                # intent; avoids the files×tasks small-file explosion at scale)
+                stage.repartition("year", "month", "day")
+                .write.mode("append")
+                .partitionBy("year", "month", "day")
+                .parquet(os.path.join(lake_dir, "stage"))
+            )
+            alerts = alert_rows(stage.drop("year", "month", "day"))
+            alerts.write.mode("append").parquet(os.path.join(lake_dir, "alerts"))
+        finally:
+            stage.unpersist()
+
+        if counts.get(CLASS_SOH, 0):
+            errors.write.mode("append").json(os.path.join(lake_dir, "error"))
+        return PipelineBatchResult(batch_id=batch_id, counts=counts)
+    finally:
+        classified.unpersist()
+
+
+def start_pipeline(
+    spark: SparkSession,
+    landing_dir: str,
+    lake_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 60,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+    results: list[PipelineBatchResult] | None = None,
+) -> StreamingQuery:
+    """Wire source → foreachBatch → trigger → checkpoint and start.
+
+    ``available_now=True`` drains the current landing-dir contents then
+    stops (test/backfill mode); otherwise a 60 s processing-time trigger
+    mirrors the Firehose buffer interval."""
+    geo_dim = build_geo_dim(spark)
+    stream = read_landing_stream(spark, landing_dir, max_files_per_trigger)
+
+    def _on_batch(batch: DataFrame, batch_id: int) -> None:
+        res = process_batch(batch, batch_id, lake_dir, geo_dim)
+        if results is not None:
+            results.append(res)
+
+    writer = stream.writeStream.foreachBatch(_on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def run_batch(
+    spark: SparkSession, envelopes: DataFrame, lake_dir: str
+) -> PipelineBatchResult:
+    """Batch-mode equivalent of one micro-batch (backfill entry point)."""
+    return process_batch(envelopes, batch_id=0, lake_dir=lake_dir,
+                         geo_dim=build_geo_dim(spark))
