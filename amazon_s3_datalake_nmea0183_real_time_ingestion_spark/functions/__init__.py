@@ -17,8 +17,10 @@ from .datetime_fns import event_partition_cols  # noqa: F401
 from .hashing import md5_i64, md5_u32, minhash_permuted  # noqa: F401
 from .text import (  # noqa: F401
     char_ngrams,
+    char_ngrams_from_lower,
     doc_fingerprint,
     quality_score,
+    shingles_from_tokens,
     token_count,
     tokens,
     word_shingles,

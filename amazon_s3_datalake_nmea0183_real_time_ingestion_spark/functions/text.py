@@ -27,27 +27,43 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Array of k-word shingles ('w1 w2 w3') — MinHash/Jaccard unit.
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Array of k-word shingles ('w1 w2 w3') from an ALREADY-MATERIALIZED
+    token-array column — MinHash/Jaccard unit.
+
+    ``toks`` must be a plain attribute (produced by a prior ``select``),
+    not an inline ``tokens(...)`` expression: a non-attribute expression
+    referenced inside the ``transform`` lambda is re-evaluated per array
+    element, turning shingling O(n²) per document.
 
     Documents shorter than k tokens yield a single shingle of all tokens,
     so no document hashes to an empty set.
     """
-    toks = tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
-    )
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles straight from raw text.
+
+    Convenience for small inputs/tests; hot paths should ``select`` the
+    token array first and call :func:`shingles_from_tokens` (see its
+    docstring for the per-element re-evaluation trap)."""
+    return shingles_from_tokens(tokens(text), k)
+
+
+def char_ngrams_from_lower(low: Column, n: int = 5) -> Column:
+    """Array of character n-grams from an already-lower-cased attribute
+    column (same per-element re-evaluation trap as shingles)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(low) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substring(low, i, n))
 
 
 def char_ngrams(text: Column | str, n: int = 5) -> Column:
-    """Array of character n-grams of the lower-cased text."""
+    """Array of character n-grams of the lower-cased text (convenience;
+    hot paths pre-materialize the lower-cased column)."""
     c = F.col(text) if isinstance(text, str) else text
-    low = F.lower(c)
-    ln = F.length(low)
-    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.substring(low, i, n))
+    return char_ngrams_from_lower(F.lower(c), n)
 
 
 def stopword_ratio(text: Column | str) -> Column:

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import MERSENNE_P, md5_i64, md5_u32, perm_coeff_a, perm_coeff_b
-from ..functions.text import tokens, word_shingles
+from ..functions.text import shingles_from_tokens, tokens
 
 SIMHASH_BITS = 60  # md5_i64 yields 60-bit non-negative hashes
 
@@ -44,9 +44,17 @@ def exact_dedup(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataF
 
 def shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 k: int = 3) -> DataFrame:
-    """Distinct (id, shingle) pairs — the Jaccard/MinHash unit set."""
+    """Distinct (id, shingle) pairs — the Jaccard/MinHash unit set.
+
+    Tokenizes in its own projection so the shingle ``transform`` lambda
+    reads a materialized array attribute; an inline tokenize expression
+    would be re-evaluated per shingle index (O(n²) per document)."""
+    toked = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
     return (
-        docs.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle"))
+        toked.select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("shingle"),
+        )
         .distinct()
     )
 
@@ -120,7 +128,14 @@ def minhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", k: int = 3, n_perm: int = 16,
                      n_bands: int = 4, threshold: float = 0.8) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
-    candidate join → exact-Jaccard verification (C2)."""
+    candidate join → exact-Jaccard verification (C2).
+
+    The shingle set feeds three consumers (signatures, set sizes, the
+    intersection join); no explicit cache — the distinct's shuffle is an
+    identical exchange in all three sub-plans, so ReuseExchange
+    materializes it once.  (Measured: ``.persist()`` here is ~2× SLOWER —
+    it breaks whole-stage codegen across the cache boundary and pays
+    InMemoryTableScan overhead for data the shuffle files already hold.)"""
     sh = shingle_set(docs, id_col, text_col, k)
     sigs = minhash_signatures(sh, id_col, n_perm)
     cands = lsh_candidate_pairs(lsh_bands(sigs, id_col, n_perm, n_bands), id_col)
@@ -182,9 +197,22 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4,
                   max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash: band the 60-bit signature into 15-bit
-    chunks (exact-match candidate join), verify Hamming distance."""
+    chunks (exact-match candidate join), verify Hamming distance.
+
+    Dedup WITHOUT a distinct: a pair that collides in several bands would
+    surface once per band, so each joined row keeps the pair only when no
+    EARLIER band also collides ("first-collision-band" rule).  Bands are
+    bit-slices of the simhash both sides already carry, so the rule is a
+    pure map-side expression — every pair survives exactly once and the
+    |candidate-pairs|-sized distinct exchange disappears.  The only
+    shuffle left is the (tiny, |docs|×n_bands-row) band join."""
     chunk = SIMHASH_BITS // n_bands
     mask = (1 << chunk) - 1
+
+    def band_slice(sig: Column, b: Column | int) -> Column:
+        shift = (b * chunk) if isinstance(b, int) else (b * F.lit(chunk))
+        return F.shiftright(sig, shift).bitwiseAND(F.lit(mask))
+
     banded = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -192,7 +220,7 @@ def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4,
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band_id"),
-                    F.shiftright(F.col("simhash"), b * chunk).bitwiseAND(F.lit(mask)).alias("band_val"),
+                    band_slice(F.col("simhash"), b).alias("band_val"),
                 )
                 for b in range(n_bands)
             ])
@@ -201,10 +229,18 @@ def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4,
     a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_id", "band_val")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_id", "band_val")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    first_band = reduce(
+        lambda x, y: x & y,
+        [
+            (F.col("band_id") <= earlier)
+            | (band_slice(F.col("sh_a"), earlier) != band_slice(F.col("sh_b"), earlier))
+            for earlier in range(n_bands - 1)
+        ],
+    )
     return (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_band)
+        .filter(ham <= max_hamming)
         .select("id_a", "id_b", ham.alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )

@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import md5_u32
-from ..functions.text import char_ngrams, doc_fingerprint, quality_score, token_count, tokens
+from ..functions.text import (
+    char_ngrams_from_lower,
+    doc_fingerprint,
+    quality_score,
+    token_count,
+    tokens,
+)
 from ..functions.vectors import cosine_similarity, l2_norm
 from ..operators.dedup import (
     exact_dedup,
@@ -461,10 +467,17 @@ def x_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprinting: md5 of normalized text (exact-dedup key) +
     winnowing-style minimum 5-gram rolling hash."""
     d = table(spark, sf, "documents")
-    return d.select(
+    # lower-cased text materialized as its own projection so the n-gram
+    # transform lambda reads an attribute (inline lower() would re-run per
+    # n-gram index — O(len²) per document).
+    low = d.select(
+        "doc_id", "text", F.lower(F.col("text")).alias("__low")
+    )
+    return low.select(
         "doc_id",
         doc_fingerprint("text").alias("fingerprint"),
-        F.array_min(F.transform(char_ngrams("text", 5), md5_u32)).alias("min_gram_hash"),
+        F.array_min(F.transform(char_ngrams_from_lower(F.col("__low"), 5), md5_u32))
+        .alias("min_gram_hash"),
     )
 
 
