@@ -1,4 +1,4 @@
-"""Structured Streaming pipeline (SURVEY.md §3.1-3.2, M3)."""
+"""Structured Streaming pipeline + stateful operators (SURVEY.md §3.1-3.2, M3)."""
 
 from .pipeline import (  # noqa: F401
     PipelineBatchResult,
@@ -7,4 +7,11 @@ from .pipeline import (  # noqa: F401
     read_landing_stream,
     run_batch,
     start_pipeline,
+)
+from .stateful import (  # noqa: F401
+    battery_transitions,
+    streaming_dedup,
+    streaming_sessions,
+    streaming_windowed_counts,
+    with_event_ts,
 )

@@ -1,0 +1,181 @@
+"""Stateful Structured Streaming operators (SURVEY.md §2 "Streaming-only
+semantics"; reference has NO stateful ops — its Lambda is stateless per
+batch, hello.py:26-236 — so these are the C1/C6 streaming variants plus
+the sanctioned custom-stateful escape hatch the north star mandates).
+
+All operators take an UNBOUNDED DataFrame (``spark.readStream``) and
+return a transformed unbounded DataFrame; the caller attaches the sink.
+Each needs an event-time ``TimestampType`` column — for stage rows that
+is ``to_timestamp(from_unixtime(date_time))`` (the reference keeps
+``date_time`` as int epoch-seconds, cdk_datalake_mvp_stack.py:466-468).
+
+Scale notes (100 TB / 1000 executors): every operator here shuffles
+exactly once on its grouping key; state lives in the executor state
+store keyed by that same partitioning, so micro-batches only shuffle
+NEW rows, never the state. Watermarks bound state size — without them
+streaming dedup/session state grows forever.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def with_event_ts(df: DataFrame, epoch_col: str = "date_time",
+                  ts_col: str = "event_ts") -> DataFrame:
+    """Derive the TimestampType event-time column from the reference's
+    int epoch-seconds ``date_time`` (kept int at rest for fidelity)."""
+    return df.withColumn(ts_col, F.to_timestamp(F.from_unixtime(F.col(epoch_col))))
+
+
+def streaming_dedup(stream: DataFrame, keys: list[str], ts_col: str = "event_ts",
+                    delay: str = "10 minutes") -> DataFrame:
+    """C1 streaming: drop duplicate heartbeats (retried satellite
+    downlinks) within a watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps state only ``delay`` past the
+    watermark, so state is bounded by (keys seen in the last ``delay``) —
+    the batch analog is ``exact_dedup`` (operators/dedup.py).
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_sessions(stream: DataFrame, user_col: str = "deviceid",
+                       ts_col: str = "event_ts", gap: str = "30 minutes",
+                       delay: str = "10 minutes") -> DataFrame:
+    """C6 streaming: gap-based sessions via ``session_window`` — the
+    streaming analog of ``operators.sessionize.gap_sessions`` (same
+    30-minute default gap). Emits one row per closed session once the
+    watermark passes the session end."""
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+            ).cast("bigint").alias("active_s"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            (F.col("active_s") / 1_000_000).cast("bigint").alias("duration_s"),
+        )
+    )
+
+
+def streaming_windowed_counts(stream: DataFrame, ts_col: str = "event_ts",
+                              key_col: str = "msg_class",
+                              window: str = "1 day",
+                              delay: str = "1 hour") -> DataFrame:
+    """Tumbling-window per-key counts with late-data handling — the
+    watermarked analog of the stage table's daily event-time partitions
+    (cdk_datalake_mvp_stack.py:214: y/m/d ≈ 1-day tumbling buckets) and
+    the per-batch class counters (A22, hello.py:56-58)."""
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            key_col,
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: battery-health transition detector
+# (applyInPandasWithState — the escape hatch for semantics session_window /
+#  dropDuplicates can't express; mirrors the reference's latent alerting
+#  purpose, hello.py:112-116,181-192, as edge-triggered instead of
+#  level-triggered: alert once per crossing, not once per heartbeat.)
+# ---------------------------------------------------------------------------
+
+TRANSITION_SCHEMA = StructType(
+    [
+        StructField("deviceid", IntegerType()),
+        StructField("date_time", IntegerType()),
+        StructField("battery_voltage", DoubleType()),
+        StructField("transition", StringType()),  # 'enter_low' | 'exit_low'
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("was_low", BooleanType()),
+        StructField("last_seen", LongType()),
+    ]
+)
+
+
+def battery_transitions(stream: DataFrame, threshold: float = 4.0,
+                        ts_col: str = "event_ts",
+                        delay: str = "1 hour") -> DataFrame:
+    """Edge-triggered low-battery detector: one output row per device per
+    threshold CROSSING (enter_low / exit_low), with the low/high flag
+    carried across micro-batches in the state store.
+
+    Rows inside one batch are processed in event order per device; the
+    carried state is just (was_low, last_seen) — O(1) per device.
+    """
+    thr = float(threshold)
+
+    def _detect(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        was_low, last_seen = state.get if state.exists else (None, 0)
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("date_time")
+            for row in pdf.itertuples(index=False):
+                if int(row.date_time) < int(last_seen):
+                    continue  # late duplicate of already-processed span
+                is_low = bool(row.battery_voltage < thr)
+                if was_low is None:
+                    if is_low:  # first observation already low → edge
+                        out_rows.append(
+                            (key[0], int(row.date_time),
+                             float(row.battery_voltage), "enter_low")
+                        )
+                elif is_low != was_low:
+                    out_rows.append(
+                        (key[0], int(row.date_time), float(row.battery_voltage),
+                         "enter_low" if is_low else "exit_low")
+                    )
+                was_low = is_low
+                last_seen = int(row.date_time)
+        state.update((bool(was_low) if was_low is not None else False, last_seen))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=["deviceid", "date_time", "battery_voltage", "transition"],
+            )
+
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy("deviceid")
+        .applyInPandasWithState(
+            _detect,
+            outputStructType=TRANSITION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
