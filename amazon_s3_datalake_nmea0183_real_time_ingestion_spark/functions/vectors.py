@@ -29,3 +29,16 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def as_double(v: Column) -> Column:
+    """Float→double array cast, exposed so join operators can cast each
+    side ONCE per row (below the join) instead of once per pair."""
+    return _as_double(v)
+
+
+def dot_double(a_d: Column, b_d: Column) -> Column:
+    """Dot product of two ALREADY-double arrays — the per-pair kernel once
+    casts/norms are precomputed per side (see operators/similarity.py)."""
+    prods = F.zip_with(a_d, b_d, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)

@@ -22,7 +22,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import as_double, dot_double
+
+
+def prep_vectors(df: DataFrame, id_col: str, vec_col: str, out_id: str,
+          out_vec: str, out_nrm: str, extra: list[str] | None = None) -> DataFrame:
+    """Per-side projection computed BELOW the join: double-cast vector +
+    L2 norm once per row, so the per-pair kernel is just a dot product.
+    (Inline cosine_similarity above a join re-casts both arrays and
+    re-derives both norms per PAIR — ~3× the array work.)"""
+    dv = as_double(F.col(vec_col))
+    sq = F.aggregate(
+        F.transform(dv, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return df.select(
+        F.col(id_col).alias(out_id),
+        dv.alias(out_vec),
+        F.sqrt(sq).alias(out_nrm),
+        *(extra or []),
+    )
+
+
+def pair_cosine(qvec: str = "qd", cvec: str = "cd", qn: str = "qn",
+              cn: str = "cn"):
+    return F.round(
+        dot_double(F.col(qvec), F.col(cvec)) / (F.col(qn) * F.col(cn)), 6
+    )
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -40,20 +65,12 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Brute-force cosine top-k: per query, the k most similar corpus
     vectors (self excluded), ranked on round(sim, 6) with id tie-break."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
+    q = prep_vectors(queries, id_col, vec_col, "query_id", "qd", "qn")
+    c = prep_vectors(corpus, id_col, vec_col, "neighbor_id", "cd", "cn")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
-        )
+        .select("query_id", "neighbor_id", pair_cosine().alias("sim"))
     )
     return _ranked_topk(scored, k)
 
@@ -78,36 +95,40 @@ def label_centroids(corpus: DataFrame, label_col: str = "label",
 
 def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Map-side nearest-centroid assignment (broadcast centroids)."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("centroid_id"),
-        F.round(cosine_similarity(F.col(vec_col), F.col("centroid")), 6).alias("csim"),
+    """Map-side nearest-centroid assignment (broadcast centroids); output
+    keeps the precomputed double vector + norm for downstream scoring."""
+    c = prep_vectors(corpus, id_col, vec_col, id_col, "vd", "vn")
+    cents = prep_vectors(centroids, "centroid_id", "centroid", "centroid_id", "ctd", "ctn")
+    csim = F.round(
+        dot_double(F.col("vd"), F.col("ctd")) / (F.col("vn") * F.col("ctn")), 6
+    )
+    scored = c.crossJoin(F.broadcast(cents)).select(
+        id_col, "vd", "vn", "centroid_id", csim.alias("csim")
     )
     w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, F.col("centroid_id").alias("cluster"))
+        .select(id_col, "vd", "vn", F.col("centroid_id").alias("cluster"))
     )
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF probe-1 search: score only the cluster the query's nearest
-    centroid owns."""
-    assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
+    centroid owns.  Vectors are cast/normed once during assignment; the
+    cluster join's per-pair kernel is a bare dot product."""
+    assigned = assign_to_centroids(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("vd").alias("cd"),
+        F.col("vn").alias("cn"), "cluster",
+    )
     q_assigned = assign_to_centroids(queries, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cluster"
+        F.col(id_col).alias("query_id"), F.col("vd").alias("qd"),
+        F.col("vn").alias("qn"), "cluster",
     )
     scored = (
         assigned.join(q_assigned, "cluster")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(cosine_similarity(F.col("qvec"), F.col(vec_col)), 6).alias("sim"),
-        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", pair_cosine().alias("sim"))
     )
     return _ranked_topk(scored, k)

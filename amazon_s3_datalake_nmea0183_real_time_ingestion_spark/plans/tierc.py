@@ -23,7 +23,7 @@ from ..functions.text import (
     token_count,
     tokens,
 )
-from ..functions.vectors import cosine_similarity, l2_norm
+from ..functions.vectors import dot_double, l2_norm
 from ..operators.dedup import (
     exact_dedup,
     minhash_near_dup,
@@ -33,7 +33,12 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import extract_features, pack_assets
 from ..operators.sessionize import gap_sessions
-from ..operators.similarity import cosine_topk, ivf_topk, label_centroids
+from ..operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    label_centroids,
+    prep_vectors,
+)
 from .registry import register, table
 
 # ---------------------------------------------------------------------------
@@ -227,16 +232,18 @@ def x_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x_dedup_embed(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup within label blocks (blocking keeps the
-    pair space linear per block — at scale, LSH buckets replace labels)."""
+    pair space linear per block — at scale, LSH buckets replace labels).
+    Each side casts/norms its vectors once below the join (prep_vectors);
+    the per-pair kernel is a bare dot product."""
     e = _emb_corpus(spark, sf)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "label")
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "label")
-    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    a = prep_vectors(e, "vec_id", "embedding", "id_a", "qd", "qn", extra=["label"])
+    b = prep_vectors(e, "vec_id", "embedding", "id_b", "cd", "cn", extra=["label"])
+    raw = dot_double(F.col("qd"), F.col("cd")) / (F.col("qn") * F.col("cn"))
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= 0.99)
-        .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+        .filter(raw >= 0.99)
+        .select("id_a", "id_b", F.round(raw, 4).alias("cos_sim"))
     )
 
 
