@@ -714,3 +714,90 @@ def q_subquery(spark: SparkSession, sf: str) -> DataFrame:
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 500.0)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# B4 (cont.) grouping sets / B5 ntile / B8 conditional scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    # Arbitrary grouping-set lattice (B4) — one shuffle; Spark expands the
+    # sets before the partial aggregate exactly like ROLLUP/CUBE.
+    o = table(spark, sf, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "q_win_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS quartile,
+           round(percent_rank() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey ASC), 6) AS pct_rank
+    FROM customer
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    # Distribution window functions (B5): ntile bucketing + percent_rank,
+    # deterministic tie-break on the key.
+    c = table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
+    "q_fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 5000.0 THEN 'high'
+                WHEN o_totalprice > 1000.0 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'F'), 'final') AS status_or_final,
+           round(least(o_totalprice, 9999.0), 2) AS capped,
+           round(greatest(o_totalprice, 100.0), 2) AS floored
+    FROM orders
+    """,
+)
+def q_fn_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    # Conditional scalar surface (B8): CASE/WHEN bands, nullif+coalesce,
+    # least/greatest clamping — all codegen'd, no shuffle.
+    o = table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 5000.0, F.lit("high"))
+        .when(F.col("o_totalprice") > 1000.0, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("final"))
+        .alias("status_or_final"),
+        F.round(F.least(F.col("o_totalprice"), F.lit(9999.0)), 2).alias("capped"),
+        F.round(F.greatest(F.col("o_totalprice"), F.lit(100.0)), 2).alias("floored"),
+    )

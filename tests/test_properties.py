@@ -1,0 +1,133 @@
+"""Property-based spot checks (SURVEY.md §5.2.4) — hypothesis generates the
+inputs, one Spark job evaluates the whole example batch, and a pure-Python
+reference model (mirroring hello.py semantics) provides the expected values.
+
+Each @given example batches a LIST of inputs into a single DataFrame so a
+test run costs a handful of Spark jobs, not one per example.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.functions.base64_fns import (
+    is_base64,
+    unbase64_str,
+)
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.functions.datetime_fns import (
+    event_partition_cols,
+)
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.functions.nmea import (
+    signed_latitude,
+    signed_longitude,
+    signed_longitude_reference_compat,
+)
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+
+def _py_is_base64(s: str) -> bool:
+    """The reference's predicate, verbatim semantics (hello.py:13-17)."""
+    try:
+        clean = s.replace("\r", "").replace("\n", "")
+        return base64.b64encode(base64.b64decode(clean)).decode() == clean
+    except Exception:
+        return False
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=40))
+def test_base64_roundtrip_decodes_to_original(spark, payloads):
+    """A3: unbase64_str(b64encode(x)) == x for arbitrary UTF-8-safe bytes."""
+    texts = [p.decode("latin-1") for p in payloads]  # arbitrary 1-byte chars
+    rows = [(base64.b64encode(t.encode("utf-8")).decode(),) for t in texts]
+    df = spark.createDataFrame(rows, schema=StructType([StructField("enc", StringType())]))
+    got = [r["dec"] for r in df.select(unbase64_str("enc").alias("dec")).collect()]
+    assert got == texts
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            st.text(max_size=60),
+            st.binary(max_size=60).map(lambda b: base64.b64encode(b).decode()),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_is_base64_matches_python_reference(spark, candidates):
+    """A4: the Spark predicate agrees with the reference's Python
+    round-trip test on arbitrary strings (valid and garbage alike)."""
+    rows = [(c,) for c in candidates]
+    df = spark.createDataFrame(rows, schema=StructType([StructField("s", StringType())]))
+    got = [r["ok"] for r in df.select(is_base64("s").alias("ok")).collect()]
+    assert got == [_py_is_base64(c) for c in candidates]
+
+
+_num = st.floats(min_value=0.0, max_value=180.0, allow_nan=False).map(
+    lambda v: f"{v:.6f}"
+)
+_lat_hemi = st.sampled_from(["N", "S", "North", "South", "", "x"])
+_lon_hemi = st.sampled_from(["E", "W", "East", "West", "", "x"])
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(_num, _lat_hemi, _num, _lon_hemi), min_size=1, max_size=40
+    )
+)
+def test_hemisphere_sign_fix_total(spark, quads):
+    """A10: sign fix is total over arbitrary hemisphere tokens — negate on
+    leading 'S' (lat) / 'W' (lon), pass through otherwise; engine semantics
+    negate longitude INDEPENDENTLY of latitude (SURVEY.md §7.5.1)."""
+    rows = [
+        (["$PIMD8", "a", "b", "c", "d", la, lah, lo, loh],)
+        for la, lah, lo, loh in quads
+    ]
+    df = spark.createDataFrame(rows, ["toks"])
+    got = df.select(
+        signed_latitude(F.col("toks")).alias("lat"),
+        signed_longitude(F.col("toks")).alias("lon"),
+        signed_longitude_reference_compat(F.col("toks")).alias("lon_compat"),
+    ).collect()
+    for (la, lah, lo, loh), r in zip(quads, got):
+        exp_lat = -float(la) if lah.startswith("S") else float(la)
+        exp_lon = -float(lo) if loh.startswith("W") else float(lo)
+        # reference elif bug: W-longitude NOT negated when lat was south
+        exp_lon_compat = float(lo) if lah.startswith("S") else exp_lon
+        assert r["lat"] == exp_lat, (la, lah)
+        assert r["lon"] == exp_lon, (lo, loh)
+        assert r["lon_compat"] == exp_lon_compat, (la, lah, lo, loh)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=4102444800),  # 1970..2100
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_event_partition_matches_strftime(spark, epochs):
+    """A17: derived year/month/day strings equal UTC strftime %Y/%m/%d of
+    the epoch (the Firehose JQ partitioning expression)."""
+    df = spark.createDataFrame([(e,) for e in epochs], ["date_time"])
+    parts = event_partition_cols("date_time")
+    got = df.select(
+        parts["year"].alias("y"), parts["month"].alias("m"), parts["day"].alias("d")
+    ).collect()
+    for e, r in zip(epochs, got):
+        expect = dt.datetime.fromtimestamp(e, dt.timezone.utc)
+        assert (r["y"], r["m"], r["d"]) == (
+            expect.strftime("%Y"),
+            expect.strftime("%m"),
+            expect.strftime("%d"),
+        ), e
