@@ -1,0 +1,82 @@
+"""Catalog/table maintenance jobs (SURVEY.md §2 A20; reference: the nightly
+Glue crawler, cdk_datalake_mvp_stack.py:320-335).
+
+The crawler runs with ``update_behavior: LOG, delete_behavior: LOG`` —
+schema drift is DETECTED and reported, never applied; the declared schema
+stays authoritative (SURVEY.md §1.3). ``schema_drift_report`` reproduces
+exactly that contract. ``compact_partition`` is the at-rest analog of the
+Firehose 64 MB buffer intent: rewrite a partition's many small files into
+few large ones (BASELINE.md "output file sizing").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def schema_drift_report(spark: SparkSession, path: str,
+                        declared: StructType, fmt: str = "parquet") -> DataFrame:
+    """Diff the OBSERVED schema of the files at ``path`` against the
+    DECLARED schema — report, don't apply (crawler LOG behavior).
+
+    Returns one row per column union: ``column, declared_type,
+    observed_type, status`` with status in ``ok | type_changed | added |
+    missing`` (added = in files only; missing = declared only).
+
+    Inference cost note: parquet/json footer-based inference reads
+    metadata, not data — safe to run as a scheduled job at any scale.
+    """
+    if fmt == "parquet":
+        observed = spark.read.parquet(path).schema
+    elif fmt == "json":
+        observed = spark.read.json(path).schema
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+
+    dec = {f.name.lower(): f.dataType.simpleString() for f in declared.fields}
+    obs = {f.name.lower(): f.dataType.simpleString() for f in observed.fields}
+    rows = []
+    for name in sorted(dec.keys() | obs.keys()):
+        d, o = dec.get(name), obs.get(name)
+        if d is None:
+            status = "added"
+        elif o is None:
+            status = "missing"
+        elif d != o:
+            status = "type_changed"
+        else:
+            status = "ok"
+        rows.append((name, d, o, status))
+    return spark.createDataFrame(
+        rows, "column string, declared_type string, observed_type string, status string"
+    )
+
+
+def compact_partition(spark: SparkSession, table_path: str, partition_expr: str,
+                      target_files: int = 1) -> int:
+    """Rewrite one Hive partition's files into ``target_files`` files
+    (small-file compaction; the 64 MB Firehose buffering intent applied
+    retroactively). Returns the number of rows rewritten.
+
+    Scale note: compaction is per-partition (`partition_expr` like
+    ``year=2023/month=11/day=14``), so a fleet of compaction tasks
+    parallelizes across partitions with no shuffle — each task is a
+    coalesce-rewrite of one directory.
+    """
+    part_dir = f"{table_path}/{partition_expr}"
+    df = spark.read.parquet(part_dir)
+    n = df.count()
+    tmp = f"{part_dir}__compact_tmp"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap through the Hadoop FS API (works for local + HDFS/S3A)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(table_path), conf
+    )
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    dst = jvm.org.apache.hadoop.fs.Path(part_dir)
+    fs.delete(dst, True)
+    fs.rename(src, dst)
+    return n

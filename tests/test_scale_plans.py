@@ -1,0 +1,160 @@
+"""Physical-plan regression tests — lock in the scale properties SCALE.md
+documents: pushdown reaches the scan, small dims broadcast, windowed top-k
+uses WindowGroupLimit, and bucketed tables co-locate joins with NO
+exchange. These assert on `.explain` output, so a future change that
+silently de-optimizes a plan fails here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_scan_prune_pushes_filters_and_columns(spark, queries):
+    plan = plan_of(queries["q_scan_prune"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # projection pruned to the 3 selected + filter columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_shipdate" in plan
+    assert "codegen id" in plan  # fused whole-stage-codegen span
+
+
+def test_geocode_dim_joins_broadcast(spark, queries):
+    plan = plan_of(queries["op_geocode_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sim_topk_uses_window_group_limit(spark, queries):
+    plan = plan_of(queries["x_sim_topk"](spark, SF))
+    # partial + final per-partition heaps: only k rows per partition shuffle
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "Partial" in plan and "Final" in plan
+
+
+def test_topk_plans_take_ordered(spark, queries):
+    plan = plan_of(queries["q_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_has_partial_and_final_hashaggregate(spark, queries):
+    plan = plan_of(queries["q_agg_basic"](spark, SF))
+    # map-side combine: two HashAggregate levels around one hash exchange
+    # (a second, range exchange comes from the final orderBy)
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") <= 2
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Pre-bucketed tables on the join key co-locate a sort-merge join:
+    zero Exchange operators — the 100 TB strategy for repeated big joins
+    (SCALE.md §3)."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
+    spark.sql("DROP TABLE IF EXISTS t_customer_bucketed")
+    # the metastore is per-session but the warehouse dir persists — drop
+    # stale managed-table locations or saveAsTable fails LOCATION_ALREADY_EXISTS
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_orders_bucketed", "t_customer_bucketed"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (
+        orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("t_orders_bucketed")
+    )
+    (
+        customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("t_customer_bucketed")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_orders_bucketed").join(
+            spark.table("t_customer_bucketed"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        # sanity: result is correct
+        expected = orders.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_schema_drift_report_logs_not_applies(spark, tmp_path):
+    """A20 crawler parity: drift is reported (added/missing/type_changed)
+    while the declared schema stays authoritative."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        schema_drift_report,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 2.5)], "id int, name string, extra double"
+    ).write.parquet(path)
+    declared = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("name", IntegerType()),   # type drift
+            StructField("gone", StringType()),    # missing from files
+        ]
+    )
+    report = {
+        r["column"]: r["status"]
+        for r in schema_drift_report(spark, path, declared).collect()
+    }
+    assert report == {
+        "id": "ok",
+        "name": "type_changed",
+        "gone": "missing",
+        "extra": "added",
+    }
+
+
+def test_compact_partition_rewrites_to_single_file(spark, tmp_path):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        compact_partition,
+    )
+
+    base = str(tmp_path / "stage")
+    df = spark.range(0, 1000).withColumn("year", F.lit("2023"))
+    df.repartition(8).write.partitionBy("year").parquet(base)
+    part = "year=2023"
+    import glob
+
+    assert len(glob.glob(f"{base}/{part}/*.parquet")) == 8
+    n = compact_partition(spark, base, part, target_files=1)
+    assert n == 1000
+    assert len(glob.glob(f"{base}/{part}/*.parquet")) == 1
+    # data intact and partition column still derivable from the path
+    back = spark.read.parquet(base)
+    assert back.count() == 1000
+    assert str(back.select("year").distinct().first()["year"]) == "2023"
