@@ -75,6 +75,31 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return _ranked_topk(scored, k)
 
 
+def cosine_topk_blocked(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_blocks: int = 4) -> DataFrame:
+    """Brute-force top-k for query sets TOO BIG to broadcast at once
+    (SCALE.md §5): split queries into ``n_blocks`` hash blocks, broadcast
+    one block at a time, union the per-block results.  Result is
+    identical to :func:`cosine_topk`; peak broadcast memory drops
+    ``n_blocks×``.  Each block's scan of the corpus is an independent
+    job, so at 100 TB this trades one giant broadcast for ``n_blocks``
+    sequential (or concurrently-submitted) corpus passes — the right
+    trade when queries ≫ broadcast threshold but ≪ corpus.
+    """
+    from functools import reduce as _reduce
+
+    blocks = [
+        cosine_topk(
+            corpus,
+            queries.filter(F.pmod(F.col(id_col), F.lit(n_blocks)) == b),
+            k, id_col, vec_col,
+        )
+        for b in range(n_blocks)
+    ]
+    return _reduce(lambda a, b: a.unionByName(b), blocks)
+
+
 def label_centroids(corpus: DataFrame, label_col: str = "label",
                     vec_col: str = "embedding", round_to: int = 6) -> DataFrame:
     """Elementwise mean vector per label group, components rounded so the
