@@ -801,3 +801,62 @@ def q_fn_conditional(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.least(F.col("o_totalprice"), F.lit(9999.0)), 2).alias("capped"),
         F.round(F.greatest(F.col("o_totalprice"), F.lit(100.0)), 2).alias("floored"),
     )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_final,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0.0), 2) AS open_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    # Pivot as conditional aggregation (B4): one shuffle, columns fixed at
+    # plan time — the scale-safe pivot (df.pivot with inferred values
+    # would need an extra distinct pass over 100 TB).
+    o = table(spark, sf, "orders")
+    def _n(status: str):
+        return F.count(F.when(F.col("o_orderstatus") == status, 1))
+    return o.groupBy("o_orderpriority").agg(
+        _n("O").alias("n_open"),
+        _n("F").alias("n_final"),
+        _n("P").alias("n_pending"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("open_total"),
+    )
+
+
+@register(
+    "q_win_range",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS rolling_1h_sum
+    FROM events
+    """,
+)
+def q_win_range(spark: SparkSession, sf: str) -> DataFrame:
+    # RANGE frame over event-time seconds (B5): value-based window — rows
+    # within the last hour, however many there are (vs rowsBetween's
+    # fixed count in q_win_rolling).
+    ev = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("rolling_1h_sum"),
+    )

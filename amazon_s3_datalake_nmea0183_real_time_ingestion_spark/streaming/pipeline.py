@@ -30,8 +30,15 @@ column expressions inside whole-stage codegen; the only join is a
 broadcast hash join against the ~65k-row geo dimension (no shuffle); the
 stage sink shuffles once on the partition keys (repartition before write
 so each micro-batch emits one file per event-day instead of
-files × tasks). Checkpointing makes the file sinks exactly-once per
-batch-id; the reference is only at-least-once (SURVEY.md §7.4.1).
+files × tasks).
+
+Delivery semantics: the checkpoint guarantees each batch is processed
+once under normal operation (no reprocessing across restarts, see
+test_incremental_second_trigger). On a crash MID-batch, replay re-runs
+all sinks of that batch — multi-sink appends are then at-least-once,
+the same guarantee as the reference's Firehose retry
+(cdk_datalake_mvp_stack.py:206-212); true multi-sink exactly-once would
+need a transactional table format under every sink (SURVEY.md §7.4.1).
 """
 
 from __future__ import annotations
