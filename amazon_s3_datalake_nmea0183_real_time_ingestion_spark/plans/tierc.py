@@ -20,6 +20,7 @@ from ..functions.text import (
     char_ngrams_from_lower,
     doc_fingerprint,
     quality_score,
+    shingles_from_tokens,
     token_count,
     tokens,
 )
@@ -576,3 +577,125 @@ def x_session(spark: SparkSession, sf: str) -> DataFrame:
     session_window; streaming variant lives in streaming/)."""
     ev = table(spark, sf, "events")
     return gap_sessions(ev, gap_seconds=1800)
+
+
+# ---------------------------------------------------------------------------
+# C4 (cont.) — TF-IDF scoring + Gopher-style repetition filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_text_tfidf",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+      WHERE tf.doc_id < 100)
+    SELECT doc_id, term, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS INT) AS rnk
+    FROM scored QUALIFY rnk <= 5
+    """,
+)
+def x_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF (smoothed idf: ln((N+1)/(df+1))+1): top-5 terms per doc.
+
+    Scale shape: two wordcount-style aggregations + a term-keyed join;
+    the tiny (1-row) corpus count broadcasts. df(term) is the only
+    potentially skewed key (stopwords) — AQE splits it."""
+    d = table(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.filter(F.col("doc_id") < 100)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "x_text_repetition",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS lines,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents),
+    bg AS (
+      SELECT doc_id,
+             [array_to_string(t[i:i+1], ' ')
+              for i in range(1, greatest(len(t) - 1, 1) + 1)] AS bigrams,
+             lines
+      FROM base),
+    top AS (
+      SELECT doc_id, max(cnt) AS top_cnt FROM (
+        SELECT doc_id, b, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(bigrams) AS b FROM bg)
+        GROUP BY doc_id, b)
+      GROUP BY doc_id)
+    SELECT bg.doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           round(1.0 - len(list_distinct(lines)) / len(lines), 6) AS dup_line_frac,
+           round(top_cnt / len(bigrams), 6) AS top_bigram_frac,
+           (1.0 - len(list_distinct(lines)) / len(lines)) <= 0.3
+             AND (top_cnt / len(bigrams)) <= 0.2 AS keep
+    FROM bg JOIN top ON top.doc_id = bg.doc_id
+    """,
+)
+def x_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition filters: duplicate-line fraction
+    + most-frequent-bigram fraction, with a keep/drop verdict.
+
+    All per-document: tokenized once in a projection (HOF-lambda rule),
+    bigram stats via explode + two aggs — linear, one shuffle on doc_id."""
+    d = table(spark, sf, "documents")
+    base = d.select(
+        "doc_id",
+        F.split("text", "\n").alias("lines"),
+        tokens("text").alias("t"),
+    )
+    bg = base.select(
+        "doc_id",
+        "lines",
+        shingles_from_tokens(F.col("t"), 2).alias("bigrams"),
+    )
+    top = (
+        bg.select("doc_id", F.explode("bigrams").alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    dup_frac = 1.0 - F.size(F.array_distinct("lines")) / F.size("lines")
+    top_frac = F.col("top_cnt") / F.size("bigrams")
+    return bg.join(top, "doc_id").select(
+        "doc_id",
+        F.size("lines").cast("int").alias("n_lines"),
+        F.round(dup_frac, 6).alias("dup_line_frac"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        ((dup_frac <= 0.3) & (top_frac <= 0.2)).alias("keep"),
+    )
