@@ -224,7 +224,11 @@ def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", F.col("ts"), F.col("event_id"), F.lit(0).alias("is_click")
     )
     merged = clicks.unionByName(purchases)
-    # At equal ts the click sorts first (is_click desc) → '<=' semantics.
+    # Ordering does ALL the tie-breaking: ts asc puts earlier events first;
+    # at equal ts, is_click desc puts every click before any purchase ('<='
+    # semantics); among same-ts clicks, event_id asc makes `last` carry the
+    # MAX click event_id at the latest click ts — exactly the oracle's
+    # max(event_id) FILTER (ts = max_click_ts), with no extra join.
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.col("ts").asc(), F.col("is_click").desc(), F.col("event_id"))
@@ -233,33 +237,13 @@ def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
     lastclick = F.last(
         F.when(F.col("is_click") == 1, F.col("event_id")), ignorenulls=True
     ).over(w)
-    # Tie-break duplicate-ts clicks by max event_id like the oracle.
-    last_ts = F.last(
-        F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True
-    ).over(w)
-    mx = F.max(
-        F.when((F.col("is_click") == 1), F.col("event_id"))
-    ).over(
-        Window.partitionBy("user_id", "ts")
-    )
-    out = (
-        merged.withColumn("asof_click_id", lastclick)
-        .withColumn("asof_click_ts", last_ts)
-        .filter((F.col("is_click") == 0) & F.col("asof_click_id").isNotNull())
-    )
-    # Resolve "several clicks at the exact asof timestamp" to max event_id.
-    clicks_by_ts = clicks.groupBy("user_id", F.col("ts").alias("cts")).agg(
-        F.max("event_id").alias("max_click_at_ts")
-    )
     return (
-        out.join(
-            clicks_by_ts,
-            (out.user_id == clicks_by_ts.user_id) & (out.asof_click_ts == clicks_by_ts.cts),
-        )
+        merged.withColumn("asof_click_id", lastclick)
+        .filter((F.col("is_click") == 0) & F.col("asof_click_id").isNotNull())
         .select(
-            out.event_id.alias("purchase_id"),
-            out.user_id,
-            F.col("max_click_at_ts").alias("asof_click_id"),
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "asof_click_id",
         )
     )
 
