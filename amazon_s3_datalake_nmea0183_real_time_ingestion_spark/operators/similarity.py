@@ -119,9 +119,14 @@ def label_centroids(corpus: DataFrame, label_col: str = "label",
 
 
 def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
-                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_probe: int = 1) -> DataFrame:
     """Map-side nearest-centroid assignment (broadcast centroids); output
-    keeps the precomputed double vector + norm for downstream scoring."""
+    keeps the precomputed double vector + norm for downstream scoring.
+
+    ``n_probe > 1`` emits one row per (vector, nearby centroid) — the IVF
+    recall knob for the QUERY side (corpus vectors always live in exactly
+    one cluster, ``n_probe=1``)."""
     c = prep_vectors(corpus, id_col, vec_col, id_col, "vd", "vn")
     cents = prep_vectors(centroids, "centroid_id", "centroid", "centroid_id", "ctd", "ctn")
     csim = F.round(
@@ -133,21 +138,25 @@ def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
     w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_probe)
         .select(id_col, "vd", "vn", F.col("centroid_id").alias("cluster"))
     )
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-             k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF probe-1 search: score only the cluster the query's nearest
-    centroid owns.  Vectors are cast/normed once during assignment; the
+             k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding",
+             n_probe: int = 1) -> DataFrame:
+    """IVF search: score only the clusters the query's ``n_probe`` nearest
+    centroids own (probe-1 = fastest, higher probes trade compute for
+    recall).  Vectors are cast/normed once during assignment; the
     cluster join's per-pair kernel is a bare dot product."""
     assigned = assign_to_centroids(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("vd").alias("cd"),
         F.col("vn").alias("cn"), "cluster",
     )
-    q_assigned = assign_to_centroids(queries, centroids, id_col, vec_col).select(
+    q_assigned = assign_to_centroids(
+        queries, centroids, id_col, vec_col, n_probe=n_probe
+    ).select(
         F.col(id_col).alias("query_id"), F.col("vd").alias("qd"),
         F.col("vn").alias("qn"), "cluster",
     )

@@ -699,3 +699,51 @@ def x_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
         F.round(top_frac, 6).alias("top_bigram_frac"),
         ((dup_frac <= 0.3) & (top_frac <= 0.2)).alias("keep"),
     )
+
+
+@register(
+    "x_sim_ivf2",
+    oracle="""
+    WITH cent AS (
+      SELECT label AS centroid_id, p, round(avg(embedding[p]::DOUBLE), 6) AS m
+      FROM embeddings CROSS JOIN unnest(range(1, 65)) u(p)
+      GROUP BY label, p),
+    centv AS (SELECT centroid_id, list(m ORDER BY p) AS centroid FROM cent GROUP BY centroid_id),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN centv c) t
+      WHERE rn = 1),
+    qassign AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN centv c
+        WHERE e.vec_id < 10) t
+      WHERE rn <= 2)
+    SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) DESC,
+                      a.vec_id ASC) AS INT) AS rank,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS sim
+    FROM qassign q JOIN assign a ON a.cluster = q.cluster AND a.vec_id <> q.vec_id
+    QUALIFY rank <= 3
+    """,
+)
+def x_sim_ivf2(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF probe-2 ANN: queries search their TWO nearest centroids'
+    clusters — the recall knob over x_sim_ivf (2× candidates, same
+    map-side assignment; at 100 TB n_probe trades compute for recall
+    without touching the index layout)."""
+    e = table(spark, sf, "embeddings")
+    cents = label_centroids(e)
+    out = ivf_topk(e, e.filter(F.col("vec_id") < 10), cents, k=3, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("int"))
