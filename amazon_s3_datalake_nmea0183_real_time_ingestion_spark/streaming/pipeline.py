@@ -102,16 +102,23 @@ def build_stage_rows(
     return stage, errors
 
 
-def _write_raw_tee(cls_df: DataFrame, path: str) -> None:
+def _write_raw_tee(cls_df: DataFrame, path: str, single_file: bool = True) -> None:
     """Raw-zone JSON tee partitioned by processing-time y/m/d
-    (hello.py:52-62,201-234 — wall-clock ``now.strftime`` partitions)."""
+    (hello.py:52-62,201-234 — wall-clock ``now.strftime`` partitions).
+
+    ``single_file=True`` mirrors the Lambda's one-upload-per-batch
+    (reference compat); ``False`` keeps natural task parallelism for
+    high-throughput batches (scale mode)."""
     parts = processing_partition_cols()
-    (
+    out = (
         cls_df.withColumn("year", parts["year"])
         .withColumn("month", parts["month"])
         .withColumn("day", parts["day"])
-        .coalesce(1)  # one file per class per micro-batch, like one Lambda upload
-        .write.mode("append")
+    )
+    if single_file:
+        out = out.coalesce(1)
+    (
+        out.write.mode("append")
         .partitionBy("year", "month", "day")
         .json(path)
     )
@@ -123,6 +130,7 @@ def process_batch(
     lake_dir: str,
     geo_dim: DataFrame,
     reference_compat_raw_tee: bool = True,
+    tee_single_file: bool = True,
 ) -> PipelineBatchResult:
     """The foreachBatch body — the Lambda's records-in/records-out contract
     re-expressed as declarative multi-sink writes."""
@@ -139,7 +147,8 @@ def process_batch(
                 cls_df = classified.filter(F.col("msg_class") == cls)
                 if counts.get(cls, 0):
                     _write_raw_tee(cls_df.drop("msg_class", "payload_text"),
-                                   os.path.join(lake_dir, "raw", cls))
+                                   os.path.join(lake_dir, "raw", cls),
+                                   single_file=tee_single_file)
 
         soh = classified.filter(F.col("msg_class") == CLASS_SOH)
         stage, errors = build_stage_rows(soh, geo_dim)
@@ -175,6 +184,7 @@ def start_pipeline(
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
     results: list[PipelineBatchResult] | None = None,
+    tee_single_file: bool = True,
 ) -> StreamingQuery:
     """Wire source → foreachBatch → trigger → checkpoint and start.
 
@@ -185,7 +195,8 @@ def start_pipeline(
     stream = read_landing_stream(spark, landing_dir, max_files_per_trigger)
 
     def _on_batch(batch: DataFrame, batch_id: int) -> None:
-        res = process_batch(batch, batch_id, lake_dir, geo_dim)
+        res = process_batch(batch, batch_id, lake_dir, geo_dim,
+                            tee_single_file=tee_single_file)
         if results is not None:
             results.append(res)
 
