@@ -824,20 +824,22 @@ def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            round(sum(value) OVER (
-             PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS rolling_1h_sum
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS rolling_1h_sum
     FROM events
     """,
 )
 def q_win_range(spark: SparkSession, sf: str) -> DataFrame:
-    # RANGE frame over event-time seconds (B5): value-based window — rows
-    # within the last hour, however many there are (vs rowsBetween's
-    # fixed count in q_win_rolling).
+    # RANGE frame over event-time MICROseconds (B5): value-based window —
+    # rows within the last hour, however many there are (vs rowsBetween's
+    # fixed count in q_win_rolling). Micros, not unix_timestamp seconds:
+    # second-truncation moves sub-second events across the frame boundary
+    # (caught by the sf0.1 oracle run).
     ev = table(spark, sf, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return ev.select(
         "event_id",

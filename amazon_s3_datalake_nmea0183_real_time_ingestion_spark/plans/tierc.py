@@ -521,17 +521,20 @@ def x_multimodal(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "x_multimodal_binary",
     oracle="""
-    WITH chars AS (
+    WITH packed AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN embeddings e ON e.vec_id = d.doc_id),
+    chars AS (
       SELECT doc_id, sum(unicode(c)) AS bsum
       FROM (SELECT doc_id, unnest([substr(text, i, 1)
                                    for i in range(1, length(text) + 1)]) AS c
-            FROM documents) t
+            FROM packed) t
       GROUP BY doc_id)
     SELECT d.doc_id AS asset_id, 'text' AS modality,
            octet_length(encode(d.text)) AS n_bytes,
            unicode(substr(d.text, 1, 1)) AS first_byte,
            CAST(c.bsum % 997 AS BIGINT) AS byte_sum_mod
-    FROM documents d JOIN chars c ON c.doc_id = d.doc_id
+    FROM packed d JOIN chars c ON c.doc_id = d.doc_id
     """,
 )
 def x_multimodal_binary(spark: SparkSession, sf: str) -> DataFrame:
