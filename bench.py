@@ -36,6 +36,8 @@ HEADLINE = [
     # relational surface (Tier B)
     "q_agg_basic",
     "q_agg_rollup",
+    "q_agg_grouping_sets",
+    "q_pivot",
     "q_join_inner",
     "q_join_asof",
     "q_win_rank",
@@ -48,7 +50,9 @@ HEADLINE = [
     "x_dedup_near",
     "x_dedup_simhash",
     "x_sim_topk",
+    "x_sim_ivf",
     "x_text_tf",
+    "x_text_tfidf",
     "x_text_quality",
     "x_session",
 ]
