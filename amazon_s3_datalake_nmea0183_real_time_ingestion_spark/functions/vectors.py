@@ -28,7 +28,8 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not an ANSI crash) when either vector has zero norm."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def as_double(v: Column) -> Column:

@@ -45,8 +45,11 @@ def prep_vectors(df: DataFrame, id_col: str, vec_col: str, out_id: str,
 
 def pair_cosine(qvec: str = "qd", cvec: str = "cd", qn: str = "qn",
               cn: str = "cn"):
+    # try_divide: a zero-norm (degenerate) vector yields NULL similarity
+    # instead of an ANSI DIVIDE_BY_ZERO crash; NULLs sort last in the
+    # descending rank, so degenerate vectors never pollute top-k.
     return F.round(
-        dot_double(F.col(qvec), F.col(cvec)) / (F.col(qn) * F.col(cn)), 6
+        F.try_divide(dot_double(F.col(qvec), F.col(cvec)), F.col(qn) * F.col(cn)), 6
     )
 
 
@@ -130,7 +133,8 @@ def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
     c = prep_vectors(corpus, id_col, vec_col, id_col, "vd", "vn")
     cents = prep_vectors(centroids, "centroid_id", "centroid", "centroid_id", "ctd", "ctn")
     csim = F.round(
-        dot_double(F.col("vd"), F.col("ctd")) / (F.col("vn") * F.col("ctn")), 6
+        F.try_divide(dot_double(F.col("vd"), F.col("ctd")),
+                     F.col("vn") * F.col("ctn")), 6
     )
     scored = c.crossJoin(F.broadcast(cents)).select(
         id_col, "vd", "vn", "centroid_id", csim.alias("csim")

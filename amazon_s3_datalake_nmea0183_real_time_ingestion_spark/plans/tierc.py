@@ -239,7 +239,9 @@ def x_dedup_embed(spark: SparkSession, sf: str) -> DataFrame:
     e = _emb_corpus(spark, sf)
     a = prep_vectors(e, "vec_id", "embedding", "id_a", "qd", "qn", extra=["label"])
     b = prep_vectors(e, "vec_id", "embedding", "id_b", "cd", "cn", extra=["label"])
-    raw = dot_double(F.col("qd"), F.col("cd")) / (F.col("qn") * F.col("cn"))
+    raw = F.try_divide(
+        dot_double(F.col("qd"), F.col("cd")), F.col("qn") * F.col("cn")
+    )
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
