@@ -25,4 +25,5 @@ from .text import (  # noqa: F401
     tokens,
     word_shingles,
 )
+from .sql_udfs import register_sql_functions  # noqa: F401
 from .vectors import cosine_similarity, dot, l2_norm  # noqa: F401
