@@ -174,3 +174,37 @@ def test_blocked_topk_equals_broadcast_topk(spark):
     b = cosine_topk_blocked(emb, queries, k=3, n_blocks=3)
     assert sorted(map(tuple, a.collect()), key=lambda t: (t[0], t[2])) == \
            sorted(map(tuple, b.collect()), key=lambda t: (t[0], t[2]))
+
+
+def test_salted_aggs_equal_direct(spark):
+    """Skew utilities (SCALE.md): salted two-phase collect_set /
+    exact-distinct-count equal the direct single-reducer forms."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.skew import (
+        salted_collect_set,
+        salted_exact_distinct_count,
+    )
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, SF, "events")
+    # hot-key shape: event_type has very few values over many rows
+    direct = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type").agg(
+            F.array_sort(F.collect_set("user_id")).alias("users"),
+            F.count_distinct("user_id").alias("n"),
+        ).collect()
+    }
+    salted_set = {
+        r["event_type"]: sorted(r["user_id_set"])
+        for r in salted_collect_set(ev, ["event_type"], "user_id").collect()
+    }
+    salted_cnt = {
+        r["event_type"]: r["n_distinct"]
+        for r in salted_exact_distinct_count(ev, ["event_type"], "user_id").collect()
+    }
+    assert set(direct) == set(salted_set) == set(salted_cnt)
+    for k, r in direct.items():
+        assert salted_set[k] == list(r["users"]), k
+        assert salted_cnt[k] == r["n"], k
