@@ -172,3 +172,35 @@ def test_battery_transitions_edge_triggered(spark, tmp_path):
         (1, T0 + 240, "exit_low"),
         (2, T0 + 300, "enter_low"),
     ]
+
+
+def test_progress_logger_captures_batches(spark, tmp_path):
+    """Ops logging (SURVEY streaming table): the listener records one
+    progress JSON per micro-batch with row counts, and tees to a file."""
+    import json as _json
+    import time as _time
+
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.streaming.listener import (
+        ProgressLogger,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _write(landing / "b1.json", [_row(1, 1, T0), _row(1, 2, T0 + 60)])
+    log_file = tmp_path / "ops.jsonl"
+    listener = ProgressLogger(str(log_file))
+    spark.streams.addListener(listener)
+    try:
+        out = _run(spark, landing, lambda s: s, "listener_out")
+        assert out.count() == 2
+        # listener bus is async — poll briefly
+        for _ in range(60):
+            if listener.progress and listener.terminated:
+                break
+            _time.sleep(0.5)
+        assert sum(p["num_input_rows"] for p in listener.progress) == 2
+        assert listener.started and listener.terminated
+        lines = [_json.loads(l) for l in log_file.read_text().splitlines()]
+        assert any(r["event"] == "progress" for r in lines)
+    finally:
+        spark.streams.removeListener(listener)
