@@ -752,3 +752,63 @@ def x_sim_ivf2(spark: SparkSession, sf: str) -> DataFrame:
     cents = label_centroids(e)
     out = ivf_topk(e, e.filter(F.col("vec_id") < 10), cents, k=3, n_probe=2)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "x_text_line_dedup",
+    oracle=r"""
+    WITH lines AS (
+      SELECT doc_id, u.i AS line_no, u.ln FROM (
+        SELECT doc_id,
+               unnest([{'i': i, 'ln': ls[i]} for i in range(1, len(ls) + 1)]) AS u
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents))),
+    df AS (SELECT ln, count(DISTINCT doc_id) AS line_df
+           FROM lines WHERE trim(ln) <> '' GROUP BY ln),
+    kept AS (
+      SELECT l.doc_id, l.line_no, l.ln
+      FROM lines l LEFT JOIN df ON df.ln = l.ln
+      WHERE coalesce(df.line_df, 1) <= 2)
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_lines_kept,
+           md5(string_agg(ln, chr(10) ORDER BY line_no)) AS kept_fp
+    FROM kept GROUP BY doc_id
+    """,
+)
+def x_text_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """RefinedWeb-style line-level dedup: drop lines appearing in >2
+    distinct documents (boilerplate headers/footers), keep per-doc line
+    order, fingerprint the surviving text.
+
+    Scale shape: explode → line-df aggregate (wordcount) → broadcast-able
+    join back (the line-df table only holds repeated lines' hashes at
+    scale) → per-doc ordered reassembly via one groupBy.  Blank lines are
+    never counted as boilerplate."""
+    d = table(spark, sf, "documents")
+    lines = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n")).alias("line_no", "ln"),
+    )
+    df_tbl = (
+        lines.filter(F.trim("ln") != "")
+        .groupBy("ln")
+        .agg(F.count_distinct("doc_id").alias("line_df"))
+    )
+    kept = (
+        lines.join(df_tbl, "ln", "left")
+        .filter(F.coalesce(F.col("line_df"), F.lit(1)) <= 2)
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_lines_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("line_no", "ln"))),
+                        lambda s: s["ln"],
+                    ),
+                    "\n",
+                )
+            ).alias("kept_fp"),
+        )
+    )

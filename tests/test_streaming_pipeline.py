@@ -108,3 +108,25 @@ def test_incremental_second_trigger(spark, lake):
     q.awaitTermination(180)
     stage = spark.read.parquet(str(lake_dir / "stage"))
     assert stage.count() == 9  # 6 + 3, first batch NOT reprocessed
+
+
+def test_corrupt_envelope_line_routes_to_error(spark, tmp_path):
+    """A landing line that isn't valid JSON at all (envelope-level
+    corruption, not just a bad inner payload) must not kill the batch:
+    the schema-projected null row classifies as SOH (null data is not
+    double-encoded) and falls into the error route."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = envelope_rows(n_soh=2, n_sensor=1, n_unknown=0)
+    with open(landing / "b.json", "w") as f:
+        f.write(json.dumps(rows[0]) + "\n")
+        f.write("this is not json at all {{{\n")
+        for row in rows[1:]:
+            f.write(json.dumps(row) + "\n")
+    q = start_pipeline(spark, str(landing), str(tmp_path / "lake"),
+                       str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(180)
+    stage = spark.read.parquet(str(tmp_path / "lake" / "stage"))
+    assert stage.count() == 2          # the two good SOH rows
+    errors = spark.read.json(str(tmp_path / "lake" / "error"))
+    assert errors.count() == 1         # the corrupt line, durably parked
