@@ -13,11 +13,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _utc_wall(ts: Column) -> Column:
+    """Shift an instant so rendering in the SESSION time zone shows its
+    UTC wall-clock fields — makes date_format deployment-independent
+    (the JQ strftime reference is UTC; a session in another zone would
+    otherwise partition events into the wrong day)."""
+    return F.to_utc_timestamp(ts, F.current_timezone())
+
+
 def event_partition_cols(date_time_epoch: Column | str) -> dict[str, Column]:
     """year/month/day string columns ('2024','01','05') from epoch seconds,
-    matching JQ ``strftime("%Y"/"%m"/"%d")`` zero-padding exactly."""
+    matching JQ ``strftime("%Y"/"%m"/"%d")`` zero-padding exactly, in UTC
+    regardless of ``spark.sql.session.timeZone``."""
     c = F.col(date_time_epoch) if isinstance(date_time_epoch, str) else date_time_epoch
-    ts = F.to_timestamp(F.from_unixtime(c))
+    ts = _utc_wall(F.timestamp_seconds(c))
     return {
         "year": F.date_format(ts, "yyyy"),
         "month": F.date_format(ts, "MM"),

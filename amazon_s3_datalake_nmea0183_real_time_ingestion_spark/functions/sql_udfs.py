@@ -68,23 +68,25 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
           cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))
         """,
     ),
+    # to_utc_timestamp(ts, current_timezone()) renders UTC fields no matter
+    # the session time zone (same trick as datetime_fns._utc_wall).
     (
         "event_year",
         "(epoch_s BIGINT)",
         "STRING",
-        "date_format(to_timestamp(from_unixtime(epoch_s)), 'yyyy')",
+        "date_format(to_utc_timestamp(timestamp_seconds(epoch_s), current_timezone()), 'yyyy')",
     ),
     (
         "event_month",
         "(epoch_s BIGINT)",
         "STRING",
-        "date_format(to_timestamp(from_unixtime(epoch_s)), 'MM')",
+        "date_format(to_utc_timestamp(timestamp_seconds(epoch_s), current_timezone()), 'MM')",
     ),
     (
         "event_day",
         "(epoch_s BIGINT)",
         "STRING",
-        "date_format(to_timestamp(from_unixtime(epoch_s)), 'dd')",
+        "date_format(to_utc_timestamp(timestamp_seconds(epoch_s), current_timezone()), 'dd')",
     ),
     (
         "token_count",

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.hashing import MERSENNE_P, md5_i64, md5_u32, perm_coeff_a, perm_coeff_b
+from ..functions.hashing import MERSENNE_P, md5_i64, md5_u32, minhash_permuted
 from ..functions.text import shingles_from_tokens, tokens
 
 SIMHASH_BITS = 60  # md5_i64 yields 60-bit non-negative hashes
@@ -66,7 +66,7 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
     h = md5_u32(F.col("shingle")) % MERSENNE_P
     hashed = shingles.select(F.col(id_col), h.alias("h"))
     aggs = [
-        F.min((F.lit(perm_coeff_a(i)) * F.col("h") + F.lit(perm_coeff_b(i))) % MERSENNE_P).alias(f"mh{i}")
+        F.min(minhash_permuted(F.col("h"), i)).alias(f"mh{i}")
         for i in range(n_perm)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -76,6 +76,11 @@ def lsh_bands(sigs: DataFrame, id_col: str = "doc_id", n_perm: int = 16,
               n_bands: int = 4) -> DataFrame:
     """Long-format (id, band_id, band_sig): md5 over each band's
     comma-joined permutation minima."""
+    if n_perm % n_bands != 0:
+        raise ValueError(
+            f"n_perm={n_perm} must divide evenly into n_bands={n_bands}; "
+            "leftover permutations would be computed but silently unused"
+        )
     rows_per_band = n_perm // n_bands
     band_cols = []
     for b in range(n_bands):
@@ -206,6 +211,12 @@ def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4,
     pure map-side expression — every pair survives exactly once and the
     |candidate-pairs|-sized distinct exchange disappears.  The only
     shuffle left is the (tiny, |docs|×n_bands-row) band join."""
+    if SIMHASH_BITS % n_bands != 0:
+        raise ValueError(
+            f"n_bands={n_bands} must divide SIMHASH_BITS={SIMHASH_BITS}; "
+            "a remainder leaves high bits out of every band, silently "
+            "missing near-dup pairs that differ only there"
+        )
     chunk = SIMHASH_BITS // n_bands
     mask = (1 << chunk) - 1
 
@@ -236,6 +247,7 @@ def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4,
             | (band_slice(F.col("sh_a"), earlier) != band_slice(F.col("sh_b"), earlier))
             for earlier in range(n_bands - 1)
         ],
+        F.lit(True),  # n_bands=1: no earlier bands, every pair unique already
     )
     return (
         a.join(b, ["band_id", "band_val"])

@@ -26,13 +26,17 @@ def grid_cell(lon: Column, lat: Column) -> Column:
     """1°×1° grid-cell id in [0, 64800): (floor(lat)+90)*360 + floor(lon)+180.
 
     Inputs are clamped to the valid lat/lon domain so edge values (±90/±180)
-    land in the boundary cell rather than out of range.
+    land in the boundary cell rather than out of range.  NULL lat or lon →
+    NULL cell (greatest/least skip NULLs, so without the explicit guard a
+    NULL coordinate would silently clamp into cell 0 and pick up that
+    cell's fabricated address).
     """
     lat_c = F.least(F.greatest(lat, F.lit(-90.0)), F.lit(89.999999))
     lon_c = F.least(F.greatest(lon, F.lit(-180.0)), F.lit(179.999999))
-    return (
+    cell = (
         (F.floor(lat_c) + F.lit(90)) * F.lit(360) + F.floor(lon_c) + F.lit(180)
     ).cast("bigint")
+    return F.when(lat.isNull() | lon.isNull(), F.lit(None).cast("bigint")).otherwise(cell)
 
 
 def build_geo_dim(spark: SparkSession) -> DataFrame:

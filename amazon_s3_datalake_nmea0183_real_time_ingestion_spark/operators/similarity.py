@@ -95,7 +95,9 @@ def cosine_topk_blocked(corpus: DataFrame, queries: DataFrame, k: int = 5,
     blocks = [
         cosine_topk(
             corpus,
-            queries.filter(F.pmod(F.col(id_col), F.lit(n_blocks)) == b),
+            # hash-based blocking: works for any id type (a numeric pmod
+            # would ANSI-fail or NULL out on string ids)
+            queries.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)) == b),
             k, id_col, vec_col,
         )
         for b in range(n_blocks)

@@ -31,6 +31,11 @@ def get_spark(app_name: str = "nmea-datalake-spark", shuffle_partitions: int | N
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # TIMESTAMP(NANOS) parquet (the driver's events table) reads as
+        # long instead of erroring; sources.tables.load_table converts to
+        # microsecond timestamps. Session-wide by design — flipping it per
+        # read would break the lazy scan at execution time.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -34,6 +34,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # parquet reader rejects.  Read nanos as long, then truncate to a
         # microsecond TimestampType — the same precision DuckDB (and most
         # engines) use, so cross-engine comparisons are exact.
+        # NOTE: this conf is SESSION-WIDE and deliberately left set (also a
+        # get_spark default): restoring it before the lazy scan executes
+        # would break the read; any later NANOS parquet in the session
+        # will likewise surface as long columns.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -142,25 +142,29 @@ def battery_transitions(stream: DataFrame, threshold: float = 4.0,
     ) -> Iterator[pd.DataFrame]:
         was_low, last_seen = state.get if state.exists else (None, 0)
         out_rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("date_time")
-            for row in pdf.itertuples(index=False):
-                if int(row.date_time) < int(last_seen):
-                    continue  # late duplicate of already-processed span
-                is_low = bool(row.battery_voltage < thr)
-                if was_low is None:
-                    if is_low:  # first observation already low → edge
-                        out_rows.append(
-                            (key[0], int(row.date_time),
-                             float(row.battery_voltage), "enter_low")
-                        )
-                elif is_low != was_low:
+        # One group's batch rows arrive as MULTIPLE Arrow chunks; sorting
+        # per-chunk would process chunk 2's earlier timestamps after chunk
+        # 1's later ones and drop them via the late-row guard. Concatenate
+        # first, sort once (group state is O(1); the concat is bounded by
+        # one device's rows in one micro-batch).
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("date_time")
+        for row in pdf.itertuples(index=False):
+            if int(row.date_time) < int(last_seen):
+                continue  # late duplicate of already-processed span
+            is_low = bool(row.battery_voltage < thr)
+            if was_low is None:
+                if is_low:  # first observation already low → edge
                     out_rows.append(
-                        (key[0], int(row.date_time), float(row.battery_voltage),
-                         "enter_low" if is_low else "exit_low")
+                        (key[0], int(row.date_time),
+                         float(row.battery_voltage), "enter_low")
                     )
-                was_low = is_low
-                last_seen = int(row.date_time)
+            elif is_low != was_low:
+                out_rows.append(
+                    (key[0], int(row.date_time), float(row.battery_voltage),
+                     "enter_low" if is_low else "exit_low")
+                )
+            was_low = is_low
+            last_seen = int(row.date_time)
         state.update((bool(was_low) if was_low is not None else False, last_seen))
         if out_rows:
             yield pd.DataFrame(

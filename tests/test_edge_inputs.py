@@ -63,3 +63,124 @@ def test_cosine_topk_degenerate_vectors_yield_null_not_crash(spark):
     out = cosine_topk(vecs, vecs.filter(F.col("vec_id") == 1), k=3).collect()
     assert len(out) == 3
     assert all(r["sim"] is None for r in out)
+
+
+def test_null_coordinates_keep_null_enrichment(spark):
+    """grid_cell(NULL) must be NULL — not a clamp into cell 0 picking up
+    that cell's fabricated address (code-review finding, fixed)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.geocode import (
+        build_geo_dim,
+        enrich_geocode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, None), (2, 47.6, -122.3), (3, None, 10.0)],
+        "id long, latitude double, longitude double",
+    )
+    out = {r["id"]: r for r in
+           enrich_geocode(df, build_geo_dim(spark)).collect()}
+    assert out[1]["country"] is None and out[1]["municipality"] is None
+    assert out[3]["country"] is None
+    assert out[2]["country"] is not None
+
+
+def test_blocked_topk_works_with_string_ids(spark):
+    """Hash-based query blocking must partition ANY id type (a numeric
+    pmod would ANSI-crash on strings)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blocked,
+    )
+
+    rows = [(f"doc-{i}", [float(i % 7 + 1), float(i % 3 + 1), 1.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    a = sorted(map(tuple, cosine_topk(df, df, k=2).collect()))
+    b = sorted(map(tuple, cosine_topk_blocked(df, df, k=2, n_blocks=3).collect()))
+    assert a == b and len(a) == 60
+
+
+def test_band_parameter_guards(spark):
+    """Invalid band configurations fail loudly instead of silently
+    weakening recall."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators import dedup as D
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    sigs = D.simhash_signatures(docs)
+    with pytest.raises(ValueError, match="divide SIMHASH_BITS"):
+        D.simhash_pairs(sigs, n_bands=7)
+    with pytest.raises(ValueError, match="divide evenly"):
+        D.lsh_bands(D.minhash_signatures(D.shingle_set(docs), n_perm=10), n_perm=10, n_bands=4)
+    # n_bands=1 must not crash (empty earlier-band predicate)
+    assert D.simhash_pairs(sigs, n_bands=1).count() == 0
+
+
+def test_event_partition_utc_in_any_session_timezone(spark):
+    """Partition keys must be UTC regardless of spark.sql.session.timeZone
+    (epoch 1700006400 = 2023-11-15 00:00 UTC = 2023-11-14 16:00 in LA)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.functions.datetime_fns import (
+        event_partition_cols,
+    )
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.functions.sql_udfs import (
+        register_sql_functions,
+    )
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        df = spark.createDataFrame([(1700006400,)], ["date_time"])
+        parts = event_partition_cols("date_time")
+        r = df.select(parts["year"].alias("y"), parts["month"].alias("m"),
+                      parts["day"].alias("d")).first()
+        assert (r["y"], r["m"], r["d"]) == ("2023", "11", "15")
+        register_sql_functions(spark)
+        s = spark.sql("SELECT event_year(1700006400) y, event_month(1700006400) m, "
+                      "event_day(1700006400) d").first()
+        assert (s["y"], s["m"], s["d"]) == ("2023", "11", "15")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_battery_transitions_survive_tiny_arrow_chunks(spark, tmp_path):
+    """With maxRecordsPerBatch=2 the state function receives one device's
+    batch as MANY chunks; ordering must hold across chunks (fixed: concat
+    before sort)."""
+    import json as _json
+
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.streaming.stateful import (
+        battery_transitions,
+        with_event_ts,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    t0 = 1_700_000_000
+    # 9 rows, deliberately written time-DESCENDING so naive per-chunk
+    # processing sees later timestamps first
+    volts = [(t0 + 60 * i, 3.0 if 3 <= i <= 5 else 5.0) for i in range(9)]
+    with open(landing / "b.json", "w") as f:
+        for dt, bv in reversed(volts):
+            f.write(_json.dumps({"deviceid": 1, "packetid": dt, "date_time": dt,
+                                 "battery_voltage": bv, "msg_class": "soh"}) + "\n")
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        from pyspark.sql.types import (
+            DoubleType, IntegerType, StringType, StructField, StructType,
+        )
+        schema = StructType([
+            StructField("deviceid", IntegerType()),
+            StructField("packetid", IntegerType()),
+            StructField("date_time", IntegerType()),
+            StructField("battery_voltage", DoubleType()),
+            StructField("msg_class", StringType()),
+        ])
+        stream = spark.readStream.schema(schema).json(str(landing))
+        q = (battery_transitions(with_event_ts(stream))
+             .writeStream.format("memory").queryName("chunked_out")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        rows = sorted((r["date_time"], r["transition"]) for r in
+                      spark.sql("SELECT * FROM chunked_out").collect())
+        assert rows == [(t0 + 180, "enter_low"), (t0 + 360, "exit_low")]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
