@@ -73,10 +73,20 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    keys = [k for k in HEADLINE if k in qs]
+    missing = [k for k in HEADLINE if k not in qs]
+    if missing:
+        # fail loudly: a silently shrunken headline set would read as a
+        # bogus speedup in round-over-round comparisons
+        raise SystemExit(f"HEADLINE keys missing from queries(): {missing}")
+    keys = list(HEADLINE)
 
-    # JVM/codegen warmup on a tiny query so q1 doesn't pay startup cost.
-    qs[keys[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # JVM/codegen warmup on a genuinely tiny job so no headline key gets
+    # an extra warm run the others don't.
+    from pyspark.sql import functions as F
+
+    spark.range(100_000).groupBy(F.col("id") % 10).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # Two runs per query, report the min: steady-state time (first run pays
     # one-off plan compilation + file-index warmup; the reference pipeline's

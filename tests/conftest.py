@@ -11,3 +11,9 @@ def spark():
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    """Physical-plan string for assertions (single home for the
+    PySpark-internal explainString call)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)

@@ -12,13 +12,9 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 
+from conftest import plan_of
+
 SF = "/root/testdata/sf0.001"
-
-
-def plan_of(df, mode: str = "formatted") -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), mode
-    )
 
 
 @pytest.fixture(scope="module")

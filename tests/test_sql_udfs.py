@@ -92,9 +92,9 @@ def test_cosine_sim_matches_library_and_handles_zero(spark):
 
 
 def test_sql_udfs_inline_no_python_udf(spark):
+    from conftest import plan_of
+
     df = spark.sql("SELECT haversine_km(47.6, -122.3, 40.7, -74.0) AS km")
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    plan = plan_of(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert round(df.first()["km"], 1) == 3864.3

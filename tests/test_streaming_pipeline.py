@@ -95,19 +95,30 @@ def test_error_route_on_bad_payload(spark, tmp_path):
     assert errors.first()["recordId"] == rows[0]["recordId"]
 
 
-def test_incremental_second_trigger(spark, lake):
+def test_incremental_second_trigger(spark, tmp_path):
     """New landing files are picked up incrementally by a second
-    available-now run over the same checkpoint (exactly-once per batch)."""
-    lake_dir, results = lake
-    root = lake_dir.parent
-    with open(root / "landing" / "batch-0002.json", "w") as f:
+    available-now run over the same checkpoint (exactly-once per batch).
+
+    Self-contained (own landing/lake/ckpt): mutating the module-scoped
+    ``lake`` fixture would make the module order-dependent."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "batch-0001.json", "w") as f:
+        for row in envelope_rows(n_soh=6, n_sensor=0, n_unknown=0):
+            f.write(json.dumps(row) + "\n")
+    results = []
+    q = start_pipeline(spark, str(landing), str(tmp_path / "lake"),
+                       str(tmp_path / "ckpt"), available_now=True, results=results)
+    q.awaitTermination(180)
+    with open(landing / "batch-0002.json", "w") as f:
         for row in envelope_rows(n_soh=3, n_sensor=0, n_unknown=0):
             f.write(json.dumps(row) + "\n")
-    q = start_pipeline(spark, str(root / "landing"), str(lake_dir),
-                       str(root / "ckpt"), available_now=True, results=results)
+    q = start_pipeline(spark, str(landing), str(tmp_path / "lake"),
+                       str(tmp_path / "ckpt"), available_now=True, results=results)
     q.awaitTermination(180)
-    stage = spark.read.parquet(str(lake_dir / "stage"))
+    stage = spark.read.parquet(str(tmp_path / "lake" / "stage"))
     assert stage.count() == 9  # 6 + 3, first batch NOT reprocessed
+    assert len(results) == 2 and results[1].counts == {"soh": 3}
 
 
 def test_corrupt_envelope_line_routes_to_error(spark, tmp_path):

@@ -32,16 +32,26 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
+        if math.isinf(v):  # int(inf) raises; keep ±inf comparable
+            return "inf" if v > 0 else "-inf"
         if v == int(v) and abs(v) < 2**53:
             return str(int(v))
         return repr(v)
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, (bytes, bytearray)):  # Spark bytearray vs DuckDB bytes
+        return bytes(v).hex()
     return str(v)
 
 
+def _col_order(cols: list[str]) -> list[int]:
+    # lowercase sort: MUST match the case-insensitive column-name compare,
+    # else 'Day' vs 'day' aliases permute cell order into a false mismatch
+    return sorted(range(len(cols)), key=lambda i: cols[i].lower())
+
+
 def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    order = _col_order(cols)
     lines = sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
     h = hashlib.sha256()
     for ln in lines:
@@ -58,6 +68,10 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     keys = sys.argv[1:] or list(qs)
+    unknown = [k for k in keys if k not in qs]
+    if unknown:
+        print(f"unknown key(s): {', '.join(unknown)} — not in queries()")
+        return 2
 
     spark = get_spark("verify-local")
     spark.sparkContext.setLogLevel("ERROR")
@@ -92,25 +106,28 @@ def main() -> int:
             failures.append((key, f"DUCKDB ERROR: {type(e).__name__}: {str(e)[:300]}"))
             print(f"[FAIL] {key}: duckdb error")
             continue
-        problems = []
-        if len(spark_rows) != len(duck_rows):
-            problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
-        if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
-            problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
-        if not problems:
-            hs = _hash_rows(spark_cols, spark_rows)
-            hd = _hash_rows(duck_cols, duck_rows)
-            if hs != hd:
-                problems.append(f"value-hash spark={hs} duck={hd}")
-                # show first differing rows for debugging
-                order_s = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
-                order_d = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
-                ls = sorted("|".join(_norm_cell(r[i]) for i in order_s) for r in spark_rows)
-                ld = sorted("|".join(_norm_cell(r[i]) for i in order_d) for r in duck_rows)
-                for a, b in zip(ls, ld):
-                    if a != b:
-                        problems.append(f"  first diff:\n   spark: {a[:220]}\n   duck : {b[:220]}")
-                        break
+        try:
+            problems = []
+            if len(spark_rows) != len(duck_rows):
+                problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+            if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
+                problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            if not problems:
+                hs = _hash_rows(spark_cols, spark_rows)
+                hd = _hash_rows(duck_cols, duck_rows)
+                if hs != hd:
+                    problems.append(f"value-hash spark={hs} duck={hd}")
+                    # show first differing rows for debugging
+                    order_s = _col_order(spark_cols)
+                    order_d = _col_order(duck_cols)
+                    ls = sorted("|".join(_norm_cell(r[i]) for i in order_s) for r in spark_rows)
+                    ld = sorted("|".join(_norm_cell(r[i]) for i in order_d) for r in duck_rows)
+                    for a, b in zip(ls, ld):
+                        if a != b:
+                            problems.append(f"  first diff:\n   spark: {a[:220]}\n   duck : {b[:220]}")
+                            break
+        except Exception as e:  # noqa: BLE001 — a weird cell must not kill the run
+            problems = [f"COMPARE ERROR: {type(e).__name__}: {str(e)[:200]}"]
         if problems:
             failures.append((key, "; ".join(problems)))
             print(f"[FAIL] {key}: {problems[0]}")
