@@ -8,6 +8,7 @@ from .pipeline import (  # noqa: F401
     run_batch,
     start_pipeline,
 )
+from .joins import sensor_with_recent_soh  # noqa: F401
 from .stateful import (  # noqa: F401
     battery_transitions,
     streaming_dedup,

@@ -204,3 +204,41 @@ def test_progress_logger_captures_batches(spark, tmp_path):
         assert any(r["event"] == "progress" for r in lines)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Sensor readings pick up the same device's heartbeats from the
+    preceding 10 minutes — event-time interval join of two live streams
+    (state bounded by watermark + interval)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.streaming.joins import (
+        sensor_with_recent_soh,
+    )
+
+    soh_dir = tmp_path / "soh"
+    sensor_dir = tmp_path / "sensor"
+    soh_dir.mkdir(); sensor_dir.mkdir()
+    # device 1: heartbeats at T0 and T0+300; sensor reading at T0+360
+    #   → both heartbeats in window (ages 360 and 60)
+    # device 2: heartbeat at T0 but sensor reading at T0+3600 → too old
+    _write(soh_dir / "s.json", [
+        _row(1, 1, T0, bv=4.2), _row(1, 2, T0 + 300, bv=3.9), _row(2, 3, T0, bv=5.0),
+    ])
+    _write(sensor_dir / "r.json", [
+        _row(1, 10, T0 + 360), _row(2, 11, T0 + 3600),
+    ])
+
+    def stream(d):
+        return with_event_ts(spark.readStream.schema(ROW_SCHEMA).json(str(d)))
+
+    joined = sensor_with_recent_soh(
+        stream(sensor_dir).select("deviceid", "event_ts", "packetid"),
+        stream(soh_dir).select("deviceid", "event_ts", "battery_voltage"),
+    )
+    q = (joined.writeStream.format("memory").queryName("ssj_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = sorted(
+        (r["s_device"], r["h_battery_voltage"], int(r["heartbeat_age_s"]))
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    )
+    assert rows == [(1, 3.9, 60), (1, 4.2, 360)]
