@@ -70,13 +70,19 @@ def extract_features(assets: DataFrame) -> DataFrame:
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
+            # feature fake is defined over the decoded text's CODE POINTS
+            # (not raw UTF-8 bytes) so the SQL oracle can reproduce it
+            # exactly with unicode(); n_bytes stays a true byte length.
+            texts = payloads.map(lambda b: bytes(b).decode("utf-8"))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
                     "n_bytes": payloads.map(len).astype("int32"),
-                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
-                    "byte_sum_mod": payloads.map(lambda b: int(sum(b)) % 997).astype("int64"),
+                    "first_byte": texts.map(lambda t: ord(t[0]) if t else -1).astype("int32"),
+                    "byte_sum_mod": texts.map(
+                        lambda t: sum(ord(c) for c in t) % 997
+                    ).astype("int64"),
                 }
             )
 

@@ -18,7 +18,9 @@ def gap_sessions(events: DataFrame, user_col: str = "user_id",
                  ts_col: str = "ts", gap_seconds: int = 1800) -> DataFrame:
     """Per-session rollup: (user, session_id, n_events, duration_s)."""
     us = F.unix_micros(F.col(ts_col))
-    w = Window.partitionBy(user_col).orderBy(us)
+    # nulls last on the epoch ordering: matches DuckDB's ASC default so a
+    # NULL-ts event can't shift every session id for the user
+    w = Window.partitionBy(user_col).orderBy(us.asc_nulls_last())
     gap_us = gap_seconds * 1_000_000
     flagged = events.withColumn(
         "__new_session",
@@ -30,7 +32,8 @@ def gap_sessions(events: DataFrame, user_col: str = "user_id",
     with_ids = flagged.withColumn(
         "session_id",
         F.sum("__new_session").over(
-            Window.partitionBy(user_col).orderBy(us).rowsBetween(Window.unboundedPreceding, 0)
+            Window.partitionBy(user_col).orderBy(us.asc_nulls_last())
+            .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
     return with_ids.groupBy(user_col, "session_id").agg(

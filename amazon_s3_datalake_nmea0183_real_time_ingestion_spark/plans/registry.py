@@ -10,7 +10,24 @@ value hash at sf0.01.  Rules that keep hashes stable across engines:
   both engines materialize the identical float64);
 - CAST DuckDB integer sums to BIGINT (DuckDB widens to HUGEINT, which
   pandas would turn into float64);
-- avoid returning raw timestamps: cast to DATE or format as text.
+- avoid returning raw timestamps: cast to DATE or format as text;
+- order window ASC keys NULLS LAST on the Spark side (DuckDB's ASC
+  default; Spark's is NULLS FIRST) and use ``[[:space:]]`` — not ``\\s`` —
+  in DuckDB regexes (RE2 ``\\s`` misses vertical tab; Java ``\\s`` and RE2
+  ``[[:space:]]`` agree).
+
+Known cross-engine boundary semantics (documented, not defended against —
+the driver's generated data does not hit them):
+
+- ``round()`` half-way ties: Spark rounds the double's shortest decimal
+  repr HALF_UP (1.005 → 1.01); DuckDB rounds the binary value (1.005 →
+  1.00).  Values whose shortest repr ends in 5 at the rounded digit can
+  hash-mismatch.
+- unrounded float THRESHOLDS (e.g. ``cos >= 0.99``) sit on ULP knife
+  edges when the two engines compute the quantity with different (all
+  individually correct) float formulas.
+- degenerate zero-norm vectors: engine emits NULL cosine (try_divide);
+  DuckDB's ``list_cosine_similarity`` emits -1.0.
 """
 
 from __future__ import annotations

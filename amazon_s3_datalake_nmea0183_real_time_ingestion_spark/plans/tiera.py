@@ -98,7 +98,8 @@ def f_unbase64(spark: SparkSession, sf: str) -> DataFrame:
     "f_isbase64",
     oracle="""
     SELECT p_partkey,
-           CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 0 END AS is_b64
+           CASE WHEN p_name IS NULL THEN 0
+                WHEN p_partkey % 2 = 0 THEN 1 ELSE 0 END AS is_b64
     FROM part
     """,
 )
@@ -287,8 +288,12 @@ def op_nmea_latlon(spark: SparkSession, sf: str) -> DataFrame:
              ((event_id * 7) % 360) - 180 + 0.5 AS lon
       FROM events),
     keyed AS (
+      -- least/greatest clamp mirrors grid_cell(): out-of-domain coords
+      -- (possible with negative ids) land in the boundary cell, never a
+      -- negative cell id
       SELECT event_id, lat, lon,
-             CAST((floor(lat) + 90) * 360 + floor(lon) + 180 AS BIGINT) AS cell
+             CAST((floor(least(greatest(lat, -90.0), 89.999999)) + 90) * 360
+                  + floor(least(greatest(lon, -180.0), 179.999999)) + 180 AS BIGINT) AS cell
       FROM pts)
     SELECT event_id,
            concat('City-', CAST(cell % 500 AS VARCHAR)) AS municipality,
@@ -409,9 +414,12 @@ def op_alert_filter(spark: SparkSession, sf: str) -> DataFrame:
     "op_event_partition",
     oracle="""
     SELECT event_id,
-           strftime(to_timestamp(1500000000 + event_id * 997), '%Y') AS year,
-           strftime(to_timestamp(1500000000 + event_id * 997), '%m') AS month,
-           strftime(to_timestamp(1500000000 + event_id * 997), '%d') AS day
+           -- AT TIME ZONE 'UTC': to_timestamp yields TIMESTAMPTZ and
+           -- strftime would render it in DuckDB's session TimeZone;
+           -- pin to UTC wall clock like the Spark side's _utc_wall
+           strftime(to_timestamp(1500000000 + event_id * 997) AT TIME ZONE 'UTC', '%Y') AS year,
+           strftime(to_timestamp(1500000000 + event_id * 997) AT TIME ZONE 'UTC', '%m') AS month,
+           strftime(to_timestamp(1500000000 + event_id * 997) AT TIME ZONE 'UTC', '%d') AS day
     FROM events
     """,
 )
@@ -435,7 +443,8 @@ def op_event_partition(spark: SparkSession, sf: str) -> DataFrame:
     "op_error_route",
     oracle="""
     SELECT event_id,
-           CASE WHEN event_id % 5 = 0 THEN 'error' ELSE 'ok' END AS route
+           CASE WHEN event_id % 5 = 0 OR props IS NULL THEN 'error'
+                ELSE 'ok' END AS route
     FROM events
     """,
 )

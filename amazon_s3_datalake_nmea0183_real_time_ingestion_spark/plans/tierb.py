@@ -215,8 +215,13 @@ def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
     (user, ts) carrying the last click forward — ONE shuffle on user_id, no
     self-join explosion.  At 100 TB this scales as a sort within user
     partitions; the naive time-range self-join would not.
+
+    NULL-ts rows are excluded up front: the oracle's ``c2.ts <= p2.ts``
+    predicate silently drops them, while a window ordering would carry a
+    NULL-ts click into later purchases — the as-of relation is undefined
+    without an event time on both sides.
     """
-    ev = table(spark, sf, "events")
+    ev = table(spark, sf, "events").filter(F.col("ts").isNotNull())
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", F.col("ts"), F.col("event_id"), F.lit(1).alias("is_click")
     )
@@ -396,7 +401,10 @@ def q_win_rank(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_win_lag(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    # asc_nulls_last: DuckDB ASC defaults to NULLS LAST, Spark to NULLS
+    # FIRST — a NULL-ts row would otherwise shift every lag/rolling value.
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
     return ev.select(
         "event_id",
         "user_id",
@@ -417,7 +425,7 @@ def q_win_rolling(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("event_id"))
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
         .rowsBetween(-3, 0)
     )
     return ev.select(

@@ -71,7 +71,7 @@ _CORPUS_SQL = """
 _TOKS_SQL = r"""
     toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
       FROM corpus
     )
 """
@@ -324,7 +324,7 @@ def x_sim_ivf(spark: SparkSession, sf: str) -> DataFrame:
     "x_text_tf",
     oracle=r"""
     WITH toks AS (
-      SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+      SELECT lang, unnest(list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '')) AS term
       FROM documents),
     cnt AS (SELECT lang, term, count(*) AS n FROM toks GROUP BY lang, term)
     SELECT lang, term, n,
@@ -361,7 +361,7 @@ _LANG_SETS = {
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
       FROM documents),
     scored AS (
       SELECT doc_id,
@@ -409,7 +409,7 @@ def x_text_langid(spark: SparkSession, sf: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id, text,
-             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
       FROM documents),
     m AS (
       SELECT doc_id,
@@ -441,7 +441,7 @@ def x_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     "x_text_tokens",
     oracle=r"""
     SELECT doc_id,
-           CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS INT) AS token_cnt,
+           CAST(len(list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '')) AS INT) AS token_cnt,
            length(text) AS n_chars_actual,
            length(text) - length(replace(text, ' ', '')) AS n_spaces
     FROM documents
@@ -464,7 +464,7 @@ def x_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
     "x_text_fingerprint",
     oracle=r"""
     WITH norm AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt, lower(text) AS low
+      SELECT doc_id, trim(regexp_replace(lower(text), '[[:space:]]+', ' ', 'g')) AS nt, lower(text) AS low
       FROM documents)
     SELECT doc_id, md5(nt) AS fingerprint,
            (SELECT min(('0x' || substr(md5(g), 1, 8))::BIGINT)
@@ -534,9 +534,10 @@ def x_multimodal(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY doc_id)
     SELECT d.doc_id AS asset_id, 'text' AS modality,
            octet_length(encode(d.text)) AS n_bytes,
-           unicode(substr(d.text, 1, 1)) AS first_byte,
-           CAST(c.bsum % 997 AS BIGINT) AS byte_sum_mod
-    FROM packed d JOIN chars c ON c.doc_id = d.doc_id
+           CASE WHEN length(d.text) = 0 THEN -1
+                ELSE unicode(substr(d.text, 1, 1)) END AS first_byte,
+           CAST(coalesce(c.bsum, 0) % 997 AS BIGINT) AS byte_sum_mod
+    FROM packed d LEFT JOIN chars c ON c.doc_id = d.doc_id
     """,
 )
 def x_multimodal_binary(spark: SparkSession, sf: str) -> DataFrame:
@@ -594,7 +595,7 @@ def x_session(spark: SparkSession, sf: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+             unnest(list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '')) AS term
       FROM documents),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
     dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
@@ -648,7 +649,7 @@ def x_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     WITH base AS (
       SELECT doc_id,
              string_split(text, chr(10)) AS lines,
-             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
       FROM documents),
     bg AS (
       SELECT doc_id,
