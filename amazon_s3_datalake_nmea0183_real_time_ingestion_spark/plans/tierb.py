@@ -854,3 +854,57 @@ def q_win_range(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         F.round(F.sum("value").over(w), 4).alias("rolling_1h_sum"),
     )
+
+
+@register(
+    "q_fn_sql_udfs",
+    oracle="""
+    WITH s AS (
+      SELECT event_id,
+             CAST(event_id % 90 AS VARCHAR) || '.50' AS lat_s,
+             CASE WHEN event_id % 2 = 0 THEN 'N' ELSE 'S' END AS ns,
+             CAST(event_id % 180 AS VARCHAR) || '.25' AS lon_s,
+             CASE WHEN event_id % 3 = 0 THEN 'E' ELSE 'W' END AS ew
+      FROM events)
+    SELECT event_id,
+           round(CASE WHEN ns = 'S' THEN -1 ELSE 1 END * CAST(lat_s AS DOUBLE), 6) AS lat,
+           round(CASE WHEN ew = 'W' THEN -1 ELSE 1 END * CAST(lon_s AS DOUBLE), 6) AS lon,
+           round(6371.0 * 2 * asin(sqrt(
+             pow(sin(radians(0.0 - (CASE WHEN ns = 'S' THEN -1 ELSE 1 END * CAST(lat_s AS DOUBLE))) / 2), 2) +
+             cos(radians(CASE WHEN ns = 'S' THEN -1 ELSE 1 END * CAST(lat_s AS DOUBLE))) * cos(radians(0.0)) *
+             pow(sin(radians(0.0 - (CASE WHEN ew = 'W' THEN -1 ELSE 1 END * CAST(lon_s AS DOUBLE))) / 2), 2))), 2)
+             AS km_to_origin
+    FROM s
+    """,
+)
+def q_fn_sql_udfs(spark: SparkSession, sf: str) -> DataFrame:
+    """The catalog SQL-UDF surface under the driver gate: build real NMEA
+    sentences, parse them with the registered nmea_signed_lat/lon SQL
+    functions, and compute haversine_km — pure spark.sql text, the UDFs
+    inline as expressions (functions/sql_udfs.py)."""
+    from ..functions.sql_udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    ev = table(spark, sf, "events")
+    ev.select(
+        "event_id",
+        F.concat(
+            F.lit("$PIMD8,a,b,c,d,"),
+            (F.col("event_id") % 90).cast("string"), F.lit(".50,"),
+            F.when(F.col("event_id") % 2 == 0, "N").otherwise("S"), F.lit(","),
+            (F.col("event_id") % 180).cast("string"), F.lit(".25,"),
+            F.when(F.col("event_id") % 3 == 0, "E").otherwise("W"),
+            F.lit(",x,end"),
+        ).alias("sentence"),
+    ).createOrReplaceTempView("v_sentences")
+    return spark.sql(
+        """
+        SELECT event_id,
+               round(nmea_signed_lat(sentence), 6) AS lat,
+               round(nmea_signed_lon(sentence), 6) AS lon,
+               round(haversine_km(nmea_signed_lat(sentence),
+                                  nmea_signed_lon(sentence), 0.0, 0.0), 2)
+                 AS km_to_origin
+        FROM v_sentences
+        """
+    )
