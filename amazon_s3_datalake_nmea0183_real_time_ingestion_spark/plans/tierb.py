@@ -908,3 +908,200 @@ def q_fn_sql_udfs(spark: SparkSession, sf: str) -> DataFrame:
         FROM v_sentences
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# B11+ — table-generating ops (explode / unpivot) and late additions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_explode",
+    oracle="""
+    WITH s AS (SELECT p_partkey, string_split(p_type, ' ') AS t FROM part)
+    SELECT p_partkey,
+           CAST(unnest(range(len(t))) AS INT) AS pos,
+           unnest(t) AS tok
+    FROM s
+    """,
+)
+def q_explode(spark: SparkSession, sf: str) -> DataFrame:
+    # Lateral view / UNNEST (B11): posexplode of a split array — the
+    # row-generating op behind tokenization pipelines.  Generates rows
+    # executor-side with no shuffle; DuckDB's zipped unnest is the oracle.
+    p = table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_type", " ")).alias("pos", "tok"),
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    # UNPIVOT / melt (B7 adjacent): wide→long reshape, the inverse of
+    # q_pivot.  Spark expands in-place (Expand node, no shuffle); the
+    # portable oracle is the classic UNION ALL encoding.
+    li = table(spark, sf, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+@register(
+    "q_win_firstlast",
+    oracle="""
+    SELECT event_id,
+           first_value(event_type) OVER w AS first_et,
+           last_value(event_type) OVER w AS last_et,
+           nth_value(event_type, 2) OVER w AS second_et
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_firstlast(spark: SparkSession, sf: str) -> DataFrame:
+    # first_value / last_value / nth_value over an explicit full-partition
+    # frame (B5) — tie-broken on event_id so both engines agree.
+    ev = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        F.first_value("event_type").over(w).alias("first_et"),
+        F.last_value("event_type").over(w).alias("last_et"),
+        F.nth_value("event_type", 2).over(w).alias("second_et"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd,
+           round(var_samp(value), 4) AS vr,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS cor,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # Statistical aggregates (B4): sample stddev/variance and the two-column
+    # corr/covar moments — single-pass partial+final aggregation in Spark.
+    ev = table(spark, sf, "events")
+    uid = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.var_samp("value"), 4).alias("vr"),
+        F.round(F.corr(F.col("value"), uid), 6).alias("cor"),
+        F.round(F.covar_samp(F.col("value"), uid), 4).alias("cov"),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact interpolated percentiles (B4): Spark's percentile() and DuckDB's
+    # quantile_cont() share the linear-interpolation definition.  Exact
+    # percentile is a full-sort-per-group op; the 100 TB path is
+    # approx_percentile (t-digest sketch, mergeable map-side) — exact kept
+    # here because the oracle must be deterministic.
+    ev = table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "q_lateral",
+    oracle="""
+    SELECT r.r_name, t.n_name, t.n_nationkey
+    FROM region r,
+    LATERAL (SELECT n_name, n_nationkey FROM nation
+             WHERE n_regionkey = r.r_regionkey
+             ORDER BY n_nationkey DESC LIMIT 2) t
+    """,
+)
+def q_lateral(spark: SparkSession, sf: str) -> DataFrame:
+    # LATERAL correlated subquery join (B12, Spark 3.2+): per-outer-row
+    # ORDER BY ... LIMIT — the SQL form of a grouped top-k.  Catalyst
+    # decorrelates it into a join + per-key window rather than re-running
+    # the inner query per row.
+    table(spark, sf, "region").createOrReplaceTempView("v_region")
+    table(spark, sf, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_nationkey
+        FROM v_region r,
+        LATERAL (SELECT n_name, n_nationkey FROM v_nation
+                 WHERE n_regionkey = r.r_regionkey
+                 ORDER BY n_nationkey DESC LIMIT 2) t
+        """
+    )
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE d(dt) AS (
+      SELECT CAST(min(o_orderdate) AS DATE) FROM orders
+      UNION ALL
+      SELECT dt + INTERVAL 1 DAY FROM d
+      WHERE dt < (SELECT CAST(min(o_orderdate) AS DATE) + INTERVAL 60 DAY
+                  FROM orders)
+    )
+    SELECT CAST(d.dt AS DATE) AS dt, count(o.o_orderkey) AS n_orders
+    FROM d LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = d.dt
+    GROUP BY d.dt
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    # Recursive CTE (Spark 4.x, SPARK-24497): generate a 61-day calendar
+    # spine from the data's own min date, then left-join order counts —
+    # the gap-filling shape reporting pipelines need.  Depth 61 is within
+    # Spark's default recursion-level limit (100).
+    table(spark, sf, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE d(dt) AS (
+          SELECT CAST(min(o_orderdate) AS DATE) FROM v_orders
+          UNION ALL
+          SELECT dt + INTERVAL '1' DAY FROM d
+          WHERE dt < (SELECT CAST(min(o_orderdate) AS DATE) + INTERVAL '60' DAY
+                      FROM v_orders)
+        )
+        SELECT d.dt AS dt, count(o.o_orderkey) AS n_orders
+        FROM d LEFT JOIN v_orders o ON CAST(o.o_orderdate AS DATE) = d.dt
+        GROUP BY d.dt
+        """
+    )
