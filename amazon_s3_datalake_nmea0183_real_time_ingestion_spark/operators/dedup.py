@@ -256,3 +256,53 @@ def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4,
         .filter(ham <= max_hamming)
         .select("id_a", "id_b", ham.alias("hamming"))
     )
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame,
+                         id_col: str = "doc_id",
+                         max_iters: int = 25) -> DataFrame:
+    """Connected components over a near-dup candidate graph → cluster ids
+    (the step that turns pairwise near-dup hits into dedup groups: keep the
+    canonical member, drop the rest).
+
+    Iterative min-label propagation: every node starts labeled with its own
+    id; each round every node takes the min label over itself and its
+    neighbors; converged when a round changes nothing.  Rounds needed =
+    graph diameter — small for dedup graphs, whose components are
+    near-clique duplicate groups, so plain propagation beats the
+    asymptotically-better alternating large-star/small-star scheme
+    (Kiveris et al., "Connected Components in MapReduce", SoCC'14) that a
+    general 100 TB graph would want.  Each round is one shuffle
+    (groupBy node); ``localCheckpoint`` truncates lineage so the plan
+    doesn't grow exponentially with iterations; the convergence probe
+    reuses the checkpointed result, not a recompute.
+
+    ``edges``: (id_a, id_b) undirected candidate pairs.
+    ``nodes``: one row per ``id_col`` (must cover isolated nodes).
+    Returns (id_col, cluster_id) where cluster_id = min id in component.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
+    for _ in range(max_iters):
+        from_nbrs = sym.join(labels, sym["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("lbl")
+        )
+        new_labels = (
+            labels.unionByName(from_nbrs)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))

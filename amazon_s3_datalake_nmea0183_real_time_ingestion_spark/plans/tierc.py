@@ -26,6 +26,7 @@ from ..functions.text import (
 )
 from ..functions.vectors import dot_double, l2_norm
 from ..operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_near_dup,
     ngram_jaccard_pairs,
@@ -812,4 +813,85 @@ def x_text_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
                 )
             ).alias("kept_fp"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2+ — dedup clustering (pairs → connected components → canonical doc)
+# ---------------------------------------------------------------------------
+
+_CORPUS3_SQL = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, concat(text, ' zz9 qq8') AS text
+      FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             concat(text, ' zz9 qq8 vv7 kk6') AS text
+      FROM documents WHERE doc_id < 50
+    )
+"""
+
+
+def _doc_corpus3(spark: SparkSession, sf: str) -> DataFrame:
+    """Chain-planted corpus: originals, first-generation copies (+1e6,
+    2 extra tokens) and second-generation copies (+2e6, 4 extra tokens) —
+    duplicate groups form multi-hop chains, so clustering must actually
+    traverse the graph, not just read off pairs."""
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    g1 = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9 qq8")).alias("text"),
+    )
+    g2 = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9 qq8 vv7 kk6")).alias("text"),
+    )
+    return d.unionByName(g1).unionByName(g2)
+
+
+@register(
+    "x_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS3_SQL}, {_TOKS_SQL}, {_SHINGLES_SQL},
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    pairs AS (SELECT id_a, id_b
+              FROM inter
+              JOIN sz za ON za.doc_id = id_a
+              JOIN sz zb ON zb.doc_id = id_b
+              WHERE n / (za.s + zb.s - n) >= 0.6),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b AS s, id_a AS d FROM pairs),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           CAST(doc_id = cluster_id AS INT) AS is_canonical
+    FROM lab
+    """,
+)
+def x_dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """C2+: near-dup pairs → connected components → per-doc cluster id,
+    cluster size, and canonical flag (min doc_id kept; the rest are the
+    rows a dedup pass drops).  Edges are the exact n-gram Jaccard pairs at
+    0.6 over the chain-planted corpus; the DuckDB oracle replays the label
+    propagation as a recursive CTE reachability closure."""
+    corpus = _doc_corpus3(spark, sf)
+    edges = ngram_jaccard_pairs(corpus, threshold=0.6).select("id_a", "id_b")
+    labels = connected_components(edges, corpus.select("doc_id"))
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )

@@ -1,0 +1,35 @@
+"""Connected-components dedup clustering (operators/dedup.py) — pure graph
+semantics on hand-built edge lists, independent of the corpus plumbing."""
+
+from pyspark.sql import functions as F
+
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+    connected_components,
+)
+
+
+def _cc(spark, edges, nodes):
+    e = spark.createDataFrame(edges or [(None, None)], "id_a bigint, id_b bigint")
+    if not edges:
+        e = e.filter(F.col("id_a").isNotNull())
+    n = spark.createDataFrame([(x,) for x in nodes], "doc_id bigint")
+    out = connected_components(e, n)
+    return {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+
+def test_chain_propagates_multi_hop(spark):
+    # 1-2, 2-3, 3-4: diameter 3, label must walk the whole chain
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)], [1, 2, 3, 4])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+def test_components_and_isolated_nodes(spark):
+    got = _cc(spark, [(10, 20), (30, 40), (40, 50)], [10, 20, 30, 40, 50, 99])
+    assert got == {10: 10, 20: 10, 30: 30, 40: 30, 50: 30, 99: 99}
+
+def test_edge_direction_irrelevant(spark):
+    # min id appears on the b side — symmetrization must still pull it
+    got = _cc(spark, [(7, 3), (9, 7)], [3, 7, 9])
+    assert got == {3: 3, 7: 3, 9: 3}
+
+def test_no_edges_all_singletons(spark):
+    got = _cc(spark, [], [1, 2, 3])
+    assert got == {1: 1, 2: 2, 3: 3}
