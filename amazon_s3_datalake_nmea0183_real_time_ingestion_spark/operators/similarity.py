@@ -172,3 +172,93 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
         .select("query_id", "neighbor_id", pair_cosine().alias("sim"))
     )
     return _ranked_topk(scored, k)
+
+
+def rademacher_planes(n_planes: int = 16, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) hyperplanes from md5 parity of
+    ``"j,d"`` — sign-random-projection LSH (Charikar, STOC'02).  Computed
+    driver-side once and inlined as literals, so any ANSI engine can replay
+    the identical planes."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{j},{d}".encode()).hexdigest()[:8], 16) % 2 else -1
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def hyperplane_bands(df: DataFrame, planes: list[list[int]],
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     bits_per_band: int = 8) -> DataFrame:
+    """Long-format (id, band_pos, band_val) LSH buckets from sign random
+    projections.  Engine-portability trick: vectors are quantized to
+    integers (``floor(x·1000)``) BEFORE the dot product, so the sign test
+    is exact integer arithmetic — no float summation-order ULP flips at the
+    ``> 0`` boundary between engines.  All map-side: one projection per
+    row, no shuffle until the bucket join."""
+    n_planes = len(planes)
+    if n_planes % bits_per_band != 0:
+        raise ValueError(
+            f"n_planes={n_planes} must divide into bits_per_band="
+            f"{bits_per_band} bands; a remainder would drop sign bits"
+        )
+    vq = F.transform(as_double(F.col(vec_col)),
+                     lambda x: F.floor(x * 1000).cast("bigint"))
+    quant = df.select(F.col(id_col), vq.alias("vq"))  # materialized: HOF lambdas below read an attribute, not an expr
+    bit_cols = []
+    for j, signs in enumerate(planes):
+        lit = F.array(*[F.lit(s) for s in signs])
+        dot = F.aggregate(
+            F.zip_with(F.col("vq"), lit, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        bit_cols.append((dot > 0).cast("bigint").alias(f"bit{j}"))
+    bits = quant.select(F.col(id_col), *bit_cols)
+    band_cols = []
+    for p in range(n_planes // bits_per_band):
+        val = None
+        for j in range(bits_per_band):
+            term = F.shiftleft(F.col(f"bit{p * bits_per_band + j}"), j)
+            val = term if val is None else val + term
+        band_cols.append(val.alias(f"band{p}"))
+    wide = bits.select(F.col(id_col), *band_cols)
+    n_bands = n_planes // bits_per_band
+    stack_expr = ", ".join(f"{p}, band{p}" for p in range(n_bands))
+    return wide.selectExpr(
+        id_col, f"stack({n_bands}, {stack_expr}) AS (band_pos, band_val)"
+    )
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame,
+             planes: list[list[int]], k: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding", bits_per_band: int = 8) -> DataFrame:
+    """LSH-bucketed ANN: candidates = corpus vectors sharing ≥1 sign-bit
+    band with the query, exact-cosine reranked to top-k.  The all-pairs
+    scan becomes an equi-join on (band_pos, band_val) — the same
+    bucket-join shape as MinHash-LSH, so the 100 TB story is identical
+    (shuffle by bucket, AQE splits skewed buckets).  Queries must be a
+    subset of ``corpus`` (bands are computed once, corpus-wide)."""
+    bands = hyperplane_bands(corpus, planes, id_col, vec_col, bits_per_band)
+    qids = queries.select(F.col(id_col).alias("query_id"))
+    qb = bands.select(F.col(id_col).alias("query_id"), "band_pos", "band_val").join(
+        F.broadcast(qids), "query_id"
+    )
+    cb = bands.select(F.col(id_col).alias("neighbor_id"), "band_pos", "band_val")
+    cand = (
+        cb.join(qb, ["band_pos", "band_val"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = prep_vectors(queries, id_col, vec_col, "query_id", "qd", "qn")
+    c = prep_vectors(corpus, id_col, vec_col, "neighbor_id", "cd", "cn")
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", pair_cosine().alias("sim"))
+    )
+    return _ranked_topk(scored, k)

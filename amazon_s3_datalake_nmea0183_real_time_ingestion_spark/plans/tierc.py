@@ -36,6 +36,8 @@ from ..operators.dedup import (
 from ..operators.multimodal import extract_features, pack_assets
 from ..operators.sessionize import gap_sessions
 from ..operators.similarity import (
+    lsh_topk,
+    rademacher_planes,
     cosine_topk,
     ivf_topk,
     label_centroids,
@@ -895,3 +897,53 @@ def x_dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C3+ — sign-random-projection LSH ANN (bucketed scale path, vs IVF)
+# ---------------------------------------------------------------------------
+
+_LSH_PLANES = rademacher_planes(n_planes=16, dim=64)
+_LSH_PLANES_VALUES = ", ".join(f"({j}, {p})" for j, p in enumerate(_LSH_PLANES))
+
+
+@register(
+    "x_sim_lsh",
+    oracle=f"""
+    WITH planes AS (SELECT * FROM (VALUES {_LSH_PLANES_VALUES}) t(j, s)),
+    vq AS (SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                                 x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+    dots AS (SELECT vec_id, j,
+                    list_sum(list_transform(range(1, 65), d -> v[d] * s[d])) AS dt
+             FROM vq CROSS JOIN planes),
+    bands AS (SELECT vec_id, j // 8 AS band_pos,
+                     sum(CASE WHEN dt > 0 THEN (1 << (j % 8)) ELSE 0 END) AS band_val
+              FROM dots GROUP BY vec_id, j // 8),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM bands q
+             JOIN bands c ON c.band_pos = q.band_pos AND c.band_val = q.band_val
+             WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 6) DESC,
+                      neighbor_id ASC) AS INT) AS rank,
+           round(list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 6) AS sim
+    FROM cand
+    JOIN embeddings qe ON qe.vec_id = query_id
+    JOIN embeddings ce ON ce.vec_id = neighbor_id
+    QUALIFY rank <= 3
+    """,
+)
+def x_sim_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """C3 scale path #2: sign-random-projection LSH (16 Rademacher planes,
+    two 8-bit bands), exact-cosine rerank to top-3.  Complements IVF: no
+    training/centroids needed, candidates come from an equi-join on hash
+    buckets.  Integer-quantized projections make the bit pattern
+    engine-exact; the DuckDB oracle replays the identical planes from
+    inlined literals."""
+    e = table(spark, sf, "embeddings")
+    out = lsh_topk(e, e.filter(F.col("vec_id") < 10), _LSH_PLANES, k=3)
+    return out.withColumn("rank", F.col("rank").cast("int"))

@@ -51,6 +51,7 @@ HEADLINE = [
     "x_dedup_simhash",
     "x_sim_topk",
     "x_sim_ivf",
+    "x_sim_lsh",
     "x_text_tf",
     "x_text_tfidf",
     "x_text_quality",
