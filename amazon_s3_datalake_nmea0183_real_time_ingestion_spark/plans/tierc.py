@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from ..functions.hashing import md5_u32
 from ..functions.text import (
+    STOPWORDS,
     char_ngrams_from_lower,
     doc_fingerprint,
     quality_score,
@@ -947,3 +948,90 @@ def x_sim_lsh(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "embeddings")
     out = lsh_topk(e, e.filter(F.col("vec_id") < 10), _LSH_PLANES, k=3)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# C4+ — end-to-end curation pipeline (filter chain + dedup verdict per doc)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_text_curate",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id < 30),
+    norm AS (
+      SELECT doc_id, text,
+             md5(trim(regexp_replace(lower(text), '[[:space:]]+', ' ', 'g'))) AS fp,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
+      FROM corpus),
+    m AS (
+      SELECT doc_id, fp, len(t) AS n_tok,
+             length(text) / greatest(len(t), 1) AS mean_wlen,
+             len(list_filter(t, x -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], x)))
+               / greatest(len(t), 1) AS stop_ratio,
+             len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS s_en,
+             len(list_filter(t, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
+             len(list_filter(t, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+             len(list_filter(t, x -> list_contains(['el','que','y','los','una'], x))) AS s_es,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM norm)
+    SELECT doc_id,
+           CASE WHEN rn > 1 THEN 'exact_dup'
+                WHEN n_tok < 10 THEN 'too_short'
+                WHEN mean_wlen < 3.0 OR mean_wlen > 12.0 THEN 'word_len'
+                WHEN stop_ratio <= 0.05 THEN 'low_stopword'
+                WHEN NOT (s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es)
+                  THEN 'non_english'
+                ELSE 'kept' END AS verdict,
+           CAST(n_tok AS INT) AS n_tok
+    FROM m
+    """,
+)
+def x_text_curate(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 composite: the end-to-end curation verdict a training-data
+    pipeline computes per document — exact-dup (fingerprint, first doc_id
+    wins), Gopher-style length/word-length/stopword gates, then English
+    language gate; first failing rule is the drop reason.  One wide
+    projection + one window over the fingerprint — the whole chain is a
+    single shuffle, so it scales exactly like exact dedup."""
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(planted)
+    base = corpus.select(
+        "doc_id",
+        "text",
+        doc_fingerprint("text").alias("fp"),
+        tokens("text").alias("__t"),
+    )
+    n_tok = F.size("__t")
+    mean_wlen = F.length("text") / F.greatest(n_tok, F.lit(1))
+    stop_ratio = F.size(
+        F.filter(F.col("__t"), lambda x: x.isin(*STOPWORDS))
+    ) / F.greatest(n_tok, F.lit(1))
+
+    def _hits(words: list[str]):
+        return F.size(F.filter(F.col("__t"), lambda x: x.isin(*words)))
+
+    s_en, s_de, s_fr, s_es = (_hits(_LANG_SETS[k]) for k in ("en", "de", "fr", "es"))
+    rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    verdict = (
+        F.when(F.col("__rn") > 1, F.lit("exact_dup"))
+        .when(n_tok < 10, F.lit("too_short"))
+        .when((mean_wlen < 3.0) | (mean_wlen > 12.0), F.lit("word_len"))
+        .when(stop_ratio <= 0.05, F.lit("low_stopword"))
+        .when(
+            ~((s_en > 0) & (s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es)),
+            F.lit("non_english"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        base.withColumn("__rn", rn)
+        .select("doc_id", verdict.alias("verdict"), n_tok.cast("int").alias("n_tok"))
+    )
