@@ -1105,3 +1105,38 @@ def q_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY d.dt
         """
     )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_acctbal, o.n_orders
+    FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0) c
+    FULL OUTER JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                     FROM orders WHERE o_custkey % 3 = 0
+                     GROUP BY o_custkey) o
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf: str) -> DataFrame:
+    # FULL OUTER equi-join (B3) with rows null-extended on BOTH sides
+    # (mod-filtered inputs overlap only partially).  Full outer can't
+    # broadcast — Spark plans a shuffle join on the key, the right call at
+    # any scale.  RIGHT joins are the mirrored LEFT; covered by q_join_left.
+    c = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_custkey") % 3 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer").select(
+        F.coalesce(c["c_custkey"], o["o_custkey"]).alias("custkey"),
+        "c_acctbal",
+        "n_orders",
+    )
