@@ -131,3 +131,50 @@ def test_event_partition_matches_strftime(spark, epochs):
             expect.strftime("%m"),
             expect.strftime("%d"),
         ), e
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, raw_edges):
+    """Min-label propagation agrees with a pure-Python union-find on
+    arbitrary random graphs (self-loops and duplicate edges included)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = sorted({n for e in raw_edges for n in e} | {0, 1})
+    edges = [(a, b) for a, b in raw_edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    expected = {n: min(members) for members in comp.values() for n in members}
+
+    e_df = spark.createDataFrame(edges or [(0, 0)], "id_a bigint, id_b bigint")
+    if not edges:
+        e_df = e_df.filter(F.col("id_a") != F.col("id_a"))
+    n_df = spark.createDataFrame([(n,) for n in nodes], "doc_id bigint")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(e_df, n_df).collect()
+    }
+    assert got == expected
