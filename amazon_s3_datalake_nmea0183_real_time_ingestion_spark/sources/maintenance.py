@@ -80,3 +80,66 @@ def compact_partition(spark: SparkSession, table_path: str, partition_expr: str,
     fs.delete(dst, True)
     fs.rename(src, dst)
     return n
+
+
+def refresh_rollup(spark: SparkSession, stage_path: str, rollup_path: str,
+                   touched_keys: list[tuple]) -> int:
+    """Continuous-aggregate maintenance (the hypertable-rollup analog):
+    keep a materialized daily-per-device rollup of ``stage`` fresh by
+    recomputing ONLY the event-day partitions a micro-batch touched.
+
+    Partition-level incremental view maintenance: the rollup is a pure
+    function of stage, so recomputing touched (year, month, day)
+    partitions from the source of truth is idempotent under batch replay
+    — no partial-aggregate merge state to corrupt (replaying a batch
+    recomputes the same partitions to the same values; contrast a
+    delta-merge scheme, where replay double-counts unless gated).
+    Dynamic partition overwrite rewrites exactly the touched directories
+    and leaves every other partition's files untouched.
+
+    At 100 TB: a micro-batch touches a handful of event days (late data
+    included — SURVEY.md §7.4.5), so each refresh scans only those
+    partitions of stage (partition pruning on the y/m/d filter), not the
+    table; the rollup write shuffles once on its group keys.
+
+    ``touched_keys``: [(year, month, day), ...] — int partition values.
+    Returns the number of rollup rows (re)written.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if not touched_keys:
+        return 0
+    pred = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("year") == y) & (F.col("month") == m) & (F.col("day") == d)
+            for (y, m, d) in touched_keys
+        ],
+    )
+    agg = (
+        spark.read.parquet(stage_path)
+        .filter(pred)
+        .groupBy("deviceid", "year", "month", "day")
+        .agg(
+            F.count("*").alias("n_heartbeats"),
+            F.round(F.avg("battery_voltage"), 4).alias("avg_battery_voltage"),
+            F.round(F.avg("solar_panel_voltage"), 4).alias("avg_solar_voltage"),
+            F.min("date_time").alias("first_seen"),
+            F.max("date_time").alias("last_seen"),
+        )
+    )
+    n = agg.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            agg.repartition("year", "month", "day")
+            .write.mode("overwrite")
+            .partitionBy("year", "month", "day")
+            .parquet(rollup_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n

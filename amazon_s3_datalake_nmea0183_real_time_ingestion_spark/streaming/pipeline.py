@@ -131,6 +131,7 @@ def process_batch(
     geo_dim: DataFrame,
     reference_compat_raw_tee: bool = True,
     tee_single_file: bool = True,
+    maintain_rollup: bool = False,
 ) -> PipelineBatchResult:
     """The foreachBatch body — the Lambda's records-in/records-out contract
     re-expressed as declarative multi-sink writes."""
@@ -165,6 +166,22 @@ def process_batch(
             )
             alerts = alert_rows(stage.drop("year", "month", "day"))
             alerts.write.mode("append").parquet(os.path.join(lake_dir, "alerts"))
+            if maintain_rollup:
+                # continuous aggregate: refresh only the event-day
+                # partitions this batch touched (idempotent under replay —
+                # the rollup is recomputed from stage, not delta-merged)
+                from ..sources.maintenance import refresh_rollup
+
+                touched = [
+                    (r["year"], r["month"], r["day"])
+                    for r in stage.select("year", "month", "day").distinct().collect()
+                ]
+                refresh_rollup(
+                    batch.sparkSession,
+                    os.path.join(lake_dir, "stage"),
+                    os.path.join(lake_dir, "rollup_daily_device"),
+                    touched,
+                )
         finally:
             stage.unpersist()
 
@@ -185,6 +202,7 @@ def start_pipeline(
     max_files_per_trigger: int | None = None,
     results: list[PipelineBatchResult] | None = None,
     tee_single_file: bool = True,
+    maintain_rollup: bool = False,
 ) -> StreamingQuery:
     """Wire source → foreachBatch → trigger → checkpoint and start.
 
@@ -196,7 +214,8 @@ def start_pipeline(
 
     def _on_batch(batch: DataFrame, batch_id: int) -> None:
         res = process_batch(batch, batch_id, lake_dir, geo_dim,
-                            tee_single_file=tee_single_file)
+                            tee_single_file=tee_single_file,
+                            maintain_rollup=maintain_rollup)
         if results is not None:
             results.append(res)
 

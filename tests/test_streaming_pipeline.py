@@ -141,3 +141,85 @@ def test_corrupt_envelope_line_routes_to_error(spark, tmp_path):
     assert stage.count() == 2          # the two good SOH rows
     errors = spark.read.json(str(tmp_path / "lake" / "error"))
     assert errors.count() == 1         # the corrupt line, durably parked
+
+
+def test_rollup_incremental_refresh(spark, tmp_path):
+    """Continuous aggregate: the rollup equals a full re-aggregation of
+    stage after every batch, and a batch only rewrites the event-day
+    partitions it touched (dynamic partition overwrite leaves other days'
+    files untouched)."""
+    import base64
+    import glob
+    import os
+
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.fixtures import soh_data
+
+    def envelope(rid, dev, data):
+        return {
+            "recordId": f"rec-{rid:04d}", "packetId": 1000 + rid,
+            "deviceType": 1, "deviceId": 100 + dev, "userApplicationId": 7,
+            "organizationId": 42, "len": 64, "status": 0,
+            "hiveRxTime": "2023-11-14 22:00:00", "data": data,
+        }
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    lake = tmp_path / "lake"
+    DAY_A, DAY_B = 1_700_000_000, 1_700_000_000 + 3 * 86_400  # Nov 14 / Nov 17
+
+    def run_available_now():
+        q = start_pipeline(spark, str(landing), str(lake), str(tmp_path / "ckpt"),
+                           available_now=True, maintain_rollup=True)
+        q.awaitTermination(180)
+
+    def assert_rollup_matches_stage():
+        stage = spark.read.parquet(str(lake / "stage"))
+        expected = (
+            stage.groupBy("deviceid", "year", "month", "day")
+            .agg(
+                F.count("*").alias("n_heartbeats"),
+                F.round(F.avg("battery_voltage"), 4).alias("avg_battery_voltage"),
+                F.round(F.avg("solar_panel_voltage"), 4).alias("avg_solar_voltage"),
+                F.min("date_time").alias("first_seen"),
+                F.max("date_time").alias("last_seen"),
+            )
+        )
+        # partitioned read-back reorders partition cols to the end — compare
+        # on an explicit column order
+        cols = ["deviceid", "year", "month", "day", "n_heartbeats",
+                "avg_battery_voltage", "avg_solar_voltage", "first_seen", "last_seen"]
+        rollup = spark.read.parquet(str(lake / "rollup_daily_device")).select(*cols)
+        assert sorted(map(tuple, rollup.collect())) == sorted(
+            map(tuple, expected.select(*cols).collect())
+        )
+
+    with open(landing / "b1.json", "w") as f:
+        for i in range(4):
+            f.write(json.dumps(envelope(i, i % 2, soh_data(i, d=DAY_A))) + "\n")
+    run_available_now()
+    assert_rollup_matches_stage()
+
+    day_a_files = sorted(glob.glob(str(lake / "rollup_daily_device/year=*/month=*/day=14/*.parquet")))
+    assert day_a_files
+    mtimes_before = [os.path.getmtime(p) for p in day_a_files]
+
+    with open(landing / "b2.json", "w") as f:
+        for i in range(3):
+            f.write(json.dumps(envelope(100 + i, i % 2, soh_data(i, d=DAY_B))) + "\n")
+    run_available_now()
+    assert_rollup_matches_stage()
+    # day-A partition untouched by day-B batch
+    assert [os.path.getmtime(p) for p in day_a_files] == mtimes_before
+
+    # replaying a batch's refresh is idempotent (recompute, not delta-merge)
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        refresh_rollup,
+    )
+
+    touched = [
+        (r["year"], r["month"], r["day"])
+        for r in spark.read.parquet(str(lake / "stage"))
+        .select("year", "month", "day").distinct().collect()
+    ]
+    refresh_rollup(spark, str(lake / "stage"), str(lake / "rollup_daily_device"), touched)
+    assert_rollup_matches_stage()
