@@ -204,3 +204,29 @@ def test_salted_aggs_equal_direct(spark):
     for k, r in direct.items():
         assert salted_set[k] == list(r["users"]), k
         assert salted_cnt[k] == r["n"], k
+
+
+def test_explode_generates_without_shuffle(spark, queries):
+    plan = plan_of(queries["q_explode"](spark, SF))
+    assert "Generate" in plan
+    assert "Exchange" not in plan  # row generation is executor-local
+
+
+def test_unpivot_expands_without_python(spark, queries):
+    plan = plan_of(queries["q_unpivot"](spark, SF))
+    assert "Expand" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark, queries):
+    # LATERAL ... ORDER BY ... LIMIT must plan as a grouped top-k
+    # (partial+final WindowGroupLimit), never a per-outer-row re-execution
+    plan = plan_of(queries["q_lateral"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sim_lsh_stays_jvm_side(spark, queries):
+    plan = plan_of(queries["x_sim_lsh"](spark, SF))
+    assert "BatchEvalPython" not in plan   # whole pipeline in expressions
+    assert "SortMergeJoin" not in plan     # query side broadcast
