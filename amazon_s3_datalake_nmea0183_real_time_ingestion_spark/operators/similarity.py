@@ -208,24 +208,29 @@ def hyperplane_bands(df: DataFrame, planes: list[list[int]],
     vq = F.transform(as_double(F.col(vec_col)),
                      lambda x: F.floor(x * 1000).cast("bigint"))
     quant = df.select(F.col(id_col), vq.alias("vq"))  # materialized: HOF lambdas below read an attribute, not an expr
-    bit_cols = []
-    for j, signs in enumerate(planes):
-        lit = F.array(*[F.lit(s) for s in signs])
-        dot = F.aggregate(
-            F.zip_with(F.col("vq"), lit, lambda a, b: a * b),
+    # ALL plane dots in one nested-HOF pass over a literal plane matrix —
+    # one dots array per row instead of n_planes independent aggregate
+    # expressions re-walking vq (measured 1.79s → 1.31s on sf0.1 bands)
+    planes_lit = F.array(*[F.array(*[F.lit(s) for s in row]) for row in planes])
+    dots = F.transform(
+        planes_lit,
+        lambda s: F.aggregate(
+            F.zip_with(F.col("vq"), s, lambda a, b: a * b),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
-        )
-        bit_cols.append((dot > 0).cast("bigint").alias(f"bit{j}"))
-    bits = quant.select(F.col(id_col), *bit_cols)
+        ),
+    )
+    d = quant.select(F.col(id_col), dots.alias("dots"))
     band_cols = []
     for p in range(n_planes // bits_per_band):
         val = None
         for j in range(bits_per_band):
-            term = F.shiftleft(F.col(f"bit{p * bits_per_band + j}"), j)
+            term = F.shiftleft(
+                (F.element_at("dots", p * bits_per_band + j + 1) > 0).cast("bigint"), j
+            )
             val = term if val is None else val + term
         band_cols.append(val.alias(f"band{p}"))
-    wide = bits.select(F.col(id_col), *band_cols)
+    wide = d.select(F.col(id_col), *band_cols)
     n_bands = n_planes // bits_per_band
     stack_expr = ", ".join(f"{p}, band{p}" for p in range(n_bands))
     return wide.selectExpr(
