@@ -1140,3 +1140,33 @@ def q_join_full(spark: SparkSession, sf: str) -> DataFrame:
         "c_acctbal",
         "n_orders",
     )
+
+
+@register(
+    "q_agg_modern",
+    oracle="""
+    SELECT user_id,
+           count_if(value > 50) AS n_high,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(event_type = 'purchase') AS any_purchase,
+           count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+           max_by(event_type, event_id) AS last_event_type,
+           min_by(event_type, event_id) AS first_event_type
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_modern(spark: SparkSession, sf: str) -> DataFrame:
+    # Modern aggregate surface (B4): count_if / bool_and / bool_or /
+    # FILTER-clause conditional count / max_by-min_by argmax-argmin.
+    # max_by keyed on the UNIQUE event_id — an argmax over a non-unique
+    # ordering value is nondeterministic in any engine.
+    ev = table(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("value") > 50).alias("n_high"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("event_type") == "purchase").alias("any_purchase"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.min_by("event_type", "event_id").alias("first_event_type"),
+    )
