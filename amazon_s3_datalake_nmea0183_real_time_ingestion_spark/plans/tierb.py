@@ -1170,3 +1170,65 @@ def q_agg_modern(spark: SparkSession, sf: str) -> DataFrame:
         F.max_by("event_type", "event_id").alias("last_event_type"),
         F.min_by("event_type", "event_id").alias("first_event_type"),
     )
+
+
+@register(
+    "q_trajectory",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             (event_id % 180) - 90 + 0.5 AS lat,
+             ((event_id * 7) % 360) - 180 + 0.5 AS lon
+      FROM events),
+    h AS (
+      SELECT user_id, lat, lon,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    d AS (
+      SELECT user_id,
+             round(2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(lat - plat) / 2), 2) +
+               cos(radians(plat)) * cos(radians(lat)) *
+               pow(sin(radians(lon - plon) / 2), 2))), 4) AS hop
+      FROM h WHERE plat IS NOT NULL)
+    SELECT user_id, round(sum(hop), 2) AS total_km,
+           CAST(count(*) AS BIGINT) AS n_hops
+    FROM d GROUP BY user_id
+    """,
+)
+def q_trajectory(spark: SparkSession, sf: str) -> DataFrame:
+    # The reference-domain flagship analytic: per-device distance traveled —
+    # deterministic synthetic positions, lag window for consecutive hops,
+    # haversine per hop (rounded before summing so both engines aggregate
+    # the identical doubles), one window + one agg shuffle on user_id.
+    ev = table(spark, sf, "events")
+    k = F.col("event_id")
+    p = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((k % 180) - 90 + 0.5).alias("lat"),
+        (((k * 7) % 360) - 180 + 0.5).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    h = p.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).filter(F.col("plat").isNotNull())
+    hav = (
+        F.pow(F.sin(F.radians(F.col("lat") - F.col("plat")) / 2), 2)
+        + F.cos(F.radians("plat"))
+        * F.cos(F.radians("lat"))
+        * F.pow(F.sin(F.radians(F.col("lon") - F.col("plon")) / 2), 2)
+    )
+    hops = h.select(
+        "user_id",
+        F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 4).alias("hop"),
+    )
+    return hops.groupBy("user_id").agg(
+        F.round(F.sum("hop"), 2).alias("total_km"),
+        F.count("*").alias("n_hops"),
+    )
