@@ -285,6 +285,11 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
+    # convergence probe: labels only ever DECREASE (min over self+neighbors),
+    # so sum(lbl) is strictly monotone until fixpoint — an unchanged sum IS
+    # convergence.  One cheap aggregate on the checkpointed result per
+    # round, instead of a labels⋈labels comparison join.
+    prev_sum = None
     for _ in range(max_iters):
         from_nbrs = sym.join(labels, sym["src"] == labels["node"]).select(
             F.col("dst").alias("node"), F.col("lbl")
@@ -295,14 +300,13 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        # decimal(38,0): exact at any node count (a bigint sum can ANSI-
+        # overflow at web-graph scale; a double sum can falsely converge)
+        cur_sum = new_labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
