@@ -45,6 +45,7 @@ HEADLINE = [
     "q_topk",
     "q_subquery",
     "q_fn_haversine",
+    "q_trajectory",
     # LLM-pipeline extensions (Tier C)
     "x_dedup_exact",
     "x_dedup_near",
@@ -55,6 +56,7 @@ HEADLINE = [
     "x_text_tf",
     "x_text_tfidf",
     "x_text_quality",
+    "x_text_curate",
     "x_session",
 ]
 
