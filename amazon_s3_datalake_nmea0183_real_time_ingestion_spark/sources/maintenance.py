@@ -143,3 +143,30 @@ def refresh_rollup(spark: SparkSession, stage_path: str, rollup_path: str,
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return n
+
+
+def analyze_tables(spark: SparkSession, tables: list[str],
+                   columns: dict[str, list[str]] | None = None) -> dict[str, str]:
+    """A20+ maintenance: compute catalog statistics so the cost-based
+    optimizer has real cardinalities — table-level row/size stats plus
+    optional per-column min/max/NDV histograms (``columns[table]``).
+
+    At 100 TB this is what makes Catalyst's CBO join reordering and
+    broadcast decisions correct: without ANALYZE, Spark falls back to
+    file-size estimates that ignore selectivity.  Run it after large
+    loads/compactions, like the reference's nightly crawler cadence
+    (cdk_datalake_mvp_stack.py:325).
+
+    Returns {table: catalog statistics string} for report/assertion.
+    """
+    out: dict[str, str] = {}
+    for t in tables:
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+        cols = (columns or {}).get(t)
+        if cols:
+            col_list = ", ".join(cols)
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR COLUMNS {col_list}")
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()
+        stats = [r["data_type"] for r in desc if r["col_name"] == "Statistics"]
+        out[t] = stats[0] if stats else ""
+    return out
