@@ -69,3 +69,18 @@ def test_nmea_source_composes_with_engine_exprs(spark, tmp_path):
         signed_longitude(toks).alias("lon"),
     ).collect()[0]
     assert (out["lat"], out["lon"]) == (-47.60, -122.33)
+
+
+def test_nmea_source_edge_files(spark, tmp_path):
+    """Empty files, no-sentence files, and malformed checksum hex must not
+    crash the reader — rows skipped / checksum_ok=false respectively."""
+    d = tmp_path / "edges"
+    d.mkdir()
+    (d / "empty.nmea").write_text("")
+    (d / "garbage.nmea").write_text("no dollar lines here\n\n")
+    (d / "badsum.nmea").write_text("$PIMD8,a,b*ZZ\n")
+    register_nmea_source(spark)
+    df = spark.read.format("nmea").load(str(d))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["checksum_ok"] is False
