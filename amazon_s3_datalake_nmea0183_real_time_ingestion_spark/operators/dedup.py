@@ -149,19 +149,57 @@ def minhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
-                        threshold: float = 0.6) -> DataFrame:
+                        threshold: float = 0.6,
+                        max_df: int | None = None) -> DataFrame:
     """Exact all-candidate n-gram Jaccard via inverted-index self-join —
-    the exact counterpart MinHash approximates.  At scale, prefilter
-    high-document-frequency shingles before the self-join."""
+    the exact counterpart MinHash approximates.
+
+    ``max_df`` is the 100 TB knob: shingles appearing in more than
+    ``max_df`` documents (boilerplate — license headers, navigation
+    chrome) are dropped from CANDIDATE GENERATION only, bounding the
+    self-join's worst bucket at max_df² pairs instead of corpus².
+    Scores stay EXACT: intersection counts and set sizes are computed on
+    the full shingle sets — the prefilter can only lose pairs whose
+    every shared shingle is boilerplate, which at ``jaccard ≥ threshold``
+    means near-pure-boilerplate docs (drop-eligible anyway).  Default
+    ``None`` = exact candidate generation (the oracle-matched mode)."""
     sh = shingle_set(docs, id_col, text_col, k)
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    pairs = (
-        sa.join(sb, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    if max_df is None:
+        # exact mode: one self-join pass, intersection counted in place
+        sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        pairs = (
+            sa.join(sb, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        # scale mode: candidates from the rare-shingle index only, then
+        # exact intersection recount over the FULL shingle sets
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        cand_sh = sh.join(rare, "shingle")
+        sa = cand_sh.select(F.col(id_col).alias("id_a"), "shingle")
+        sb = cand_sh.select(F.col(id_col).alias("id_b"), "shingle")
+        cands = (
+            sa.join(sb, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        fa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        fb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        pairs = (
+            cands.join(fa, "id_a")
+            .join(fb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))

@@ -33,3 +33,41 @@ def test_edge_direction_irrelevant(spark):
 def test_no_edges_all_singletons(spark):
     got = _cc(spark, [], [1, 2, 3])
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_ngram_max_df_prefilter_exact_scores(spark):
+    """The max_df candidate prefilter bounds join fanout but keeps scores
+    exact: surviving pairs carry identical jaccard to the exact mode, and
+    only pairs whose every shared shingle is boilerplate can disappear."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "all rights reserved by the example corp legal dept"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta"),
+            (2, f"{boiler} alpha beta gamma delta"),   # true near-dup of 1
+            (3, f"{boiler} zebra yak xylophone walrus"),
+            (4, f"{boiler} zebra yak xylophone walrus"),  # true near-dup of 3
+            (5, boiler),                                   # boilerplate-only
+            (6, boiler),                                   # boilerplate-only
+        ],
+        "doc_id bigint, text string",
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    filtered = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=4).collect()
+    }
+    # subset with identical exact scores
+    assert set(filtered) <= set(exact)
+    for pair, jac in filtered.items():
+        assert jac == exact[pair]
+    # the content dups survive the prefilter; their scores are full-set exact
+    assert (1, 2) in filtered and (3, 4) in filtered
+    # boilerplate-only pair (5,6) shares ONLY >max_df shingles → dropped
+    assert (5, 6) in exact and (5, 6) not in filtered
