@@ -1232,3 +1232,32 @@ def q_trajectory(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum("hop"), 2).alias("total_km"),
         F.count("*").alias("n_hops"),
     )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id << 3 AS shl,
+           event_id >> 2 AS shr,
+           CAST(bit_count(event_id) AS INT) AS popcount,
+           xor(event_id, 255) AS xored,
+           event_id & 15 AS low_nibble,
+           event_id | 4096 AS with_flag
+    FROM events
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf: str) -> DataFrame:
+    # Bitwise scalar surface (B10) — the primitive family behind SimHash
+    # banding and the LSH signatures, exposed as a plain query key.
+    ev = table(spark, sf, "events")
+    k = F.col("event_id")
+    return ev.select(
+        "event_id",
+        F.shiftleft(k, 3).alias("shl"),
+        F.shiftright(k, 2).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+        k.bitwiseXOR(F.lit(255)).alias("xored"),
+        k.bitwiseAND(F.lit(15)).alias("low_nibble"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+    )
