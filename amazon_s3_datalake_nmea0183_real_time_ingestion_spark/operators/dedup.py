@@ -298,7 +298,9 @@ def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4,
 
 def connected_components(edges: DataFrame, nodes: DataFrame,
                          id_col: str = "doc_id",
-                         max_iters: int = 25) -> DataFrame:
+                         max_iters: int = 25,
+                         reliable: bool = False,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over a near-dup candidate graph → cluster ids
     (the step that turns pairwise near-dup hits into dedup groups: keep the
     canonical member, drop the rest).
@@ -311,40 +313,63 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     asymptotically-better alternating large-star/small-star scheme
     (Kiveris et al., "Connected Components in MapReduce", SoCC'14) that a
     general 100 TB graph would want.  Each round is one shuffle
-    (groupBy node); ``localCheckpoint`` truncates lineage so the plan
-    doesn't grow exponentially with iterations; the convergence probe
-    reuses the checkpointed result, not a recompute.
+    (groupBy node); checkpointing truncates lineage so the plan doesn't
+    grow exponentially with iterations.
+
+    Convergence probe: each node's previous label rides along in the same
+    round aggregate (the self row is tagged, so ``min(lbl) FILTER self`` IS
+    last round's label — labels only ever decrease), and the round's
+    changed-node count is one aggregate over the checkpointed result.
+    Exact for ANY orderable id type — numeric, string, binary — with no
+    labels⋈labels comparison join and no overflow-prone numeric sum.
+
+    ``reliable=True`` uses cluster-durable ``df.checkpoint()`` (survives
+    executor loss — at 100 TB a lost node must not abort a 20-round job)
+    against ``checkpoint_dir`` (or a previously configured
+    ``spark.sparkContext.setCheckpointDir``).  The default
+    ``localCheckpoint`` is faster (executor-local blocks, no DFS write)
+    and fine for local mode / restartable jobs.
 
     ``edges``: (id_a, id_b) undirected candidate pairs.
     ``nodes``: one row per ``id_col`` (must cover isolated nodes).
     Returns (id_col, cluster_id) where cluster_id = min id in component.
     """
+    if reliable:
+        sc = edges.sparkSession.sparkContext
+        if checkpoint_dir is not None:
+            sc.setCheckpointDir(checkpoint_dir)
+        elif sc.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable=True needs a checkpoint dir: pass checkpoint_dir= "
+                "or call spark.sparkContext.setCheckpointDir() first"
+            )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
-    # convergence probe: labels only ever DECREASE (min over self+neighbors),
-    # so sum(lbl) is strictly monotone until fixpoint — an unchanged sum IS
-    # convergence.  One cheap aggregate on the checkpointed result per
-    # round, instead of a labels⋈labels comparison join.
-    prev_sum = None
     for _ in range(max_iters):
         from_nbrs = sym.join(labels, sym["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), F.col("lbl")
+            F.col("dst").alias("node"), F.col("lbl"), F.lit(0).alias("is_self")
         )
-        new_labels = (
-            labels.unionByName(from_nbrs)
+        new_labels = _ckpt(
+            labels.select("node", "lbl", F.lit(1).alias("is_self"))
+            .unionByName(from_nbrs)
             .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .agg(
+                F.min("lbl").alias("lbl"),
+                # the self row carries last round's label (every node has
+                # exactly one — `nodes` covers isolated nodes by contract)
+                F.min(F.when(F.col("is_self") == 1, F.col("lbl"))).alias("prev_lbl"),
+            )
         )
-        # decimal(38,0): exact at any node count (a bigint sum can ANSI-
-        # overflow at web-graph scale; a double sum can falsely converge)
-        cur_sum = new_labels.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        n_changed = new_labels.agg(
+            F.count(F.when(F.col("lbl") != F.col("prev_lbl"), 1)).alias("n")
         ).collect()[0][0]
-        labels = new_labels
-        if cur_sum == prev_sum:
+        labels = new_labels.select("node", "lbl")
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))

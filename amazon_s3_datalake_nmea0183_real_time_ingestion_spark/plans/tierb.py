@@ -307,12 +307,40 @@ def q_agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx", oracle=None)  # HLL sketches differ per engine → rows-only
+@register(
+    "q_agg_approx",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(1 AS INT) AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx(spark: SparkSession, sf: str) -> DataFrame:
+    # HLL sketch estimates differ per engine, so the key returns a
+    # deterministic verdict instead of the raw estimate: the exact distinct
+    # count plus a within-5%-relative-error flag.  approx_count_distinct's
+    # default rsd is 5% so the flag is 1 with overwhelming probability and
+    # the DuckDB oracle emits the constant; a Spark-side HLL regression
+    # flips the flag to 0 and fails the hash.
     li = table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.count("*").alias("n_rows"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.05
+            )
+            .cast("int")
+            .alias("within_tol"),
+        )
     )
 
 
@@ -1146,9 +1174,9 @@ def q_join_full(spark: SparkSession, sf: str) -> DataFrame:
     "q_agg_modern",
     oracle="""
     SELECT user_id,
-           count_if(value > 50) AS n_high,
-           bool_and(value >= 0) AS all_nonneg,
-           bool_or(event_type = 'purchase') AS any_purchase,
+           CAST(count_if(value > 50) AS BIGINT) AS n_high,
+           CAST(bool_and(value >= 0) AS INT) AS all_nonneg,
+           CAST(bool_or(event_type = 'purchase') AS INT) AS any_purchase,
            count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
            max_by(event_type, event_id) AS last_event_type,
            min_by(event_type, event_id) AS first_event_type
@@ -1161,11 +1189,15 @@ def q_agg_modern(spark: SparkSession, sf: str) -> DataFrame:
     # FILTER-clause conditional count / max_by-min_by argmax-argmin.
     # max_by keyed on the UNIQUE event_id — an argmax over a non-unique
     # ordering value is nondeterministic in any engine.
+    # Portability (registry docstring rules, violated in r1 → hash fail):
+    # DuckDB count_if widens to HUGEINT (pandas → float64) so the oracle
+    # CASTs it to BIGINT, and booleans cross engines unnormalized so both
+    # sides cast bool_and/bool_or to INT.
     ev = table(spark, sf, "events")
     return ev.groupBy("user_id").agg(
         F.count_if(F.col("value") > 50).alias("n_high"),
-        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
-        F.bool_or(F.col("event_type") == "purchase").alias("any_purchase"),
+        F.bool_and(F.col("value") >= 0).cast("int").alias("all_nonneg"),
+        F.bool_or(F.col("event_type") == "purchase").cast("int").alias("any_purchase"),
         F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
         F.max_by("event_type", "event_id").alias("last_event_type"),
         F.min_by("event_type", "event_id").alias("first_event_type"),
@@ -1191,7 +1223,8 @@ def q_agg_modern(spark: SparkSession, sf: str) -> DataFrame:
                cos(radians(plat)) * cos(radians(lat)) *
                pow(sin(radians(lon - plon) / 2), 2))), 4) AS hop
       FROM h WHERE plat IS NOT NULL)
-    SELECT user_id, round(sum(hop), 2) AS total_km,
+    SELECT user_id,
+           CAST(round(sum(CAST(hop AS DECIMAL(20,4))), 2) AS DOUBLE) AS total_km,
            CAST(count(*) AS BIGINT) AS n_hops
     FROM d GROUP BY user_id
     """,
@@ -1228,8 +1261,15 @@ def q_trajectory(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 4).alias("hop"),
     )
+    # Sum in DECIMAL, not double: a float sum over thousands of hops is
+    # accumulation-order-dependent and the engines land on opposite sides
+    # of the 2-dp rounding boundary at sf0.1 (713282.105 vs .11 — caught by
+    # the sf0.1 gate).  hop is exactly 4-dp after round(), so the
+    # decimal(20,4) cast is lossless and the sum is order-independent.
     return hops.groupBy("user_id").agg(
-        F.round(F.sum("hop"), 2).alias("total_km"),
+        F.round(F.sum(F.col("hop").cast("decimal(20,4)")), 2)
+        .cast("double")
+        .alias("total_km"),
         F.count("*").alias("n_hops"),
     )
 

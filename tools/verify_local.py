@@ -32,10 +32,13 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if math.isinf(v):  # int(inf) raises; keep ±inf comparable
+        if math.isinf(v):
             return "inf" if v > 0 else "-inf"
-        if v == int(v) and abs(v) < 2**53:
-            return str(int(v))
+        # Deliberately NOT collapsed to int when integral: the driver's
+        # hasher distinguishes int from float (DuckDB HUGEINT → pandas
+        # float64 failed q_agg_modern in r1 while this gate passed it).
+        # Keeping repr() here makes int-vs-float oracle type drift fail
+        # locally, matching the driver's comparison strictness.
         return repr(v)
     if isinstance(v, bool):
         return str(int(v))
