@@ -145,6 +145,43 @@ def refresh_rollup(spark: SparkSession, stage_path: str, rollup_path: str,
     return n
 
 
+def pipeline_maintenance(
+    spark: SparkSession,
+    stage_path: str,
+    declared: StructType,
+    catalog_tables: list[str] | None = None,
+) -> dict:
+    """One scheduled-maintenance pass — the in-engine analog of the
+    reference's nightly crawler run (``cron(0 4 * * ? *)``,
+    cdk_datalake_mvp_stack.py:325): discover new partitions for registered
+    tables and LOG (never apply) schema drift on the stage zone.
+
+    Returns ``{"drift": [(column, declared, observed, status), ...],
+    "drift_status_counts": {...}, "recovered_tables": [...]}`` — a plain
+    dict so foreachBatch callers can append it to a report list without
+    touching Spark objects after the batch.
+    """
+    import os as _os
+
+    report: dict = {"drift": [], "drift_status_counts": {}, "recovered_tables": []}
+    if _os.path.isdir(stage_path):
+        drift = schema_drift_report(spark, stage_path, declared)
+        rows = [
+            (r["column"], r["declared_type"], r["observed_type"], r["status"])
+            for r in drift.collect()
+        ]
+        report["drift"] = rows
+        counts: dict[str, int] = {}
+        for _, _, _, status in rows:
+            counts[status] = counts.get(status, 0) + 1
+        report["drift_status_counts"] = counts
+    for t in catalog_tables or []:
+        if spark.catalog.tableExists(t):
+            spark.catalog.recoverPartitions(t)
+            report["recovered_tables"].append(t)
+    return report
+
+
 def analyze_tables(spark: SparkSession, tables: list[str],
                    columns: dict[str, list[str]] | None = None) -> dict[str, str]:
     """A20+ maintenance: compute catalog statistics so the cost-based

@@ -67,15 +67,22 @@ class PipelineBatchResult:
 
 
 def read_landing_stream(
-    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-stream source over JSON-line envelopes (A1 ``src_ingest``).
 
-    ``maxFilesPerTrigger`` approximates Firehose's 64 MB size cap
-    (cdk_datalake_mvp_stack.py:167) — bounds per-batch input volume."""
+    ``maxBytesPerTrigger`` is the direct analog of Firehose's 64 MB size
+    buffer (cdk_datalake_mvp_stack.py:167) — caps per-batch input VOLUME;
+    ``maxFilesPerTrigger`` caps file COUNT (useful when landing files are
+    uniform).  Both may be set; Spark applies whichever limit hits first."""
     reader = spark.readStream.schema(ENVELOPE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
     return reader.json(landing_dir)
 
 
@@ -200,17 +207,30 @@ def start_pipeline(
     trigger_seconds: int = 60,
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
     results: list[PipelineBatchResult] | None = None,
     tee_single_file: bool = True,
     maintain_rollup: bool = False,
+    maintain_every_n_batches: int | None = None,
+    maintenance_catalog_tables: list[str] | None = None,
+    maintenance_reports: list[dict] | None = None,
 ) -> StreamingQuery:
     """Wire source → foreachBatch → trigger → checkpoint and start.
 
     ``available_now=True`` drains the current landing-dir contents then
     stops (test/backfill mode); otherwise a 60 s processing-time trigger
-    mirrors the Firehose buffer interval."""
+    mirrors the Firehose buffer interval.
+
+    ``maintain_every_n_batches=N`` runs ``pipeline_maintenance`` (schema
+    drift LOG report on stage + partition recovery for
+    ``maintenance_catalog_tables``) after every Nth batch — the in-stream
+    analog of the reference's nightly crawler cron
+    (cdk_datalake_mvp_stack.py:325); reports append to
+    ``maintenance_reports``."""
     geo_dim = build_geo_dim(spark)
-    stream = read_landing_stream(spark, landing_dir, max_files_per_trigger)
+    stream = read_landing_stream(
+        spark, landing_dir, max_files_per_trigger, max_bytes_per_trigger
+    )
 
     def _on_batch(batch: DataFrame, batch_id: int) -> None:
         res = process_batch(batch, batch_id, lake_dir, geo_dim,
@@ -218,6 +238,25 @@ def start_pipeline(
                             maintain_rollup=maintain_rollup)
         if results is not None:
             results.append(res)
+        if maintain_every_n_batches and (batch_id + 1) % maintain_every_n_batches == 0:
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
+            from ..schemas import STAGE_SCHEMA
+            from ..sources.maintenance import pipeline_maintenance
+
+            declared = StructType(
+                STAGE_SCHEMA.fields
+                + [StructField(c, IntegerType()) for c in ("year", "month", "day")]
+            )
+            rep = pipeline_maintenance(
+                batch.sparkSession,
+                os.path.join(lake_dir, "stage"),
+                declared,
+                maintenance_catalog_tables,
+            )
+            rep["batch_id"] = batch_id
+            if maintenance_reports is not None:
+                maintenance_reports.append(rep)
 
     writer = stream.writeStream.foreachBatch(_on_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -223,3 +223,50 @@ def test_rollup_incremental_refresh(spark, tmp_path):
     ]
     refresh_rollup(spark, str(lake / "stage"), str(lake / "rollup_daily_device"), touched)
     assert_rollup_matches_stage()
+
+
+def test_max_bytes_per_trigger_splits_batches(spark, tmp_path):
+    """maxBytesPerTrigger (Firehose's 64 MB size buffer,
+    cdk_datalake_mvp_stack.py:167) must reach the file source: a byte cap
+    smaller than any single file forces one-file micro-batches, so four
+    landing files drain as four batches under availableNow."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for b in range(4):
+        with open(landing / f"batch-{b:04d}.json", "w") as f:
+            for row in envelope_rows(n_soh=2, n_sensor=1, n_unknown=0):
+                f.write(json.dumps(row) + "\n")
+    results = []
+    q = start_pipeline(
+        spark, str(landing), str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+        available_now=True, max_bytes_per_trigger=1, results=results,
+    )
+    q.awaitTermination(180)
+    assert len(results) == 4
+    assert all(r.counts == {"soh": 2, "sensor": 1} for r in results)
+
+
+def test_maintenance_cadence_emits_drift_report(spark, tmp_path):
+    """maintain_every_n_batches runs the crawler-cron analog from
+    foreachBatch: with N=2 over four single-file batches, exactly two
+    maintenance reports appear (after batches 1 and 3), each a LOG-only
+    schema drift report over stage with every column status ok."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for b in range(4):
+        with open(landing / f"batch-{b:04d}.json", "w") as f:
+            for row in envelope_rows(n_soh=2, n_sensor=0, n_unknown=0):
+                f.write(json.dumps(row) + "\n")
+    reports = []
+    q = start_pipeline(
+        spark, str(landing), str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+        available_now=True, max_files_per_trigger=1,
+        maintain_every_n_batches=2, maintenance_reports=reports,
+    )
+    q.awaitTermination(180)
+    assert [r["batch_id"] for r in reports] == [1, 3]
+    for rep in reports:
+        assert rep["recovered_tables"] == []
+        # declared stage schema + y/m/d partition ints — no drift
+        assert set(rep["drift_status_counts"]) == {"ok"}
+        assert rep["drift_status_counts"]["ok"] == len(rep["drift"])
