@@ -84,6 +84,32 @@ def quality_score(text: Column | str) -> Column:
     return F.round((len_ok + wlen_ok + stop_ok) / F.lit(3.0), 4)
 
 
+# PII patterns kept to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB/engine oracles): literal classes only — no \d/\s
+# shorthands (dialect-divergent), no backrefs (RE2 lacks them).
+EMAIL_PATTERN = "[a-z0-9.]+@[a-z0-9]+[.][a-z]+"
+PHONE_PATTERN = "555-[0-9][0-9][0-9][0-9]"
+
+
+def email_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(EMAIL_PATTERN)).cast("int")
+
+
+def phone_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(PHONE_PATTERN)).cast("int")
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every email/phone match with a typed placeholder —
+    the scrub step run before training-corpus admission."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>"), PHONE_PATTERN, "<PHONE>"
+    )
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """64-hex md5 fingerprint of whitespace-normalized lower-cased text —
     the exact-dedup key for documents."""

@@ -1,0 +1,126 @@
+"""Dataset-curation operators for LLM training-data pipelines (Tier C
+extensions beyond the reference's surface, alongside dedup / similarity /
+text-analysis): deterministic split assignment, context-window packing,
+benchmark decontamination, and per-domain quality quotas.
+
+All determinism comes from the portable md5 hashing scheme
+(functions.hashing), so every operator has an exact ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import md5_u32
+from ..functions.text import shingles_from_tokens, tokens
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id", salt: str = "split",
+               train_pct: int = 90, val_pct: int = 5) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket.
+
+    ``bucket = md5("{salt}:{id}") % 100``; train < ``train_pct``, val <
+    ``train_pct + val_pct``, else test.  Hash-based (not random) so the
+    split is stable under reruns, re-partitioning, and incremental
+    appends — a new document lands in the same split forever, and the
+    salt gives independent re-splits without touching the data.
+
+    Scale: a pure per-row projection — no shuffle, no state, safe at any
+    corpus size; whole-stage codegen end to end.
+    """
+    bucket = (
+        md5_u32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))) % 100
+    ).cast("int")
+    return df.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_pct, F.lit("train"))
+        .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def pack_sequences(df: DataFrame, token_col: str = "n_tokens",
+                   shard_col: str = "source", order_col: str = "doc_id",
+                   window_tokens: int = 2048) -> DataFrame:
+    """Assign documents to fixed-size context windows (training-sequence
+    packing): within each shard, documents are laid end-to-end in
+    ``order_col`` order and the window index is the running token offset
+    divided by ``window_tokens`` (documents may straddle a boundary —
+    the standard pack-then-split accounting).
+
+    Adds ``pack_id`` (window index within shard) and ``pack_offset``
+    (token offset within the window where the document starts).
+
+    Scale: one shuffle on ``shard_col`` + per-shard sort — the same
+    distribution the packed write wants, so the sort is not wasted; no
+    driver state, shards pack independently on 1000 executors.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn(
+        "pack_id", F.floor(start / F.lit(window_tokens)).cast("int")
+    ).withColumn("pack_offset", (start % window_tokens).cast("int"))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 3) -> DataFrame:
+    """Benchmark decontamination: count, per corpus document, the distinct
+    word ``k``-grams it shares with an evaluation benchmark — documents
+    with any overlap are contamination candidates for removal before
+    training (the n-gram-overlap test-set filter used by large-LM data
+    pipelines).
+
+    Returns (``id_col``, ``n_overlap``) for documents with ≥1 shared
+    k-gram.
+
+    Scale: the benchmark's distinct-shingle set is tiny relative to any
+    training corpus (eval sets are MBs), so it BROADCASTS — the 100 TB
+    corpus side never shuffles: per-doc shingles are deduped map-side via
+    ``array_distinct`` before the explode, the broadcast hash join
+    filters in place, and the only shuffle is the final per-doc count.
+    """
+    def _doc_shingles(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        toks = df.select(*cols, tokens(F.col(text_col)).alias("__t"))
+        return toks.select(
+            *cols,
+            F.explode(F.array_distinct(shingles_from_tokens(F.col("__t"), k))).alias(
+                "shingle"
+            ),
+        )
+
+    bench_sh = _doc_shingles(benchmark, with_id=False).distinct()
+    corpus_sh = _doc_shingles(corpus, with_id=True)
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
+def domain_quota(df: DataFrame, domain_col: str, order_cols: list,
+                 n_per_domain: int) -> DataFrame:
+    """Per-domain quota sampling (data mixing): keep the top
+    ``n_per_domain`` rows of each domain under a deterministic ordering
+    (e.g. quality score desc, id asc as tiebreak).  Controls domain
+    balance in the training mix without a global sort.
+
+    Adds ``quota_rank`` (1-based within domain).
+
+    Scale: rank-limit windows compile to ``WindowGroupLimit`` — each
+    shuffle partition keeps only its local top-n before the final
+    per-domain selection, so skewed giant domains don't materialize
+    fully.
+    """
+    w = Window.partitionBy(domain_col).orderBy(*order_cols)
+    return (
+        df.withColumn("quota_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("quota_rank") <= n_per_domain)
+    )

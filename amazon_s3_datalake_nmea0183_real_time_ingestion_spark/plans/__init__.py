@@ -23,6 +23,9 @@ _NEEDS_VERDICT = [
     "x_text_quality", "x_text_tokens", "x_text_fingerprint",
     "x_text_repetition", "x_text_line_dedup", "x_text_curate",
     "x_multimodal", "x_multimodal_binary", "x_session",
+    # Tier C7 curation ops (6) — new in round 2
+    "x_split_hash", "x_pack_sequences", "x_decontaminate", "x_text_pii",
+    "x_domain_quota", "x_vocab_topk",
     # Tier A (13) — no driver row in round 1
     "f_contains", "f_split", "f_element_at", "op_nmea_latlon",
     "op_geocode_join", "op_flatten_soh", "op_alert_filter",

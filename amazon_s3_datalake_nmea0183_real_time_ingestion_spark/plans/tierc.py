@@ -1035,3 +1035,206 @@ def x_text_curate(spark: SparkSession, sf: str) -> DataFrame:
         base.withColumn("__rn", rn)
         .select("doc_id", verdict.alias("verdict"), n_tok.cast("int").alias("n_tok"))
     )
+
+
+# ---------------------------------------------------------------------------
+# C7 — dataset curation: split / packing / decontamination / PII / quotas /
+# vocabulary (operators/curation.py, functions/text.py PII helpers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_split_hash",
+    oracle="""
+    SELECT doc_id,
+           CAST(h % 100 AS INT) AS bucket,
+           CASE WHEN h % 100 < 90 THEN 'train'
+                WHEN h % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+          FROM documents)
+    """,
+)
+def x_split_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """C7: deterministic hash-bucket train/val/test split — stable under
+    reruns and incremental appends (salted md5, not random())."""
+    from ..operators.curation import hash_split
+
+    d = table(spark, sf, "documents")
+    return hash_split(d, "doc_id").select("doc_id", "bucket", "split")
+
+
+@register(
+    "x_pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS st
+      FROM t)
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(st // 512 AS INT) AS pack_id,
+           CAST(st % 512 AS INT) AS pack_offset
+    FROM c
+    """,
+)
+def x_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """C7: context-window packing — documents laid end-to-end per source
+    shard in doc_id order; window index + in-window offset per doc."""
+    from ..operators.curation import pack_sequences
+
+    d = table(spark, sf, "documents")
+    with_tok = d.select(
+        "doc_id", "source", token_count("text").cast("int").alias("n_tokens")
+    )
+    packed = pack_sequences(with_tok, "n_tokens", "source", "doc_id", 512)
+    return packed.select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
+
+
+@register(
+    "x_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+2], ' ')
+                       for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
+        FROM toks)),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT s.doc_id, count(*) AS n_overlap
+    FROM sh s JOIN bench b USING (shingle)
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def x_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """C7: benchmark decontamination — per corpus doc, distinct word
+    3-grams shared with the eval benchmark (docs with doc_id % 97 == 0
+    stand in for the held-out benchmark set)."""
+    from ..operators.curation import decontaminate
+
+    d = table(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", k=3)
+
+
+@register(
+    "x_text_pii",
+    oracle="""
+    WITH pii AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or ring 555-0199 now' AS text
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9]+[.][a-z]+')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '555-[0-9][0-9][0-9][0-9]')) AS INT) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(text,
+                '[a-z0-9.]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'),
+                '555-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g')) AS INT) AS n_chars_redacted
+    FROM pii
+    """,
+)
+def x_text_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """C7: PII detection + redaction accounting — email/phone match counts
+    and post-redaction length, over a corpus with planted PII (ids < 40
+    duplicated with an injected contact line, deterministic both engines).
+    Patterns restricted to Java-regex/RE2-agreeing constructs."""
+    from ..functions.text import email_count, phone_count, redact_pii
+
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or ring 555-0199 now"),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return corpus.select(
+        "doc_id",
+        email_count("text").alias("n_emails"),
+        phone_count("text").alias("n_phones"),
+        F.length(redact_pii("text")).cast("int").alias("n_chars_redacted"),
+    )
+
+
+@register(
+    "x_domain_quota",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             len(t) AS n_tok,
+             length(text) / greatest(len(t), 1) AS mean_wlen,
+             len(list_filter(t, x -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], x)))
+               / greatest(len(t), 1) AS stop_ratio
+      FROM toks),
+    q AS (
+      SELECT doc_id, source,
+             round(((CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END) +
+                    (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 12.0 THEN 1.0 ELSE 0.0 END) +
+                    (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+      FROM m)
+    SELECT doc_id, source, quality,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY quality DESC, doc_id ASC) AS INT) AS quota_rank
+    FROM q QUALIFY quota_rank <= 25
+    """,
+)
+def x_domain_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """C7: per-domain quality quota (data mixing) — top-25 docs per source
+    by quality score (deterministic doc_id tiebreak); WindowGroupLimit
+    keeps partial top-n per shuffle partition at scale."""
+    from ..operators.curation import domain_quota
+
+    d = table(spark, sf, "documents")
+    scored = d.select("doc_id", "source", quality_score("text").alias("quality"))
+    return domain_quota(
+        scored, "source", [F.col("quality").desc(), F.col("doc_id").asc()], 25
+    )
+
+
+@register(
+    "x_vocab_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
+      FROM documents),
+    bg AS (
+      SELECT unnest([array_to_string(t[i:i+1], ' ')
+                     for i in range(1, greatest(len(t) - 1, 1) + 1)]) AS bigram
+      FROM toks),
+    cnt AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
+    SELECT bigram, n FROM cnt ORDER BY n DESC, bigram ASC LIMIT 100
+    """,
+)
+def x_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """C7: vocabulary building — top-100 word bigrams by corpus frequency
+    (wordcount shape + TakeOrderedAndProject; total order made
+    deterministic by the bigram tiebreak)."""
+    d = table(spark, sf, "documents")
+    toks = d.select(tokens("text").alias("__t"))
+    bg = toks.select(F.explode(shingles_from_tokens(F.col("__t"), 2)).alias("bigram"))
+    cnt = bg.groupBy("bigram").agg(F.count("*").alias("n"))
+    return cnt.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(100)

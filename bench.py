@@ -58,6 +58,10 @@ HEADLINE = [
     "x_text_quality",
     "x_text_curate",
     "x_session",
+    # dataset-curation family (Tier C7)
+    "x_decontaminate",
+    "x_pack_sequences",
+    "x_domain_quota",
 ]
 
 

@@ -1,0 +1,117 @@
+"""Dataset-curation operators (operators/curation.py, functions/text.py PII):
+pure semantics on hand-built rows + the plan shapes the 100 TB design relies
+on (broadcast decontamination join, WindowGroupLimit quotas)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.functions.text import (
+    email_count,
+    phone_count,
+    redact_pii,
+)
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.curation import (
+    decontaminate,
+    domain_quota,
+    hash_split,
+    pack_sequences,
+)
+from conftest import plan_of
+
+
+def test_hash_split_deterministic_and_salted(spark):
+    d = spark.createDataFrame([(i,) for i in range(200)], "doc_id bigint")
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in hash_split(d).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"]) for r in hash_split(d).collect()}
+    assert a == b  # rerun-stable
+    for bucket, split in a.values():
+        assert 0 <= bucket < 100
+        assert split == ("train" if bucket < 90 else "val" if bucket < 95 else "test")
+    # all three splits materialize at n=200 and roughly honor 90/5/5
+    n_train = sum(1 for _, s in a.values() if s == "train")
+    assert 150 < n_train < 200
+    # a different salt is an independent re-split
+    c = {r["doc_id"]: r["split"] for r in hash_split(d, salt="v2").collect()}
+    assert any(c[k] != a[k][1] for k in c)
+
+
+def test_pack_sequences_layout(spark):
+    rows = [(1, "s", 300), (2, "s", 300), (3, "s", 100), (10, "t", 600)]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, n_tokens int")
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(d, "n_tokens", "source", "doc_id", 512).collect()
+    }
+    # shard s: starts 0, 300, 600 → windows 0,0,1; offsets 0,300,88
+    # shard t packs independently from offset 0
+    assert got == {1: (0, 0), 2: (0, 300), 3: (1, 88), 10: (0, 0)}
+
+
+def test_decontaminate_counts_shared_kgrams(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # shares 'alpha beta gamma' + 'beta gamma delta'
+            (2, "zeta eta theta iota"),          # no overlap
+            (3, "alpha beta gamma"),             # shares 1 (single shingle doc)
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r["n_overlap"] for r in decontaminate(corpus, bench).collect()}
+    assert got == {1: 2, 3: 1}  # doc 2 absent: no shared 3-grams
+
+
+def test_decontaminate_benchmark_broadcasts(spark):
+    corpus = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    bench = spark.createDataFrame([(2, "a b c")], "doc_id bigint, text string")
+    plan = plan_of(decontaminate(corpus, bench))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_quota_rank_and_tiebreak(spark):
+    rows = [(1, "x", 0.9), (2, "x", 0.9), (3, "x", 0.5), (4, "y", 0.1)]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, q double")
+    got = {
+        r["doc_id"]: r["quota_rank"]
+        for r in domain_quota(
+            d, "source", [F.col("q").desc(), F.col("doc_id").asc()], 2
+        ).collect()
+    }
+    assert got == {1: 1, 2: 2, 4: 1}  # doc 3 over quota; tie broken by doc_id
+
+
+def test_domain_quota_uses_window_group_limit(spark):
+    d = spark.createDataFrame([(1, "x", 0.9)], "doc_id bigint, source string, q double")
+    plan = plan_of(
+        domain_quota(d, "source", [F.col("q").desc(), F.col("doc_id").asc()], 2)
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_pii_count_and_redact(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "write to bob.smith@acme.io or ann@ex.org, call 555-0123"),
+            (2, "no pii here at all"),
+            (3, "555-9999 and 555-0000"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["e"], r["p"], r["red"])
+        for r in d.select(
+            "doc_id",
+            email_count("text").alias("e"),
+            phone_count("text").alias("p"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert got[1][0] == 2 and got[1][1] == 1
+    assert "<EMAIL>" in got[1][2] and "<PHONE>" in got[1][2]
+    assert "@" not in got[1][2] and "555-" not in got[1][2]
+    assert got[2] == (0, 0, "no pii here at all")
+    assert got[3][:2] == (0, 2) and got[3][2] == "<PHONE> and <PHONE>"
