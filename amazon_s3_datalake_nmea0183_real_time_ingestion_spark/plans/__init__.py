@@ -26,6 +26,8 @@ _NEEDS_VERDICT = [
     # Tier C7 curation ops (6) — new in round 2
     "x_split_hash", "x_pack_sequences", "x_decontaminate", "x_text_pii",
     "x_domain_quota", "x_vocab_topk",
+    # Tier C3+ clustering (2) — new in round 2
+    "x_kmeans_assign", "x_kmeans_iter",
     # Tier A (13) — no driver row in round 1
     "f_contains", "f_split", "f_element_at", "op_nmea_latlon",
     "op_geocode_join", "op_flatten_soh", "op_alert_filter",

@@ -1238,3 +1238,78 @@ def x_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     bg = toks.select(F.explode(shingles_from_tokens(F.col("__t"), 2)).alias("bigram"))
     cnt = bg.groupBy("bigram").agg(F.count("*").alias("n"))
     return cnt.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# C3+ — embedding clustering (spherical k-means, operators/clustering.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_kmeans_assign",
+    oracle="""
+    WITH centv AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centroid
+      FROM embeddings WHERE vec_id < 8)
+    SELECT vec_id, cluster FROM (
+      SELECT e.vec_id, c.centroid_id AS cluster,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+                        c.centroid_id ASC) AS rn
+      FROM embeddings e CROSS JOIN centv c) t
+    WHERE rn = 1
+    """,
+)
+def x_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """C3+: spherical k-means assignment pass — nearest of 8 deterministic
+    seed centroids by round(cosine, 6), centroid-id tiebreak; broadcast
+    centroids, map-side assignment (corpus never shuffles)."""
+    from ..operators.clustering import kmeans_assign, seed_centroids
+
+    e = table(spark, sf, "embeddings")
+    return kmeans_assign(e, seed_centroids(e, 8))
+
+
+@register(
+    "x_kmeans_iter",
+    oracle="""
+    WITH centv0 AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centroid
+      FROM embeddings WHERE vec_id < 8),
+    a1 AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id AS cluster,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN centv0 c) t
+      WHERE rn = 1),
+    cent1 AS (
+      SELECT cluster AS centroid_id, p, round(avg(embedding[p]::DOUBLE), 6) AS m
+      FROM a1 CROSS JOIN unnest(range(1, 65)) u(p)
+      GROUP BY cluster, p),
+    centv1 AS (SELECT centroid_id, list(m ORDER BY p) AS centroid
+               FROM cent1 GROUP BY centroid_id)
+    SELECT vec_id, cluster FROM (
+      SELECT e.vec_id, c.centroid_id AS cluster,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+                        c.centroid_id ASC) AS rn
+      FROM embeddings e CROSS JOIN centv1 c) t
+    WHERE rn = 1
+    """,
+)
+def x_kmeans_iter(spark: SparkSession, sf: str) -> DataFrame:
+    """C3+: one full Lloyd iteration (assign → recompute means → reassign)
+    of spherical k-means from 8 seed centroids — the iterative-refinement
+    step behind IVF centroid training and cluster-based curation
+    (SemDeDup-style).  Centroid means rounded to engine-independent
+    doubles; every assignment pass is broadcast + map-side."""
+    from ..operators.clustering import kmeans_assign, kmeans_update, seed_centroids
+
+    e = table(spark, sf, "embeddings")
+    c1 = kmeans_update(e, seed_centroids(e, 8))
+    return kmeans_assign(e, c1)
