@@ -105,6 +105,46 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     )
 
 
+def mix_downsample(df: DataFrame, rates: dict[str, int],
+                   domain_col: str = "source", id_col: str = "doc_id",
+                   salt: str = "mix", default_pct: int = 100) -> DataFrame:
+    """Deterministic per-domain down-sampling (training-mixture weights
+    below 1.0): keep a row iff its salted hash bucket falls under the
+    domain's percentage.  ``rates`` maps domain → keep-percent (0..100);
+    unlisted domains keep ``default_pct``.
+
+    Hash-gated, not ``sample()``: membership is reproducible across runs,
+    partitionings, and incremental appends, and the oracle can replay it
+    exactly.  Scale: pure per-row filter, no shuffle; the rate map is a
+    literal CASE expression, never a join.
+    """
+    bucket = (
+        md5_u32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))) % 100
+    )
+    pct = F.lit(default_pct)
+    for dom, keep in rates.items():
+        pct = F.when(F.col(domain_col) == dom, F.lit(keep)).otherwise(pct)
+    return df.filter(bucket < pct)
+
+
+def mix_upsample(df: DataFrame, epochs: dict[str, int],
+                 domain_col: str = "source", default_epochs: int = 1) -> DataFrame:
+    """Per-domain epoch up-sampling (mixture weights above 1.0): replicate
+    each row ``epochs[domain]`` times, tagging the copy index as
+    ``epoch`` (0-based) so downstream shuffles/packing can interleave
+    copies instead of clustering them.
+
+    Scale: ``explode(sequence(...))`` is a map-side row generator — no
+    shuffle, no driver loop; output size is exactly Σ rows × epochs.
+    """
+    n = F.lit(default_epochs)
+    for dom, e in epochs.items():
+        n = F.when(F.col(domain_col) == dom, F.lit(e)).otherwise(n)
+    return df.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), n.cast("int") - 1))
+    )
+
+
 def domain_quota(df: DataFrame, domain_col: str, order_cols: list,
                  n_per_domain: int) -> DataFrame:
     """Per-domain quota sampling (data mixing): keep the top

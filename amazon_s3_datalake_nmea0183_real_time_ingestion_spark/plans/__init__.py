@@ -28,6 +28,8 @@ _NEEDS_VERDICT = [
     "x_domain_quota", "x_vocab_topk",
     # Tier C3+ clustering (2) — new in round 2
     "x_kmeans_assign", "x_kmeans_iter",
+    # Tier C7 mixture construction (2) — new in round 2
+    "x_data_mix", "x_data_upsample",
     # Tier A (13) — no driver row in round 1
     "f_contains", "f_split", "f_element_at", "op_nmea_latlon",
     "op_geocode_join", "op_flatten_soh", "op_alert_filter",

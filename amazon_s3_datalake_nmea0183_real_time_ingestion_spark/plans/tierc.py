@@ -1313,3 +1313,48 @@ def x_kmeans_iter(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "embeddings")
     c1 = kmeans_update(e, seed_centroids(e, 8))
     return kmeans_assign(e, c1)
+
+
+@register(
+    "x_data_mix",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, source FROM h
+    WHERE bucket < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                               WHEN 'src2' THEN 25 ELSE 10 END
+    """,
+)
+def x_data_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """C7: deterministic per-domain down-sampling mix (src0 100%, src1
+    50%, src2 25%, rest 10%) — hash-gated so membership is reproducible
+    and append-stable; pure per-row filter, no shuffle."""
+    from ..operators.curation import mix_downsample
+
+    d = table(spark, sf, "documents").select("doc_id", "source")
+    return mix_downsample(
+        d, {"src0": 100, "src1": 50, "src2": 25}, default_pct=10
+    )
+
+
+@register(
+    "x_data_upsample",
+    oracle="""
+    SELECT doc_id, source, CAST(e AS INT) AS epoch
+    FROM documents
+    CROSS JOIN unnest(range(4)) u(e)
+    WHERE e < CASE source WHEN 'src1' THEN 3 WHEN 'src2' THEN 2 ELSE 1 END
+    """,
+)
+def x_data_upsample(spark: SparkSession, sf: str) -> DataFrame:
+    """C7: per-domain epoch up-sampling (src1 ×3, src2 ×2, rest ×1) with
+    a 0-based epoch tag — explode(sequence(...)) map-side row generator,
+    no shuffle."""
+    from ..operators.curation import mix_upsample
+
+    d = table(spark, sf, "documents").select("doc_id", "source")
+    return mix_upsample(d, {"src1": 3, "src2": 2}).select(
+        "doc_id", "source", F.col("epoch").cast("int").alias("epoch")
+    )

@@ -15,6 +15,8 @@ from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.curation im
     decontaminate,
     domain_quota,
     hash_split,
+    mix_downsample,
+    mix_upsample,
     pack_sequences,
 )
 from conftest import plan_of
@@ -90,6 +92,44 @@ def test_domain_quota_uses_window_group_limit(spark):
         domain_quota(d, "source", [F.col("q").desc(), F.col("doc_id").asc()], 2)
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_mix_downsample_rates_and_determinism(spark):
+    rows = [(i, f"src{i % 3}") for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string")
+    kept = mix_downsample(d, {"src0": 100, "src1": 50, "src2": 0})
+    got = {(r["doc_id"], r["source"]) for r in kept.collect()}
+    assert got == {(r["doc_id"], r["source"]) for r in kept.collect()}  # rerun-stable
+    by_src = {s: sum(1 for _, x in got if x == s) for s in ("src0", "src1", "src2")}
+    assert by_src["src0"] == 100  # 100% kept
+    assert by_src["src2"] == 0    # 0% kept
+    assert 30 < by_src["src1"] < 70  # ~50% of 100
+
+
+def test_mix_upsample_epochs(spark):
+    d = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id bigint, source string"
+    )
+    out = mix_upsample(d, {"a": 3, "b": 2}).collect()
+    got = sorted((r["doc_id"], r["epoch"]) for r in out)
+    assert got == [(1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (3, 0)]
+
+
+def test_curation_null_and_empty_text_edges(spark):
+    # empty/whitespace text yields one empty-ish shingle that can't match
+    # real benchmark grams; NULL text drops out of the explode entirely —
+    # neither crashes under ANSI mode.
+    corpus = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   "), (4, "alpha beta gamma")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(9, "alpha beta gamma")], "doc_id bigint, text string")
+    got = {r["doc_id"]: r["n_overlap"] for r in decontaminate(corpus, bench).collect()}
+    assert got == {4: 1}
+    # hash_split on a NULL id: bucket NULL → falls to the 'test' branch
+    d = spark.createDataFrame([(None,), (7,)], "doc_id bigint")
+    sp = {r["doc_id"]: r["split"] for r in hash_split(d).collect()}
+    assert sp[None] == "test" and sp[7] in ("train", "val", "test")
 
 
 def test_pii_count_and_redact(spark):
