@@ -110,6 +110,50 @@ def redact_pii(text: Column | str) -> Column:
     )
 
 
+# Fixed lexicon weights for the linear quality classifier (fastText/CCNet
+# style model-based filtering with a hand-set weight vector).  Order
+# matters: the logit sums terms in this exact written order so the IEEE
+# float result is bit-identical across engines.
+QUALITY_LEXICON = [("fast", 0.6), ("slow", -0.7), ("spark", 0.4),
+                   ("data", 0.2), ("big", -0.1)]
+QUALITY_BIAS = -0.4
+QUALITY_W_STOP = 2.5
+QUALITY_W_WLEN = 0.15
+
+
+def quality_logit(toks: Column, text: Column | str) -> Column:
+    """Linear classifier logit over engineered features: bias +
+    w·stop_ratio + w·mean_word_len + lexicon_score/n_tok.
+
+    ``toks`` must be an ALREADY-MATERIALIZED token-array attribute (the
+    ``filter`` lambdas below would otherwise re-tokenize per element).
+    All terms are plain float64 ``*``/``+``/``/`` in a fixed order —
+    deterministic IEEE arithmetic, so any engine computing the same
+    formula produces the same bits (no exp/sigmoid: libm-divergent;
+    rank/threshold on the logit instead).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = F.size(toks)
+    n_tok_g = F.greatest(n_tok, F.lit(1))
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tok_g
+    mean_wlen = F.length(c) / n_tok_g
+    def count_of(word: str) -> Column:
+        # NB: a `lambda t, word=word:` default-arg closure would change the
+        # HOF arity — F.filter treats 2-param lambdas as (element, index).
+        return F.size(F.filter(toks, lambda t: t == word))
+
+    lex = None
+    for word, w in QUALITY_LEXICON:
+        term = F.lit(w) * count_of(word)
+        lex = term if lex is None else lex + term
+    return (
+        F.lit(QUALITY_BIAS)
+        + F.lit(QUALITY_W_STOP) * stop_ratio
+        + F.lit(QUALITY_W_WLEN) * mean_wlen
+        + lex / n_tok_g
+    )
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """64-hex md5 fingerprint of whitespace-normalized lower-cased text —
     the exact-dedup key for documents."""

@@ -37,6 +37,8 @@ _NEEDS_VERDICT = [
     "snk_raw_json", "cat_register", "cat_recover",
     # Tier B (2) — oracle fixed this round, needs a fresh verdict
     "q_agg_modern", "q_agg_approx",
+    # Round-2 late additions (3) — fills the 50-key window exactly
+    "x_quality_model", "x_embed_reduce", "x_url_parse",
 ]
 
 

@@ -1358,3 +1358,156 @@ def x_data_upsample(spark: SparkSession, sf: str) -> DataFrame:
     return mix_upsample(d, {"src1": 3, "src2": 2}).select(
         "doc_id", "source", F.col("epoch").cast("int").alias("epoch")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4+ — model-based quality filtering (fixed-weight linear classifier),
+# C3+ — random-projection dimensionality reduction, C7+ — URL parsing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_quality_model",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(t) AS n_tok,
+             greatest(len(t), 1) AS n_g,
+             length(text) AS n_chars,
+             len(list_filter(t, x -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], x))) AS n_stop,
+             len(list_filter(t, x -> x = 'fast'))  AS c_fast,
+             len(list_filter(t, x -> x = 'slow'))  AS c_slow,
+             len(list_filter(t, x -> x = 'spark')) AS c_spark,
+             len(list_filter(t, x -> x = 'data'))  AS c_data,
+             len(list_filter(t, x -> x = 'big'))   AS c_big
+      FROM toks),
+    l AS (
+      SELECT doc_id, n_tok,
+             -0.4::DOUBLE
+               + 2.5::DOUBLE * (n_stop / n_g)
+               + 0.15::DOUBLE * (n_chars / n_g)
+               + (0.6::DOUBLE * c_fast + -0.7::DOUBLE * c_slow
+                  + 0.4::DOUBLE * c_spark + 0.2::DOUBLE * c_data
+                  + -0.1::DOUBLE * c_big) / n_g AS logit
+      FROM m)
+    SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+           logit AS score,
+           CAST(logit > 0 AS INT) AS keep
+    FROM l
+    """,
+)
+def x_quality_model(spark: SparkSession, sf: str) -> DataFrame:
+    """C4+: model-based quality filtering — a fixed-weight linear
+    classifier (fastText/CCNet-style) over engineered features: stopword
+    ratio, mean word length, and a 5-word lexicon score.  Logit (not
+    sigmoid) so arithmetic stays libm-free and engine-exact; downstream
+    keeps rows with logit > 0.  Pure map-side projection, no shuffle."""
+    from ..functions.text import quality_logit
+
+    d = table(spark, sf, "documents")
+    t = d.select("doc_id", "text", tokens("text").alias("t"))  # materialize tokens once
+    logit = quality_logit(F.col("t"), F.col("text"))
+    # raw double, NOT rounded: the logit is pure deterministic IEEE
+    # arithmetic so both engines produce the identical bits, while
+    # round() diverges on half-ties (e.g. a logit of exactly 0.5046875
+    # rounds 0.504688 in Spark's BigDecimal HALF_UP vs 0.504687 off the
+    # binary value in DuckDB)
+    return t.select(
+        "doc_id",
+        F.size("t").cast("int").alias("n_tok"),
+        logit.alias("score"),
+        (logit > 0).cast("int").alias("keep"),
+    )
+
+
+_REDUCE_PLANES = rademacher_planes(n_planes=8, dim=64)
+_REDUCE_PLANES_VALUES = ", ".join(f"({j}, {p})" for j, p in enumerate(_REDUCE_PLANES))
+_REDUCE_PIVOT = ",\n           ".join(
+    f"CAST(max(CASE WHEN j = {j} THEN dt END) AS BIGINT) AS r{j}" for j in range(8)
+)
+
+
+@register(
+    "x_embed_reduce",
+    oracle=f"""
+    WITH planes AS (SELECT * FROM (VALUES {_REDUCE_PLANES_VALUES}) t(j, s)),
+    vq AS (SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                                 x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+    dots AS (SELECT vec_id, j,
+                    list_sum(list_transform(range(1, 65), d -> v[d] * s[d])) AS dt
+             FROM vq CROSS JOIN planes)
+    SELECT vec_id,
+           {_REDUCE_PIVOT}
+    FROM dots GROUP BY vec_id
+    """,
+)
+def x_embed_reduce(spark: SparkSession, sf: str) -> DataFrame:
+    """C3+: Johnson–Lindenstrauss random-projection reduction 64→8 dims
+    (Achlioptas ±1 matrix, integer-quantized so components are exact
+    BIGINTs both engines compute identically).  Map-side matmul in one
+    nested-HOF pass; the 100 TB shape writes the 8-wide sketch table once
+    and joins/clusters on it instead of re-reading 64-wide vectors."""
+    from ..operators.embedding import project_embeddings
+
+    e = table(spark, sf, "embeddings")
+    return project_embeddings(e, _REDUCE_PLANES)
+
+
+@register(
+    "x_url_parse",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || lang || '.' || source || '.example.org/d/' ||
+             CAST(doc_id % 7 AS VARCHAR) || '/item?id=' ||
+             CAST(doc_id AS VARCHAR) || '&ref=rss' AS url
+      FROM documents),
+    p AS (
+      SELECT doc_id, url,
+             regexp_extract(url, 'https://([^/]+)', 1) AS host,
+             regexp_extract(url, 'https://[^/]+([^?]*)', 1) AS path,
+             regexp_extract(url, '[?&]id=([0-9]+)', 1)::BIGINT AS qid
+      FROM u)
+    SELECT doc_id, host,
+           regexp_extract(host, '([a-z0-9-]+[.][a-z]+)$', 1) AS reg_domain,
+           path, qid
+    FROM p
+    """,
+)
+def x_url_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """C7+: URL canonicalization for web-corpus curation — host / path /
+    query-param extraction via JVM-side parse_url plus registered-domain
+    reduction (the key per-domain quotas and canonical-URL dedup group
+    on).  URLs are synthesized deterministically from doc fields on both
+    engines (the corpus has no URL column), mirroring the x_text_pii
+    synthesis pattern.  Map-side only, no shuffle."""
+    from ..functions.urls import registered_domain, url_host, url_path, url_query_param
+
+    d = table(spark, sf, "documents")
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("lang"), F.lit("."), F.col("source"),
+            F.lit(".example.org/d/"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("/item?id="), F.col("doc_id").cast("string"), F.lit("&ref=rss"),
+        ).alias("url"),
+    )
+    host = url_host("url")
+    parsed = u.select(
+        "doc_id",
+        host.alias("host"),
+        url_path("url").alias("path"),
+        url_query_param("url", "id").cast("bigint").alias("qid"),
+    )
+    return parsed.select(
+        "doc_id", "host",
+        registered_domain("host").alias("reg_domain"),
+        "path", "qid",
+    )

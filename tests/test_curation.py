@@ -155,3 +155,90 @@ def test_pii_count_and_redact(spark):
     assert "@" not in got[1][2] and "555-" not in got[1][2]
     assert got[2] == (0, 0, "no pii here at all")
     assert got[3][:2] == (0, 2) and got[3][2] == "<PHONE> and <PHONE>"
+
+
+def test_quality_model_logit_matches_python(spark):
+    """Fixed-weight linear classifier reproduces a plain-Python scoring of
+    the same features on a hand-built corpus."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.functions.text import (
+        QUALITY_BIAS,
+        QUALITY_LEXICON,
+        QUALITY_W_STOP,
+        QUALITY_W_WLEN,
+        STOPWORDS,
+        quality_logit,
+        tokens,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the fast spark data pipeline is fast and big"),
+        (2, "slow slow slow nothing"),
+        (3, "a of to in data"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    t = df.select("doc_id", "text", tokens("text").alias("t"))
+    out = {
+        r["doc_id"]: r["score"]
+        for r in t.select(
+            "doc_id", quality_logit(F.col("t"), F.col("text")).alias("score")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        toks = [w for w in text.lower().split() if w]
+        n_g = max(len(toks), 1)
+        stop = sum(1 for w in toks if w in STOPWORDS) / n_g
+        wlen = len(text) / n_g
+        lex = None
+        for word, w in QUALITY_LEXICON:
+            term = w * sum(1 for x in toks if x == word)
+            lex = term if lex is None else lex + term
+        expect = QUALITY_BIAS + QUALITY_W_STOP * stop + QUALITY_W_WLEN * wlen + lex / n_g
+        assert out[doc_id] == expect, doc_id  # bit-exact, same op order
+
+
+def test_embed_reduce_preserves_relative_distance(spark):
+    """JL sketch sanity: identical vectors project identically; a far
+    vector stays far in the reduced space."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.embedding import (
+        project_embeddings,
+    )
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.similarity import (
+        rademacher_planes,
+    )
+
+    dim, planes = 16, rademacher_planes(n_planes=4, dim=16)
+    a = [1.0] * dim
+    b = [1.0] * dim          # duplicate of a
+    c = [-1.0] * dim         # opposite
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "vec_id int, embedding array<float>"
+    )
+    out = {r["vec_id"]: [r[f"r{j}"] for j in range(4)]
+           for r in project_embeddings(df, planes).collect()}
+    assert out[1] == out[2]
+    assert out[3] == [-v for v in out[1]]
+
+
+def test_url_parse_components(spark):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.functions.urls import (
+        registered_domain,
+        url_host,
+        url_path,
+        url_query_param,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("https://en.src0.example.org/d/3/item?id=42&ref=rss",)], "url string"
+    )
+    row = df.select(
+        url_host("url").alias("host"),
+        url_path("url").alias("path"),
+        url_query_param("url", "id").cast("bigint").alias("qid"),
+        registered_domain(url_host("url")).alias("reg"),
+    ).collect()[0]
+    assert row["host"] == "en.src0.example.org"
+    assert row["path"] == "/d/3/item"
+    assert row["qid"] == 42
+    assert row["reg"] == "example.org"

@@ -259,3 +259,17 @@ def test_analyze_tables_feeds_cbo(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_stats_demo")
         shutil.rmtree(f"{warehouse}/t_stats_demo", ignore_errors=True)
+
+
+def test_round2_map_side_ops_shuffle_free(spark, queries):
+    """x_quality_model / x_url_parse are pure per-row projections and
+    x_embed_reduce a map-side matmul — none may introduce an Exchange or
+    drop to Python."""
+    for key in ("x_quality_model", "x_url_parse"):
+        plan = plan_of(queries[key](spark, SF))
+        assert "Exchange" not in plan, key
+        assert "BatchEvalPython" not in plan, key
+    plan = plan_of(queries["x_embed_reduce"](spark, SF))
+    # the projection itself is map-side; the only allowed exchange is none
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
