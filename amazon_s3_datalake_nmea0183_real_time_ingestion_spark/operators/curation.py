@@ -164,3 +164,30 @@ def domain_quota(df: DataFrame, domain_col: str, order_cols: list,
         df.withColumn("quota_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("quota_rank") <= n_per_domain)
     )
+
+
+def write_training_shards(df: DataFrame, path: str, order_col: str = "doc_id",
+                          n_shards: int = 8,
+                          max_records_per_file: int | None = None) -> None:
+    """Write the curated corpus as globally-ordered, size-balanced shards —
+    the output shaping a training data-loader wants (deterministic shard
+    membership, sequential reads, bounded file sizes).
+
+    ``repartitionByRange(order_col)`` samples range boundaries so shards
+    are balanced even under skewed key distributions, and within-shard
+    rows come out sorted (range exchange + local sort), so shard i holds
+    a contiguous ``order_col`` interval: a loader can map shard -> key
+    range without an index.  ``maxRecordsPerFile`` bounds individual
+    parquet files below object-store/multipart sweet spots.
+
+    Scale: one range exchange over the final corpus — unavoidable for a
+    global order and no worse than any sorted write; at 100 TB set
+    ``n_shards`` so each shard lands ~1 GB (AQE coalesces empty tails).
+    """
+    out = df.repartitionByRange(n_shards, F.col(order_col)).sortWithinPartitions(
+        order_col
+    )
+    writer = out.write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

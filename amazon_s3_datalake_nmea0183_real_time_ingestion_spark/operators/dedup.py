@@ -373,3 +373,102 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         if n_changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def connected_components_star(edges: DataFrame, nodes: DataFrame,
+                              id_col: str = "doc_id",
+                              max_iters: int = 30,
+                              reliable: bool = False,
+                              checkpoint_dir: str | None = None) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the O(log n)-round scale path for LONG-DIAMETER graphs, where plain
+    min-label propagation (:func:`connected_components`) needs
+    diameter-many rounds.
+
+    One round = large-star then small-star, each a single window shuffle:
+
+    - large-star: over the symmetrized adjacency, every strictly-larger
+      neighbor ``v > u`` re-attaches to ``m = min(N(u) ∪ {u})``;
+    - small-star: edges oriented (max, min); every smaller neighbor and
+      ``u`` itself attach to ``m``.
+
+    Both steps preserve connectivity and monotonically shrink node
+    labels; the fixpoint is a star forest whose centers are component
+    minima.  Convergence is the EXACT edge-set fixpoint (symmetric
+    difference empty) — edge sets shrink toward n_nodes rows, so the
+    two ``exceptAll`` probes cost less each round; no label-sum probe,
+    so any orderable id type works.
+
+    Same contract as :func:`connected_components` (which remains the
+    default for dedup graphs — near-clique duplicate groups have tiny
+    diameters, where 2 shuffles/round beats this scheme's 4):
+    ``edges`` (id_a, id_b) undirected, ``nodes`` covering isolated ids;
+    returns (id_col, cluster_id = component min).  ``reliable=True`` →
+    durable ``df.checkpoint`` for cluster runs.
+    """
+    if reliable:
+        sc = edges.sparkSession.sparkContext
+        if checkpoint_dir is not None:
+            sc.setCheckpointDir(checkpoint_dir)
+        elif sc.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable=True needs a checkpoint dir: pass checkpoint_dir= "
+                "or call spark.sparkContext.setCheckpointDir() first"
+            )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def _large(e: DataFrame) -> DataFrame:
+        w = Window.partitionBy("u")
+        m = F.least(F.min("v").over(w), F.col("u"))
+        return (
+            _sym(e)
+            .withColumn("m", m)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small(e: DataFrame) -> DataFrame:
+        ori = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        w = Window.partitionBy("u")
+        with_m = ori.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+        re_attach = with_m.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        to_center = with_m.select("u", F.col("m").alias("v"))
+        return re_attach.unionByName(to_center).distinct()
+
+    cur = _ckpt(
+        edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    for _ in range(max_iters):
+        nxt = _ckpt(_small(_large(cur)))
+        n_diff = (
+            nxt.exceptAll(cur).unionByName(cur.exceptAll(nxt)).count()
+        )
+        cur = nxt
+        if n_diff == 0:
+            break
+    nbr_min = _sym(cur).groupBy("u").agg(F.min("v").alias("nbr"))
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(nbr_min, F.col("node") == F.col("u"), "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.least(
+                F.coalesce(F.col("nbr"), F.col("node")), F.col("node")
+            ).alias("cluster_id"),
+        )
+    )

@@ -40,6 +40,9 @@ _NEEDS_VERDICT = [
     # Round-2 late additions (3) — fills the 50-key window exactly
     "x_quality_model", "x_embed_reduce", "x_url_parse",
 ]
+# Registered beyond the 50-key window this round (locally verified at
+# both SFs; rotate to the FRONT of _NEEDS_VERDICT in round 3):
+#   x_dataset_card
 
 
 def _front_load(priority: list[str]) -> None:

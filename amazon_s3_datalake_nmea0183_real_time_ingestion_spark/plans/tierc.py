@@ -1511,3 +1511,48 @@ def x_url_parse(spark: SparkSession, sf: str) -> DataFrame:
         registered_domain("host").alias("reg_domain"),
         "path", "qid",
     )
+
+
+@register(
+    "x_dataset_card",
+    oracle=r"""
+    WITH t AS (
+      SELECT source, lang,
+             md5(trim(regexp_replace(lower(text), '[[:space:]]+', ' ', 'g'))) AS fp,
+             len(list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '')) AS tok
+      FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+           count(*) - count(DISTINCT fp) AS dup_docs,
+           CAST(sum(tok) AS DOUBLE) / count(*) AS mean_tokens,
+           CAST(min(tok) AS INT) AS min_tokens,
+           CAST(max(tok) AS INT) AS max_tokens
+    FROM t GROUP BY source
+    """,
+)
+def x_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """C7+: dataset-card statistics — the per-source profile a corpus
+    release documents (doc/token counts, language spread, exact-dup rate,
+    token-length envelope).  One shuffle on source; the two DISTINCTs
+    expand map-side and combine partially.  Integer sums are
+    order-independent so every column is engine-exact (mean as explicit
+    double-division of exact ints, not engine avg())."""
+    d = table(spark, sf, "documents")
+    t = d.select(
+        "source", "lang",
+        doc_fingerprint("text").alias("fp"),
+        token_count("text").alias("tok"),
+    )
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("fp").cast("bigint").alias("n_unique"),
+        (F.count("*") - F.countDistinct("fp")).alias("dup_docs"),
+        (F.sum("tok").cast("double") / F.count("*")).alias("mean_tokens"),
+        F.min("tok").cast("int").alias("min_tokens"),
+        F.max("tok").cast("int").alias("max_tokens"),
+    )

@@ -62,6 +62,10 @@ HEADLINE = [
     "x_decontaminate",
     "x_pack_sequences",
     "x_domain_quota",
+    # round-2 additions: clustering, model scoring, dim reduction
+    "x_kmeans_iter",
+    "x_quality_model",
+    "x_embed_reduce",
 ]
 
 

@@ -106,3 +106,53 @@ def test_ngram_max_df_prefilter_exact_scores(spark):
     assert (1, 2) in filtered and (3, 4) in filtered
     # boilerplate-only pair (5,6) shares ONLY >max_df shingles → dropped
     assert (5, 6) in exact and (5, 6) not in filtered
+
+
+def test_star_equals_propagation_on_random_graphs(spark):
+    """Large-star/small-star (O(log n) rounds) must produce exactly the
+    clusters of min-label propagation on random graphs — including long
+    chains, its motivating case."""
+    import random
+
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        nodes = list(range(n))
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(25)]
+        edges = [e for e in edges if e[0] != e[1]]
+        e_df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        n_df = spark.createDataFrame([(x,) for x in nodes], "doc_id bigint")
+        prop = {r["doc_id"]: r["cluster_id"]
+                for r in connected_components(e_df, n_df).collect()}
+        star = {r["doc_id"]: r["cluster_id"]
+                for r in connected_components_star(e_df, n_df).collect()}
+        assert star == prop, f"trial {trial}"
+
+
+def test_star_long_chain_and_strings(spark):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    # 30-node path: diameter 29, the worst case for propagation; star
+    # scheme must still collapse it to the minimum label
+    chain = [(i, i + 1) for i in range(29)]
+    e = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    n = spark.createDataFrame([(x,) for x in range(30)] + [(99,)], "doc_id bigint")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components_star(e, n).collect()}
+    assert got == {**{i: 0 for i in range(30)}, 99: 99}
+
+    e2 = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("a", "b")], "id_a string, id_b string"
+    )
+    n2 = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("z",)], "doc_id string"
+    )
+    got2 = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components_star(e2, n2).collect()}
+    assert got2 == {"a": "a", "b": "a", "c": "a", "d": "a", "z": "z"}
