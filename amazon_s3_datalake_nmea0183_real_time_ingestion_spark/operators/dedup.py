@@ -472,3 +472,69 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
             ).alias("cluster_id"),
         )
     )
+
+
+def decontaminate_near(corpus: DataFrame, benchmark: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       k: int = 3, n_perm: int = 16, n_bands: int = 4,
+                       threshold: float = 0.5) -> DataFrame:
+    """Fuzzy benchmark decontamination: MinHash-LSH near-dup between a
+    training corpus and a held-out eval set (the near-dup complement of
+    ``operators.curation.decontaminate``'s exact n-gram overlap — real
+    pipelines run both: exact overlap catches verbatim leakage, this
+    catches lightly-edited/reformatted leakage).
+
+    Cross-corpus variant of :func:`minhash_near_dup`: both sides shingle
+    and sign independently, candidates come from a banded equi-join
+    ACROSS the two band tables (never corpus×corpus), and each candidate
+    is verified with exact Jaccard.  Returns
+    ``(corpus_id, bench_id, jaccard)`` for pairs ≥ ``threshold``.
+
+    Scale: the benchmark side is eval sets — MBs against a 100 TB corpus
+    — so its band table and shingle set broadcast; the corpus side's only
+    wide shuffles are its own signature groupBy and the per-candidate
+    intersection count, both proportional to corpus size × hit rate, not
+    corpus².
+    """
+    sh_c = shingle_set(corpus, id_col, text_col, k)
+    sh_b = shingle_set(benchmark, id_col, text_col, k)
+    bands_c = lsh_bands(minhash_signatures(sh_c, id_col, n_perm),
+                        id_col, n_perm, n_bands)
+    bands_b = lsh_bands(minhash_signatures(sh_b, id_col, n_perm),
+                        id_col, n_perm, n_bands)
+    # benchmark-derived sides are eval-set sized (MBs) — broadcast them
+    # explicitly so the corpus side never shuffles for these joins even
+    # before AQE sees runtime sizes
+    cands = (
+        bands_c.select(F.col(id_col).alias("corpus_id"), "band_id", "band_sig")
+        .join(
+            F.broadcast(
+                bands_b.select(F.col(id_col).alias("bench_id"), "band_id", "band_sig")
+            ),
+            ["band_id", "band_sig"],
+        )
+        .select("corpus_id", "bench_id")
+        .distinct()
+    )
+    sz_c = sh_c.groupBy(id_col).agg(F.count("*").alias("sz_a")).select(
+        F.col(id_col).alias("corpus_id"), "sz_a"
+    )
+    sz_b = sh_b.groupBy(id_col).agg(F.count("*").alias("sz_b")).select(
+        F.col(id_col).alias("bench_id"), "sz_b"
+    )
+    sa = sh_c.select(F.col(id_col).alias("corpus_id"), "shingle")
+    sb = sh_b.select(F.col(id_col).alias("bench_id"), "shingle")
+    inter = (
+        cands.join(sa, "corpus_id")
+        .join(F.broadcast(sb), ["bench_id", "shingle"])
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        inter.join(sz_c, "corpus_id")
+        .join(F.broadcast(sz_b), "bench_id")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("corpus_id", "bench_id", "jaccard")
+    )

@@ -1556,3 +1556,75 @@ def x_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
         F.min("tok").cast("int").alias("min_tokens"),
         F.max("tok").cast("int").alias("max_tokens"),
     )
+
+
+@register(
+    "x_decontaminate_near",
+    oracle=r"""
+    WITH bench AS (
+      SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 53 = 0),
+    tc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
+      FROM documents),
+    tb AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
+      FROM bench),
+    shc AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+2], ' ')
+                       for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
+        FROM tc)),
+    shb AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+2], ' ')
+                       for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
+        FROM tb)),
+    hc AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS hh FROM shc),
+    hb AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS hh FROM shb),
+    perms AS (SELECT i,
+                     (1103515245 * (i + 1) + 12345) % 2147483647 AS a,
+                     (1103515245 * (i + 1000003) + 12345) % 2147483647 AS b
+              FROM unnest(range(16)) u(i)),
+    mhc AS (SELECT doc_id, i, min((a * hh + b) % 2147483647) AS mn
+            FROM hc CROSS JOIN perms GROUP BY doc_id, i),
+    mhb AS (SELECT doc_id, i, min((a * hh + b) % 2147483647) AS mn
+            FROM hb CROSS JOIN perms GROUP BY doc_id, i),
+    bandc AS (SELECT doc_id, i // 4 AS band_id,
+                     md5(string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i)) AS band_sig
+              FROM mhc GROUP BY doc_id, i // 4),
+    bandb AS (SELECT doc_id, i // 4 AS band_id,
+                     md5(string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i)) AS band_sig
+              FROM mhb GROUP BY doc_id, i // 4),
+    cand AS (SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS bench_id
+             FROM bandc c JOIN bandb b USING (band_id, band_sig)),
+    szc AS (SELECT doc_id, count(*) AS sa FROM shc GROUP BY doc_id),
+    szb AS (SELECT doc_id, count(*) AS sb FROM shb GROUP BY doc_id),
+    inter AS (SELECT c.corpus_id, c.bench_id, count(*) AS n
+              FROM cand c
+              JOIN shc a ON a.doc_id = c.corpus_id
+              JOIN shb b ON b.doc_id = c.bench_id AND b.shingle = a.shingle
+              GROUP BY c.corpus_id, c.bench_id)
+    SELECT corpus_id, bench_id, round(n / (za.sa + zb.sb - n), 4) AS jaccard
+    FROM inter
+    JOIN szc za ON za.doc_id = corpus_id
+    JOIN szb zb ON zb.doc_id = bench_id
+    WHERE n / (za.sa + zb.sb - n) >= 0.5
+    """,
+)
+def x_decontaminate_near(spark: SparkSession, sf: str) -> DataFrame:
+    """C7+: fuzzy benchmark decontamination — MinHash(16)-LSH(4 bands)
+    near-dup between the training corpus and a synthesized eval set
+    (verbatim copies of every 53rd doc under shifted ids), exact-Jaccard
+    verified at >= 0.5.  Complements x_decontaminate's exact n-gram
+    overlap: catches lightly-edited leakage the exact check misses."""
+    from ..operators.dedup import decontaminate_near
+
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 53 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+    )
+    return decontaminate_near(d, bench, threshold=0.5)

@@ -242,3 +242,36 @@ def test_url_parse_components(spark):
     assert row["path"] == "/d/3/item"
     assert row["qid"] == 42
     assert row["reg"] == "example.org"
+
+
+def test_decontaminate_near_finds_edited_leak(spark):
+    """An edited (not verbatim) copy of a benchmark doc must surface via
+    MinHash banding + Jaccard, while unrelated docs stay clean."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+        decontaminate_near,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    corpus = spark.createDataFrame(
+        [
+            (1, base + "lambda mu"),              # light edit of bench 100
+            (2, "totally different words here about other topics entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    hits = decontaminate_near(corpus, bench, threshold=0.5).collect()
+    assert [(r["corpus_id"], r["bench_id"]) for r in hits] == [(1, 100)]
+    assert hits[0]["jaccard"] >= 0.8
+
+
+def test_decontaminate_near_broadcasts_bench(spark):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+        decontaminate_near,
+    )
+    from conftest import plan_of
+
+    corpus = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "a b c d e")], "doc_id long, text string")
+    plan = plan_of(decontaminate_near(corpus, bench))
+    assert "BroadcastHashJoin" in plan
