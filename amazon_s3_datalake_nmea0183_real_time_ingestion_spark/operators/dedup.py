@@ -93,8 +93,29 @@ def lsh_bands(sigs: DataFrame, id_col: str = "doc_id", n_perm: int = 16,
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing at least one LSH bucket."""
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id",
+                        max_bucket: int | None = None) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH bucket.
+
+    ``max_bucket`` is the 100 TB hot-bucket guard: a bucket holding b
+    documents emits b² candidate pairs, so ONE viral duplicate or
+    boilerplate template (thousands of near-identical docs hashing to the
+    same band signature) turns the self-join quadratic on a single key.
+    With ``max_bucket=N``, buckets larger than N are dropped from
+    candidate generation — run exact dedup FIRST (verbatim copies are its
+    job) and treat surviving over-full buckets as boilerplate, the same
+    judgement call as ``ngram_jaccard_pairs(max_df=...)``.  Default None
+    keeps candidate generation exhaustive (the oracle mode).  The window
+    count rides the same (band_id, band_sig) shuffle the join needs, so
+    the guard adds no extra exchange on the big side.
+    """
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_sig")
+        bands = (
+            bands.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_sig")
     b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_sig")
     return (
@@ -131,7 +152,8 @@ def jaccard_verify(shingles: DataFrame, candidates: DataFrame,
 
 def minhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", k: int = 3, n_perm: int = 16,
-                     n_bands: int = 4, threshold: float = 0.8) -> DataFrame:
+                     n_bands: int = 4, threshold: float = 0.8,
+                     max_bucket: int | None = None) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     candidate join → exact-Jaccard verification (C2).
 
@@ -143,7 +165,9 @@ def minhash_near_dup(docs: DataFrame, id_col: str = "doc_id",
     InMemoryTableScan overhead for data the shuffle files already hold.)"""
     sh = shingle_set(docs, id_col, text_col, k)
     sigs = minhash_signatures(sh, id_col, n_perm)
-    cands = lsh_candidate_pairs(lsh_bands(sigs, id_col, n_perm, n_bands), id_col)
+    cands = lsh_candidate_pairs(
+        lsh_bands(sigs, id_col, n_perm, n_bands), id_col, max_bucket=max_bucket
+    )
     return jaccard_verify(sh, cands, id_col, threshold)
 
 

@@ -156,3 +156,24 @@ def test_star_long_chain_and_strings(spark):
     got2 = {r["doc_id"]: r["cluster_id"]
             for r in connected_components_star(e2, n2).collect()}
     assert got2 == {"a": "a", "b": "a", "c": "a", "d": "a", "z": "z"}
+
+
+def test_lsh_max_bucket_drops_hot_buckets_only(spark):
+    """With a viral duplicate group (many identical docs -> one hot band
+    bucket), max_bucket suppresses that group's quadratic pair blow-up
+    while normal-sized near-dup groups are still found."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+        minhash_near_dup,
+    )
+
+    viral = [(i, "the same boilerplate template text repeated everywhere ok")
+             for i in range(100, 120)]
+    pair = [(1, "a unique document about spark and data engineering today"),
+            (2, "a unique document about spark and data engineering today")]
+    docs = spark.createDataFrame(viral + pair, "doc_id long, text string")
+
+    full = minhash_near_dup(docs, threshold=0.8).collect()
+    assert len(full) == (20 * 19) // 2 + 1  # viral clique + the one pair
+
+    capped = minhash_near_dup(docs, threshold=0.8, max_bucket=10).collect()
+    assert [(r["id_a"], r["id_b"]) for r in capped] == [(1, 2)]
