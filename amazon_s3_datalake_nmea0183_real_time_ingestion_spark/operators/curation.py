@@ -191,3 +191,31 @@ def write_training_shards(df: DataFrame, path: str, order_col: str = "doc_id",
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def chunk_documents(df: DataFrame, token_col: str = "n_tokens",
+                    window_tokens: int = 512) -> DataFrame:
+    """Split each document into fixed-size token chunks (the complement of
+    :func:`pack_sequences`: packing lays many short docs into one context
+    window, chunking cuts one long doc into many) — RAG/embedding-index
+    preprocessing where every chunk becomes its own row.
+
+    Adds ``chunk_id`` (0-based), ``chunk_start`` (token offset) and
+    ``chunk_len`` (``window_tokens`` except the tail).  Empty docs emit
+    one zero-length chunk so no document silently disappears.
+
+    Scale: a map-side ``explode(sequence(...))`` row generator — no
+    shuffle, no state; output row count is ceil(tokens/window) per doc,
+    generated executor-locally (same shape as mix_upsample's epochs).
+    """
+    n_chunks = F.greatest(
+        F.ceil(F.col(token_col) / F.lit(window_tokens)), F.lit(1)
+    ).cast("int")
+    out = df.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    start = F.col("chunk_id") * window_tokens
+    return out.withColumn("chunk_start", start.cast("int")).withColumn(
+        "chunk_len",
+        F.least(F.lit(window_tokens), F.col(token_col) - start).cast("int"),
+    )

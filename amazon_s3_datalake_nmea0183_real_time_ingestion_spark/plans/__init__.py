@@ -42,7 +42,7 @@ _NEEDS_VERDICT = [
 ]
 # Registered beyond the 50-key window this round (locally verified at
 # both SFs; rotate to the FRONT of _NEEDS_VERDICT in round 3):
-#   x_dataset_card, x_decontaminate_near
+#   x_dataset_card, x_decontaminate_near, x_chunk_documents
 
 
 def _front_load(priority: list[str]) -> None:

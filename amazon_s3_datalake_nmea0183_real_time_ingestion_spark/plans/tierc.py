@@ -1628,3 +1628,33 @@ def x_decontaminate_near(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 5000000).alias("doc_id"), "text"
     )
     return decontaminate_near(d, bench, threshold=0.5)
+
+
+@register(
+    "x_chunk_documents",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '')) AS n_tok
+      FROM documents)
+    SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+           CAST(e AS INT) AS chunk_id,
+           CAST(e * 32 AS INT) AS chunk_start,
+           CAST(least(32, n_tok - e * 32) AS INT) AS chunk_len
+    FROM t CROSS JOIN unnest(range(8)) u(e)
+    WHERE e < greatest(CAST(ceil(n_tok / 32.0) AS BIGINT), 1)
+    """,
+)
+def x_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """C7+: fixed-token-window document chunking (32-token windows) —
+    RAG/embedding-index preprocessing; map-side explode row generator,
+    no shuffle.  Empty docs emit one zero-length chunk."""
+    from ..operators.curation import chunk_documents
+
+    d = table(spark, sf, "documents")
+    with_tok = d.select(
+        "doc_id", token_count("text").cast("int").alias("n_tok")
+    )
+    return chunk_documents(with_tok, "n_tok", 32).select(
+        "doc_id", "n_tok", "chunk_id", "chunk_start", "chunk_len"
+    )

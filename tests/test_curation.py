@@ -275,3 +275,27 @@ def test_decontaminate_near_broadcasts_bench(spark):
     bench = spark.createDataFrame([(2, "a b c d e")], "doc_id long, text string")
     plan = plan_of(decontaminate_near(corpus, bench))
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_covers_every_token_once(spark):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 5), (3, 32), (4, 33), (5, 100)], "doc_id long, n_tokens int"
+    )
+    out = chunk_documents(df, window_tokens=32).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_len"] == 0
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_len"] == 5
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_len"] == 32
+    assert len(by_doc[4]) == 2
+    for doc_id, n in [(2, 5), (3, 32), (4, 33), (5, 100)]:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        assert chunks[0]["chunk_start"] == 0
+        assert sum(c["chunk_len"] for c in chunks) == n       # full coverage
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["chunk_start"] == a["chunk_start"] + a["chunk_len"]
