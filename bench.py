@@ -62,10 +62,12 @@ HEADLINE = [
     "x_decontaminate",
     "x_pack_sequences",
     "x_domain_quota",
-    # round-2 additions: clustering, model scoring, dim reduction
+    # round-2 additions: clustering, model scoring, dim reduction,
+    # cross-corpus fuzzy decontamination (broadcast MinHash path)
     "x_kmeans_iter",
     "x_quality_model",
     "x_embed_reduce",
+    "x_decontaminate_near",
 ]
 
 

@@ -273,3 +273,9 @@ def test_round2_map_side_ops_shuffle_free(spark, queries):
     # the projection itself is map-side; the only allowed exchange is none
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_chunk_documents_generates_without_shuffle(spark, queries):
+    plan = plan_of(queries["x_chunk_documents"](spark, SF))
+    assert "Generate" in plan      # explode row generator
+    assert "Exchange" not in plan  # executor-local
