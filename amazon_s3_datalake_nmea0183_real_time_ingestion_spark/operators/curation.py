@@ -166,6 +166,65 @@ def domain_quota(df: DataFrame, domain_col: str, order_cols: list,
     )
 
 
+def global_shuffle(df: DataFrame, id_col: str = "doc_id", n_shards: int = 8,
+                   salt: str = "shuf") -> DataFrame:
+    """Deterministic global training shuffle: every row gets a stable
+    pseudo-random shard and an in-shard position, so a data loader reads
+    the corpus in a reproducible shuffled order (same salt → same order
+    on every run, any partitioning, any engine).
+
+    Adds ``fp`` (salted md5 of the id — the shuffle key), ``shard``
+    (``md5 % n_shards``) and ``pos`` (1-based rank of ``fp`` within the
+    shard).  Ids are unique ⇒ fingerprints are unique ⇒ the order is
+    total and deterministic.
+
+    Scale: deliberately NOT a global ``row_number`` (an unpartitioned
+    window funnels 100 TB through one task); the rank window is
+    partitioned by ``shard``, so each of ``n_shards`` sorts runs
+    independently — set ``n_shards`` to O(cluster cores) and the sort is
+    embarrassingly parallel.  Loader order is (shard, pos).
+    """
+    fp = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(F.col("fp"), 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("fp")
+    return (
+        df.withColumn("fp", fp)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+    )
+
+
+def token_budget_select(df: DataFrame, score_col: str, token_col: str = "n_tokens",
+                        domain_col: str = "source", id_col: str = "doc_id",
+                        budget: int = 1500) -> DataFrame:
+    """Greedy per-domain token-budget selection: take documents in
+    descending ``score_col`` order (id as tiebreak) until the domain's
+    token budget is exhausted — the "best documents first, stop at N
+    billion tokens" step that sizes each mixture component of a training
+    set.  A document is kept iff it STARTS under budget (the standard
+    greedy-prefix rule, so the last document may straddle the line).
+
+    Adds ``cum_before`` (tokens already taken when this doc was
+    considered) and keeps only selected rows.
+
+    Scale: one shuffle on ``domain_col`` + per-domain sort for the
+    running-sum window — identical shape to :func:`pack_sequences`; rank
+    ordering by score requires score to be engine-deterministic (integer
+    ratios or raw doubles, never rounded floats).
+    """
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (F.sum(token_col).over(w) - F.col(token_col)).cast("bigint")
+    return df.withColumn("cum_before", cum_before).filter(
+        F.col("cum_before") < budget
+    )
+
+
 def write_training_shards(df: DataFrame, path: str, order_col: str = "doc_id",
                           n_shards: int = 8,
                           max_records_per_file: int | None = None) -> None:
