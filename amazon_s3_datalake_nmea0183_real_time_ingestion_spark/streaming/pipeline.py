@@ -109,13 +109,16 @@ def build_stage_rows(
     return stage, errors
 
 
-def _write_raw_tee(cls_df: DataFrame, path: str, single_file: bool = True) -> None:
+def _write_raw_tee(cls_df: DataFrame, path: str, single_file: bool = False) -> None:
     """Raw-zone JSON tee partitioned by processing-time y/m/d
     (hello.py:52-62,201-234 — wall-clock ``now.strftime`` partitions).
 
-    ``single_file=True`` mirrors the Lambda's one-upload-per-batch
-    (reference compat); ``False`` keeps natural task parallelism for
-    high-throughput batches (scale mode)."""
+    The default (``single_file=False``) keeps natural task parallelism —
+    the scale-safe plan has no ``coalesce(1)``.  ``single_file=True`` is
+    the reference-compat OPT-IN that mirrors the Lambda's
+    one-upload-per-batch (hello.py:201-234); only sensible at
+    Lambda-scale batch volumes (deliberate deviation, SURVEY.md §7.5
+    style)."""
     parts = processing_partition_cols()
     out = (
         cls_df.withColumn("year", parts["year"])
@@ -137,7 +140,7 @@ def process_batch(
     lake_dir: str,
     geo_dim: DataFrame,
     reference_compat_raw_tee: bool = True,
-    tee_single_file: bool = True,
+    tee_single_file: bool = False,
     maintain_rollup: bool = False,
 ) -> PipelineBatchResult:
     """The foreachBatch body — the Lambda's records-in/records-out contract
@@ -209,7 +212,7 @@ def start_pipeline(
     max_files_per_trigger: int | None = None,
     max_bytes_per_trigger: int | None = None,
     results: list[PipelineBatchResult] | None = None,
-    tee_single_file: bool = True,
+    tee_single_file: bool = False,
     maintain_rollup: bool = False,
     maintain_every_n_batches: int | None = None,
     maintenance_catalog_tables: list[str] | None = None,
