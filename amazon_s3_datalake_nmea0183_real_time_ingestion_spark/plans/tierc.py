@@ -34,7 +34,12 @@ from ..operators.dedup import (
     simhash_pairs,
     simhash_signatures,
 )
-from ..operators.multimodal import extract_features, pack_assets
+from ..operators.multimodal import (
+    build_codec_assets,
+    decode_codec_features,
+    extract_features,
+    pack_assets,
+)
 from ..operators.sessionize import gap_sessions
 from ..operators.similarity import (
     lsh_topk,
@@ -557,6 +562,57 @@ def x_multimodal_binary(spark: SparkSession, sf: str) -> DataFrame:
         "first_byte",
         "byte_sum_mod",
     )
+
+
+@register(
+    "x_multimodal_decode",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) > 0),
+    vals AS (
+      SELECT doc_id,
+             sum(unicode(c) % 256) AS vsum,
+             CAST(min(unicode(c) % 256) AS INTEGER) AS vmin,
+             CAST(max(unicode(c) % 256) AS INTEGER) AS vmax
+      FROM (SELECT doc_id, unnest([substr(text, i, 1)
+                                   for i in range(1, length(text) + 1)]) AS c
+            FROM base) t
+      GROUP BY doc_id)
+    SELECT b.doc_id AS asset_id,
+           CASE CAST(b.doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp' ELSE 'ppm' END AS container,
+           CASE WHEN b.doc_id % 3 = 0 THEN NULL ELSE 1 END AS width,
+           CASE WHEN b.doc_id % 3 = 0 THEN NULL
+                ELSE CAST(b.n AS INTEGER) END AS height,
+           CASE WHEN b.doc_id % 3 = 0 THEN 16000 ELSE NULL END AS sample_rate,
+           CASE WHEN b.doc_id % 3 = 0 THEN 1 ELSE NULL END AS n_channels,
+           CASE CAST(b.doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 8 END AS bit_depth,
+           b.n AS n_values,
+           CAST(v.vsum % 997 AS BIGINT) AS value_sum_mod,
+           v.vmin AS value_min, v.vmax AS value_max
+    FROM base b JOIN vals v USING (doc_id)
+    """,
+)
+def x_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """C5 with REAL codecs: synthesize one standard container file per
+    document (WAV PCM16 / 24-bit BMP / P6 PPM by ``doc_id % 3``, values =
+    text code points mod 256), then DECODE it — RIFF chunk walk, DIB
+    header + bottom-up rows, netpbm header — and emit header fields +
+    value stats.  The oracle predicts every stat from the generating
+    text without running a codec, so a header-parse or row-order bug
+    (e.g. forgetting BMP's bottom-up raster) hash-fails.
+
+    Reference parity: the reference treats payloads as opaque base64
+    (hello.py:136-139) and never decodes; this is the training-pipeline
+    extension (SURVEY.md §2 C5) with the decode stage made real."""
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text")
+    )
+    return decode_codec_features(build_codec_assets(d))
 
 
 # ---------------------------------------------------------------------------

@@ -68,6 +68,7 @@ HEADLINE = [
     "x_quality_model",
     "x_embed_reduce",
     "x_decontaminate_near",
+    "x_multimodal_decode",
 ]
 
 
