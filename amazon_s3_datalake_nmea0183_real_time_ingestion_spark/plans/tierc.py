@@ -208,6 +208,70 @@ def x_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_pairs(sigs, n_bands=4, max_hamming=8)
 
 
+_SIMHASH_SIG_SQL = """
+    tok AS (SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hh FROM tok),
+    bits AS (SELECT doc_id, b,
+                    sum(CASE WHEN (hh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM h CROSS JOIN unnest(range(60)) u(b) GROUP BY doc_id, b),
+    sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id),
+    banded AS (SELECT doc_id, simhash, b AS band_id,
+                      (simhash >> (b * 15)) & 32767 AS band_val
+               FROM sig CROSS JOIN unnest(range(4)) u(b))
+"""
+
+
+@register(
+    "x_dedup_ledger_near",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_TOKS_SQL}, {_SIMHASH_SIG_SQL},
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b USING (band_id, band_val)
+              WHERE a.doc_id < b.doc_id
+                AND bit_count(xor(a.simhash, b.simhash)) <= 8),
+    evens AS (SELECT s.doc_id, s.simhash FROM sig s
+              WHERE s.doc_id % 2 = 0
+                AND NOT EXISTS (SELECT 1 FROM pairs p
+                                WHERE p.id_b = s.doc_id AND p.id_a % 2 = 0))
+    SELECT s.doc_id, s.simhash FROM sig s
+    WHERE s.doc_id % 2 = 1
+      AND NOT EXISTS (SELECT 1 FROM pairs p
+                      WHERE p.id_b = s.doc_id AND p.id_a % 2 = 1)
+      AND NOT EXISTS (SELECT 1
+                      FROM banded a
+                      JOIN banded e USING (band_id, band_val)
+                      JOIN evens ea ON ea.doc_id = e.doc_id
+                      WHERE a.doc_id = s.doc_id
+                        AND bit_count(xor(a.simhash, e.simhash)) <= 8)
+    """,
+)
+def x_dedup_ledger_near(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-batch NEAR-dup admission against a persistent SimHash ledger
+    (operators/dedup_ledger.py): batch 1 (even doc_ids) builds the ledger,
+    batch 2 (odd doc_ids) is admitted only where no band collision within
+    Hamming≤8 exists against batch 1's ADMITTED signatures, after the
+    in-batch keep-min rule.  Exercises the real on-disk ledger write/read
+    (per-batch-id dynamic-overwrite partitions) inside a query the oracle
+    reproduces purely relationally."""
+    import shutil
+
+    from ..operators.dedup_ledger import admit_near_new_documents
+
+    ledger = "/tmp/spark_graft_sinks/near_ledger"
+    shutil.rmtree(ledger, ignore_errors=True)
+    corpus = _doc_corpus(spark, sf)
+    admit_near_new_documents(
+        spark, corpus.filter(F.col("doc_id") % 2 == 0), ledger, batch_id=1
+    )
+    admitted = admit_near_new_documents(
+        spark, corpus.filter(F.col("doc_id") % 2 == 1), ledger, batch_id=2
+    )
+    return simhash_signatures(admitted).select("doc_id", "simhash")
+
+
 @register(
     "x_dedup_ngram",
     oracle=f"""
