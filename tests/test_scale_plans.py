@@ -279,3 +279,24 @@ def test_chunk_documents_generates_without_shuffle(spark, queries):
     plan = plan_of(queries["x_chunk_documents"](spark, SF))
     assert "Generate" in plan      # explode row generator
     assert "Exchange" not in plan  # executor-local
+
+
+def test_decontaminate_near_broadcasts_benchmark_side(spark, queries):
+    """The two most expensive bench plans must not silently regress:
+    decontamination joins a 100 TB corpus against a tiny benchmark set —
+    every join must build on the broadcast benchmark side; a SortMergeJoin
+    anywhere means the corpus started shuffling against the benchmark."""
+    plan = plan_of(queries["x_decontaminate_near"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_simhash_pairs_has_no_pair_distinct_exchange(spark, queries):
+    """simhash_pairs dedups band collisions map-side (first-collision-band
+    rule) — a |candidate-pairs|-sized distinct would reintroduce an
+    Exchange partitioned on (id_a, id_b). Allowed exchanges partition on
+    doc_id/tok (signature aggregation) or band keys, never pair ids."""
+    plan = plan_of(queries["x_dedup_simhash"](spark, SF))
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "id_a" not in line and "id_b" not in line, line.strip()
