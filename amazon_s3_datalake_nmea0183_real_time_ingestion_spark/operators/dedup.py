@@ -324,7 +324,8 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
                          id_col: str = "doc_id",
                          max_iters: int = 25,
                          reliable: bool = False,
-                         checkpoint_dir: str | None = None) -> DataFrame:
+                         checkpoint_dir: str | None = None,
+                         stats: dict | None = None) -> DataFrame:
     """Connected components over a near-dup candidate graph → cluster ids
     (the step that turns pairwise near-dup hits into dedup groups: keep the
     canonical member, drop the rest).
@@ -375,7 +376,9 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         from_nbrs = sym.join(labels, sym["src"] == labels["node"]).select(
             F.col("dst").alias("node"), F.col("lbl"), F.lit(0).alias("is_self")
         )
@@ -396,6 +399,8 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         labels = new_labels.select("node", "lbl")
         if n_changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds  # ``stats``: observability out-param (scale probes)
     return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 
@@ -403,7 +408,8 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
                               id_col: str = "doc_id",
                               max_iters: int = 30,
                               reliable: bool = False,
-                              checkpoint_dir: str | None = None) -> DataFrame:
+                              checkpoint_dir: str | None = None,
+                              stats: dict | None = None) -> DataFrame:
     """Alternating large-star / small-star connected components (Kiveris
     et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
     the O(log n)-round scale path for LONG-DIAMETER graphs, where plain
@@ -477,7 +483,9 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         nxt = _ckpt(_small(_large(cur)))
         n_diff = (
             nxt.exceptAll(cur).unionByName(cur.exceptAll(nxt)).count()
@@ -485,6 +493,8 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
         cur = nxt
         if n_diff == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds  # ``stats``: observability out-param (scale probes)
     nbr_min = _sym(cur).groupBy("u").agg(F.min("v").alias("nbr"))
     return (
         nodes.select(F.col(id_col).alias("node"))

@@ -5,6 +5,12 @@ import pytest
 from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.session import get_spark
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: scale probes over synthesized corpora (~1 min each)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", shuffle_partitions=4)

@@ -1,0 +1,139 @@
+"""Scale probes (VERDICT r2 §4): adversarial data shapes that break naive
+dedup at 100 TB — a viral document duplicated thousands of times (one LSH
+bucket goes quadratic), corpus-wide boilerplate (every shingle's document
+frequency = corpus size), and a long-diameter duplicate-chain graph.
+
+Each probe demonstrates the shipped guard with MEASURED evidence (candidate
+counts / convergence rounds), not prose; SCALE.md §4 records the numbers
+from these runs plus a larger one-off (viral×10k). Marked ``slow`` — they
+synthesize corpora bigger than the sf fixtures — but kept under ~1 min each
+so the default suite still runs them.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_near_dup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_set,
+)
+
+pytestmark = pytest.mark.slow
+
+
+def _synthetic_corpus(spark, n_docs: int, n_tokens: int = 12):
+    """n_docs documents of n_tokens distinct-ish tokens (md5-derived), so
+    organic cross-doc shingle collisions are negligible."""
+    toks = [
+        F.concat(F.lit(f"w{j}"), F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{j}"))), 1, 6))
+        for j in range(n_tokens)
+    ]
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *toks).alias("text")
+    )
+
+
+def test_viral_duplicate_hot_bucket_guard(spark):
+    """ONE viral doc in 3 000 copies: its band bucket alone would emit
+    ~4.5M candidate pairs (b²/2 — quadratic in the copy count, the thing
+    that kills an unguarded LSH join at scale). ``max_bucket`` drops
+    over-full buckets from candidate generation while organic near-dup
+    pairs in the same corpus survive."""
+    n_viral = 3_000
+    base = _synthetic_corpus(spark, 500)
+    viral = spark.range(100_000, 100_000 + n_viral).select(
+        F.col("id").alias("doc_id"),
+        F.lit("viral template text repeated verbatim across the whole "
+              "crawl snapshot forever and ever amen").alias("text"),
+    )
+    # a planted organic near-dup pair, far from the viral bucket
+    planted = base.filter(F.col("doc_id") == 7).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = base.unionByName(viral).unionByName(planted)
+
+    sh = shingle_set(corpus, "doc_id", "text", 3)
+    bands = lsh_bands(minhash_signatures(sh, "doc_id", 16), "doc_id", 16, 4)
+
+    unguarded = lsh_candidate_pairs(bands, "doc_id").count()
+    guarded = lsh_candidate_pairs(bands, "doc_id", max_bucket=100).count()
+    # the viral bucket alone contributes ≥ C(3000,2) pairs ≈ 4.5M
+    assert unguarded >= n_viral * (n_viral - 1) // 2
+    assert guarded < 10_000  # quadratic blowup gone
+    # end-to-end: guarded pipeline still finds the planted organic pair
+    hits = minhash_near_dup(corpus, threshold=0.5, max_bucket=100)
+    pairs = {(r["id_a"], r["id_b"]) for r in hits.collect()}
+    assert (7, 200_007) in pairs
+    assert all(not (100_000 <= a < 103_000) for a, _ in pairs)
+
+
+def test_boilerplate_max_df_guard(spark):
+    """Every document shares a 12-token license header → each header
+    shingle has df = corpus size, and exact n-gram candidate generation
+    degenerates to corpus² through those buckets. ``max_df`` drops
+    boilerplate shingles from CANDIDATE GENERATION only; scores stay
+    exact over the full shingle sets, so a genuinely near-dup pair
+    (shared unique core) still surfaces with its true Jaccard."""
+    n_docs = 1_500
+    header = ("permission is hereby granted free of charge to any person "
+              "obtaining a copy of this software")
+    base = _synthetic_corpus(spark, n_docs, n_tokens=10).select(
+        "doc_id", F.concat(F.lit(header + " "), F.col("text")).alias("text")
+    )
+    planted = base.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = base.unionByName(planted)
+
+    sh = shingle_set(corpus, "doc_id", "text", 3)
+    df_hist = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # the adversarial shape is real: header shingles sit in EVERY doc
+    assert df_hist.agg(F.max("df")).first()[0] >= n_docs
+
+    hits = ngram_jaccard_pairs(corpus, k=3, threshold=0.5, max_df=50)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in hits.collect()}
+    assert (3, 500_003) in rows
+    # exact score despite the prefilter: the pair shares header AND core
+    assert rows[(3, 500_003)] > 0.8
+    # boilerplate-only pairs (distinct cores) must NOT be emitted
+    assert all(b - a == 500_000 for a, b in rows)
+
+
+def test_long_chain_star_cc_converges_in_log_rounds(spark):
+    """Duplicate-chain graph (A≈B≈C≈…, each hop a near-dup pair) of
+    diameter 48: plain min-label propagation needs ~diameter rounds —
+    the alternating large-star/small-star scheme collapses it in
+    O(log n). Both must agree on the single component."""
+    n = 48
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+
+    star_stats: dict = {}
+    star = connected_components_star(
+        edges, nodes, max_iters=30, stats=star_stats
+    ).collect()
+    assert {r["cluster_id"] for r in star} == {0}
+    assert len(star) == n
+    assert star_stats["rounds"] <= 8  # ~log2(48) + fixpoint-confirm round
+
+    prop_stats: dict = {}
+    prop = connected_components(
+        edges, nodes, max_iters=n + 2, stats=prop_stats
+    ).collect()
+    assert {r["cluster_id"] for r in prop} == {0}
+    # propagation pays ~diameter rounds on the same graph — the measured
+    # gap that justifies the star variant for long-diameter graphs
+    assert prop_stats["rounds"] >= n // 2
+    assert prop_stats["rounds"] > 3 * star_stats["rounds"]
