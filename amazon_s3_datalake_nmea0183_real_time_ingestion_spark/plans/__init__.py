@@ -6,6 +6,7 @@ from .registry import REGISTRY, Query, register  # noqa: F401
 from . import tierb  # noqa: F401,E402
 from . import tiera  # noqa: F401,E402
 from . import tierc  # noqa: F401,E402
+from . import tierd  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
 # keys per round.  The union of CORRECTNESS_r01+r02 covers 98/101 keys, all
@@ -21,6 +22,15 @@ _NEEDS_VERDICT = [
     # Round-3 additions — each needs its first driver row
     "x_multimodal_decode",
     "x_dedup_ledger_near",
+    # Round-3 Tier D analytics extensions
+    "q_funnel",
+    "q_retention",
+    "q_gapfill",
+    "x_scd2",
+    "x_bm25",
+    "x_surprisal",
+    "x_dedup_best",
+    "x_zorder",
 ]
 
 

@@ -1,0 +1,575 @@
+"""Tier D — round-3 analytics extensions beyond SURVEY §2's original
+inventory: event-funnel / cohort-retention / gap-fill / SCD2 history over
+the `events` stream table, BM25 ranking and unigram-surprisal quality over
+`documents`, best-representative near-dup collapse, and Z-order layout
+keys for multi-dimensional data skipping.
+
+Every key follows the registry's cross-engine hash rules (registry.py
+docstring): identical aliases both sides, ROUND on floating aggregates,
+BIGINT casts on DuckDB integer sums, DATE/epoch-micros instead of raw
+timestamps.  BM25/surprisal use ln(); Math.log (JVM) and libm log are both
+<=1 ulp so round(,6) keeps the hashes stable (same acceptance class as the
+documented round()-tie boundary).
+
+Scale notes (100 TB design point) are on each operator's docstring —
+the common theme: one key-shuffle per stage, scalar/dimension sides
+broadcast, global top-k via TakeOrderedAndProject, never a driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import quality_logit, tokens
+from ..operators.dedup import connected_components, ngram_jaccard_pairs
+from .registry import register, table
+from .tierc import _CORPUS3_SQL, _SHINGLES_SQL, _TOKS_SQL, _doc_corpus3
+
+# ---------------------------------------------------------------------------
+# event analytics — funnel / retention / gap-fill / SCD2
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM ev e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM ev e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+    c AS (SELECT (SELECT count(*) FROM s1) AS u1,
+                 (SELECT count(*) FROM s2) AS u2,
+                 (SELECT count(*) FROM s3) AS u3)
+    SELECT '1_view' AS stage, CAST(u1 AS BIGINT) AS n_users,
+           round(CAST(1.0 AS DOUBLE), 4) AS conv_from_prev FROM c
+    UNION ALL
+    SELECT '2_click', CAST(u2 AS BIGINT),
+           round(CASE WHEN u1 = 0 THEN NULL
+                      ELSE CAST(u2 AS DOUBLE) / u1 END, 4) FROM c
+    UNION ALL
+    SELECT '3_purchase', CAST(u3 AS BIGINT),
+           round(CASE WHEN u2 = 0 THEN NULL
+                      ELSE CAST(u3 AS DOUBLE) / u2 END, 4) FROM c
+    """,
+)
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user converts
+    a stage only with an event strictly after their previous-stage time
+    (the min-timestamp chain; ClickHouse windowFunnel semantics with
+    strict ordering).
+
+    Scale: ONE shuffle on user_id; the three stage times are consecutive
+    Window aggregates over the same partitioning (no orderBy -> no sort
+    requirement beyond the exchange), then a per-user collapse and a
+    single-row global rollup.  No collect, no driver loop.
+    """
+    ev = (
+        table(spark, sf, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+    )
+    w = Window.partitionBy("user_id")
+    ev = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    ev = ev.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    ev = ev.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    one = per_user.agg(
+        F.sum(F.col("t1").isNotNull().cast("long")).alias("u1"),
+        F.sum(F.col("t2").isNotNull().cast("long")).alias("u2"),
+        F.sum(F.col("t3").isNotNull().cast("long")).alias("u3"),
+    )
+    return one.selectExpr(
+        """stack(3,
+             '1_view', u1, round(CAST(1.0 AS DOUBLE), 4),
+             '2_click', u2,
+             round(CASE WHEN u1 = 0 THEN NULL
+                        ELSE CAST(u2 AS DOUBLE) / u1 END, 4),
+             '3_purchase', u3,
+             round(CASE WHEN u2 = 0 THEN NULL
+                        ELSE CAST(u3 AS DOUBLE) / u2 END, 4)
+           ) AS (stage, n_users, conv_from_prev)"""
+    )
+
+
+@register(
+    "q_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS INT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM act a JOIN firsts f ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def q_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen ISO week, counted in
+    each subsequent activity week (the classic retention triangle).
+
+    Scale: both the first-seen aggregate and the distinct activity set
+    shuffle on user_id (co-partitioned join, one exchange each side); the
+    final rollup keys on (cohort_week, offset) — tiny cardinality. A user
+    appears once per activity week post-distinct, so count(*) == distinct
+    users with no second distinct aggregation.
+    """
+    ev = table(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    return (
+        act.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
+    "q_gapfill",
+    oracle="""
+    WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events),
+    daily AS (SELECT event_type, day, count(*) AS n, sum(value) AS s
+              FROM ev GROUP BY event_type, day),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+    spine AS (SELECT t.event_type,
+                     CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
+              FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN bounds b),
+    f AS (SELECT s.event_type, s.day, coalesce(d.n, 0) AS n, d.s
+          FROM spine s LEFT JOIN daily d
+          ON d.event_type = s.event_type AND d.day = s.day)
+    SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+           round(last_value(s IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS filled_sum
+    FROM f
+    """,
+)
+def q_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap filling: a dense (event_type x day) spine generated
+    from the observed date bounds, zero-filled counts, and
+    last-observation-carried-forward daily sums (the timeseries
+    `time_bucket_gapfill` + `locf` idiom).
+
+    Scale: the daily aggregate is tiny at any corpus size (types x days),
+    so it broadcasts onto the generated spine — the only shuffle is the
+    daily groupBy itself, which map-side combines.  The date spine comes
+    from a 1-row bounds aggregate crossed with the distinct type list;
+    sequence()+explode generates rows executor-side, never on the driver.
+    """
+    ev = table(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").alias("n"), F.sum("value").alias("s")
+    )
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    filled = spine.join(F.broadcast(daily), ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.last("s", ignorenulls=True).over(w), 4).alias("filled_sum"),
+    )
+
+
+@register(
+    "x_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    chg AS (SELECT user_id, ts, event_id, event_type FROM ordered
+            WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type AS segment,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS valid_to_us,
+           CAST(lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL AS INT)
+             AS is_current
+    FROM chg
+    """,
+)
+def x_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse each user's event
+    stream into validity intervals over the current `event_type` segment —
+    change detection by lag(), interval close by lead(), open interval =
+    current row.  The history-table construction step of a warehouse
+    dimension load.
+
+    Scale: ONE shuffle on user_id; the change-filter preserves both the
+    hash distribution and the (ts, event_id) sort, so the second window
+    (lead over the filtered rows) re-uses the exchange and the sort —
+    .explain shows a single Exchange.  Tie-break on event_id makes the
+    ordering total and both engines deterministic.
+    """
+    ev = table(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    lead_ts = F.lead("ts").over(w)
+    return chg.select(
+        "user_id",
+        F.col("event_type").alias("segment"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(lead_ts).alias("valid_to_us"),
+        lead_ts.isNull().cast("int").alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IR / quality — BM25 ranking, unigram surprisal
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "data", "fast", "big"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+
+
+@register(
+    "x_bm25",
+    oracle=f"""
+    WITH q(term) AS (VALUES {_BM25_TERMS_SQL}),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT x.doc_id, x.term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM toks) x
+           JOIN q ON q.term = x.term
+           GROUP BY x.doc_id, x.term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                          + {_BM25_B} * dl.dl / s.avgdl)))
+               AS score
+      FROM tf
+      JOIN dfreq d ON d.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id)
+    SELECT doc_id, round(score, 6) AS score,
+           CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+                AS INT) AS rank
+    FROM scored
+    ORDER BY score DESC, doc_id LIMIT 50
+    """,
+)
+def x_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-50 document ranking for a fixed query-term set (Robertson/
+    Sparck-Jones idf with the +1 smoothing, k1=1.2, b=0.75) — the lexical
+    retrieval baseline next to the vector x_sim_* family.
+
+    Scale: term frequencies shuffle once on (doc_id, term) with map-side
+    combine after an explode restricted to query terms (the filter rides
+    inside the HOF, so non-query tokens never explode).  Document
+    frequencies (|q| rows) and the corpus stats (1 row) broadcast; the
+    per-doc sum re-shuffles on doc_id.  Global top-50 is orderBy+limit =
+    TakeOrderedAndProject, never a full sort.  ln() is the documented
+    <=1-ulp cross-engine boundary; round(,6) + rounded-score ordering keep
+    the cut deterministic.
+    """
+    d = table(spark, sf, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    )
+    dl = d.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.filter(F.col("t"), lambda x: x.isin(*_BM25_TERMS))).alias(
+                "term"
+            ),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    comp = idf * F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(comp).alias("raw"))
+        .select("doc_id", F.round("raw", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(50)
+    )
+    wr = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(wr).cast("int"))
+
+
+@register(
+    "x_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    cnt AS (SELECT term, count(*) AS c FROM ex GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tt, count(*) AS vv FROM cnt)
+    SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           round(sum(-ln((c.c + 1) / (t.tt + t.vv))) / count(*), 6)
+             AS mean_surprisal
+    FROM ex e JOIN cnt c ON c.term = e.term CROSS JOIN tot t
+    GROUP BY e.doc_id
+    """,
+)
+def x_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM quality signal: per-document mean token surprisal
+    -ln p(token) under the corpus's own add-one-smoothed unigram
+    distribution (the cheap KenLM-perplexity stand-in used for quality
+    bucketing; CCNet-style).  Empty documents have no tokens and drop out
+    on both engines.
+
+    Scale: two passes over the exploded tokens, both shuffling on `term`
+    (count, then count-join); AQE broadcasts the count side when it fits —
+    at 100 TB the unigram table still shuffles correctly.  The totals
+    aggregate is 1 row, broadcast via crossJoin.  Final per-doc mean
+    shuffles on doc_id.  round(,6) absorbs ln()/sum-order ulps.
+    """
+    d = table(spark, sf, "documents").select("doc_id", tokens("text").alias("t"))
+    ex = d.select("doc_id", F.explode("t").alias("term"))
+    cnt = ex.groupBy("term").agg(F.count("*").alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("double").alias("tt"), F.count("*").alias("vv")
+    )
+    p = (F.col("c") + 1) / (F.col("tt") + F.col("vv"))
+    return (
+        ex.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(F.sum(-F.log(p)) / F.count("*"), 6).alias("mean_surprisal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup composition — keep the best representative per near-dup cluster
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = """
+    m AS (
+      SELECT k.doc_id, len(k.t) AS n_tok, greatest(len(k.t), 1) AS n_g,
+             length(c.text) AS n_chars,
+             len(list_filter(k.t, x -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], x)))
+               AS n_stop,
+             len(list_filter(k.t, x -> x = 'fast'))  AS c_fast,
+             len(list_filter(k.t, x -> x = 'slow'))  AS c_slow,
+             len(list_filter(k.t, x -> x = 'spark')) AS c_spark,
+             len(list_filter(k.t, x -> x = 'data'))  AS c_data,
+             len(list_filter(k.t, x -> x = 'big'))   AS c_big
+      FROM toks k JOIN corpus c ON c.doc_id = k.doc_id),
+    ql AS (
+      SELECT doc_id,
+             -0.4::DOUBLE
+               + 2.5::DOUBLE * (n_stop / n_g)
+               + 0.15::DOUBLE * (n_chars / n_g)
+               + (0.6::DOUBLE * c_fast + -0.7::DOUBLE * c_slow
+                  + 0.4::DOUBLE * c_spark + 0.2::DOUBLE * c_data
+                  + -0.1::DOUBLE * c_big) / n_g AS score
+      FROM m)
+"""
+
+
+@register(
+    "x_dedup_best",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS3_SQL}, {_TOKS_SQL}, {_SHINGLES_SQL},
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    pairs AS (SELECT id_a, id_b
+              FROM inter
+              JOIN sz za ON za.doc_id = id_a
+              JOIN sz zb ON zb.doc_id = id_b
+              WHERE n / (za.s + zb.s - n) >= 0.6),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b AS s, id_a AS d FROM pairs),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node),
+    {_QUALITY_SQL.strip().lstrip()}
+    SELECT l.doc_id, l.cluster_id,
+           count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+           q.score
+    FROM lab l JOIN ql q ON q.doc_id = l.doc_id
+    QUALIFY row_number() OVER (PARTITION BY l.cluster_id
+                               ORDER BY q.score DESC, l.doc_id) = 1
+    """,
+)
+def x_dedup_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware near-dup collapse: cluster near-duplicates (exact
+    n-gram Jaccard edges -> connected components, same graph as
+    x_dedup_cluster) then keep the HIGHEST-QUALITY representative per
+    cluster instead of the min-id — the policy real training-data dedup
+    uses (drop the worse copy, not the arbitrary one).  Winner by the
+    engine-exact quality logit (libm-free -> bit-identical ordering both
+    engines), doc_id tie-break.
+
+    Scale: inherits the bucketed pair-generation and O(diameter)
+    label-propagation bounds of the cluster key; the added representative
+    pick is one more window over the cluster-id shuffle.  cluster_size
+    rides the same window partitioning.
+    """
+    corpus = _doc_corpus3(spark, sf)
+    edges = ngram_jaccard_pairs(corpus, threshold=0.6).select("id_a", "id_b")
+    labels = connected_components(edges, corpus.select("doc_id"))
+    # materialize tokens in their own projection first (HOF re-eval rule)
+    q = corpus.select("doc_id", "text", tokens("text").alias("__t")).select(
+        "doc_id", quality_logit(F.col("__t"), F.col("text")).alias("score")
+    )
+    j = labels.join(q, "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    wr = wc.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        j.withColumn("cluster_size", F.count("*").over(wc))
+        .withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout — Z-order (Morton) clustering keys for multi-dim data skipping
+# ---------------------------------------------------------------------------
+
+
+def _morton_sql(x: str, y: str, bits: int = 16) -> str:
+    """Bit-interleave SQL text valid in BOTH Spark SQL and DuckDB: only
+    `>>`, `&` and `*` (shift-left as multiplication by a power of two, so
+    no engine-specific shiftleft() function is needed).  Disjoint bit
+    positions make `+` carry-free, i.e. identical to `|`."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_MORTON = _morton_sql("l_partkey", "l_suppkey")
+
+
+@register(
+    "x_zorder",
+    oracle=f"""
+    WITH z AS (
+      SELECT l_partkey, l_suppkey, {_MORTON} AS zval
+      FROM lineitem)
+    SELECT zval // 65536 AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+           min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+    FROM z GROUP BY zbucket
+    """,
+)
+def x_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (l_partkey, l_suppkey): interleave
+    the low 16 bits of both dimensions, bucket by the high Morton bits,
+    and report per-bucket min/max envelopes for BOTH dimensions — the
+    file-level statistics a Z-ordered rewrite gives a scan planner, which
+    is what makes two-column data skipping work (Delta/Iceberg OPTIMIZE
+    ZORDER BY).  Narrow per-bucket envelopes on both axes = prunable on
+    either predicate.
+
+    Scale: the Morton key is a pure map-side integer expression (identical
+    SQL text runs on both engines); the bucket rollup is one map-side-
+    combined shuffle on zbucket.  In a real rewrite the same key feeds
+    repartitionByRange(zval) before the sink so row groups inherit the
+    envelopes.
+    """
+    li = table(spark, sf, "lineitem")
+    z = li.selectExpr("l_partkey", "l_suppkey", f"{_MORTON} AS zval")
+    return (
+        z.selectExpr("CAST(zval DIV 65536 AS BIGINT) AS zbucket",
+                     "l_partkey", "l_suppkey")
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("pk_min"),
+            F.max("l_partkey").alias("pk_max"),
+            F.min("l_suppkey").alias("sk_min"),
+            F.max("l_suppkey").alias("sk_max"),
+        )
+    )

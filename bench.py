@@ -69,6 +69,14 @@ HEADLINE = [
     "x_embed_reduce",
     "x_decontaminate_near",
     "x_multimodal_decode",
+    # round-3 Tier D analytics: event funnel/retention/gap-fill/SCD2,
+    # BM25 lexical ranking, quality-aware near-dup collapse
+    "q_funnel",
+    "q_retention",
+    "q_gapfill",
+    "x_scd2",
+    "x_bm25",
+    "x_dedup_best",
 ]
 
 
