@@ -1,0 +1,67 @@
+"""Z-order layout rewrite: file envelopes must be tighter than an
+unclustered layout on BOTH dimensions, and the rewrite loses no rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.layout import (
+    file_envelopes,
+    morton_sql,
+    zorder_write,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pruning_power(envs, dims, lo, hi) -> float:
+    """Mean normalized envelope width across files and dimensions — the
+    fraction of the key range a point predicate must scan; smaller is
+    better."""
+    widths = []
+    for r in envs:
+        for c in dims:
+            widths.append((r[f"{c}_max"] - r[f"{c}_min"]) / (hi[c] - lo[c]))
+    return sum(widths) / len(widths)
+
+
+def test_zorder_write_tightens_envelopes_on_both_dims(spark, tmp_path):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    dims = ["l_partkey", "l_suppkey"]
+    bounds = li.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in dims],
+        *[F.max(c).alias(f"hi_{c}") for c in dims],
+    ).first()
+    lo = {c: bounds[f"lo_{c}"] for c in dims}
+    hi = {c: bounds[f"hi_{c}"] for c in dims}
+
+    zpath = str(tmp_path / "zordered")
+    rpath = str(tmp_path / "roundrobin")
+    zorder_write(li, dims, zpath, n_files=16)
+    li.repartition(16).write.parquet(rpath)  # unclustered baseline
+
+    z = spark.read.parquet(zpath)
+    assert z.count() == li.count()
+    assert set(z.columns) == set(li.columns)  # key column dropped
+
+    z_power = _pruning_power(
+        file_envelopes(spark, zpath, dims).collect(), dims, lo, hi
+    )
+    r_power = _pruning_power(
+        file_envelopes(spark, rpath, dims).collect(), dims, lo, hi
+    )
+    # round-robin files span ~the full range on every dim (power ~1.0);
+    # z-ordered files must cover well under half the range on average
+    assert r_power > 0.9, r_power
+    assert z_power < 0.5 * r_power, (z_power, r_power)
+
+
+def test_morton_sql_interleaves_bits():
+    # 3-bit check: x=0b101, y=0b011 -> z bits x0,y0,x1,y1,x2,y2 = 1,1,0,1,1,0
+    expr = morton_sql(["x", "y"], bits=3)
+    import duckdb
+
+    z = duckdb.sql(f"SELECT {expr} AS z FROM (SELECT 5 AS x, 3 AS y)").fetchone()[0]
+    assert z == 0b011011  # positions: x@0,2,4 = 1,0,1; y@1,3,5 = 1,1,0

@@ -300,3 +300,54 @@ def test_simhash_pairs_has_no_pair_distinct_exchange(spark, queries):
     for line in plan.splitlines():
         if "hashpartitioning" in line:
             assert "id_a" not in line and "id_b" not in line, line.strip()
+
+
+def _shuffle_exchanges(plan: str) -> list[str]:
+    """Detail-section shuffle Exchange nodes (excludes broadcast + reuse)."""
+    return [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l
+    ]
+
+
+def test_scd2_shares_one_exchange_across_both_windows(spark, queries):
+    """x_scd2's change-filter preserves the user_id distribution and the
+    (ts, event_id) sort, so lag and lead must share ONE shuffle — a second
+    Exchange means the filter broke the distribution contract."""
+    plan = plan_of(queries["x_scd2"](spark, SF))
+    assert len(_shuffle_exchanges(plan)) == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_funnel_stage_chain_rides_one_user_shuffle(spark, queries):
+    """q_funnel's three conditional-min windows + per-user collapse reuse
+    the user_id exchange; only the final single-row rollup may add one."""
+    plan = plan_of(queries["q_funnel"](spark, SF))
+    assert len(_shuffle_exchanges(plan)) <= 2, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_gapfill_broadcasts_daily_aggregate(spark, queries):
+    """The dense spine joins the daily aggregate via broadcast — a
+    SortMergeJoin would shuffle the generated spine against the fact
+    rollup for no reason (both sides are types x days sized)."""
+    plan = plan_of(queries["q_gapfill"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_top50_is_take_ordered(spark, queries):
+    """Global top-50 must plan as TakeOrderedAndProject (per-partition
+    heaps), never a full global sort; scoring stays JVM-side."""
+    plan = plan_of(queries["x_bm25"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_zorder_is_map_side_plus_one_rollup(spark, queries):
+    """The Morton key is a pure projection; the only shuffle is the
+    zbucket rollup (map-side combined)."""
+    plan = plan_of(queries["x_zorder"](spark, SF))
+    assert len(_shuffle_exchanges(plan)) == 1, plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan
