@@ -1,0 +1,57 @@
+"""Graph rank propagation: fixed-iteration PageRank as an unrolled
+declarative plan (Page et al. '99; the crawl-graph importance signal
+corpus-curation pipelines weight documents by).
+
+Complements the connected-components family in operators/dedup.py: CC
+answers "which docs are the same", PageRank answers "which docs matter".
+
+Scale: each iteration is one shuffle — the contribution sum keyed on the
+destination node; the edge list joins the current ranks on the source key
+and the degree table rides the same src partitioning.  The iteration count
+is FIXED and unrolled into the plan (no driver loop, no collect); for
+web-scale graphs with many rounds you would localCheckpoint ranks every
+few iterations to cut lineage, exactly like connected_components'
+``reliable=True`` mode (dedup.py) — same control-plane pattern, documented
+rather than duplicated here.  Dangling-mass redistribution is deliberately
+omitted (isolated nodes keep the teleport term only) so the recurrence is
+a pure linear map both engines replay identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """``edges`` (src, dst) directed — pass both directions for an
+    undirected graph; ``nodes`` (node).  Returns (node, r) after
+    ``n_iter`` rounds of  r(v) = (1-d)/N + d * sum_{u->v} r(u)/deg(u),
+    with r0 = 1/N."""
+    nn = nodes.agg(F.count("*").cast("double").alias("__n"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
+    base = nodes.crossJoin(F.broadcast(nn))
+    ranks = base.select("node", (F.lit(1.0) / F.col("__n")).alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("r") / F.col("__deg")).alias("c"))
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("__m"))
+        ranks = (
+            base.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping) * F.coalesce(F.col("__m"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks

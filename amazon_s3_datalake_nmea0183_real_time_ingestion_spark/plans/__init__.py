@@ -31,6 +31,7 @@ _NEEDS_VERDICT = [
     "x_surprisal",
     "x_dedup_best",
     "x_zorder",
+    "x_pagerank",
 ]
 
 

@@ -573,3 +573,87 @@ def x_zorder(spark: SparkSession, sf: str) -> DataFrame:
             F.max("l_suppkey").alias("sk_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph — fixed-iteration PageRank (co-purchase importance)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    """Unrolled-CTE replica of operators.graph.pagerank — generated from
+    the same iteration count so engine and oracle cannot drift."""
+    parts = [
+        """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+              FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    nodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT s, count(*) AS deg FROM pairs GROUP BY s),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f""",
+    c{i + 1} AS (SELECT p.d AS node, sum(r{i}.r / deg.deg) AS m
+           FROM pairs p JOIN r{i} ON r{i}.node = p.s JOIN deg ON deg.s = p.s
+           GROUP BY p.d),
+    r{i + 1} AS (SELECT nodes.node,
+                  0.15 / (SELECT n FROM nn)
+                    + 0.85 * coalesce(c{i + 1}.m, 0) AS r
+           FROM nodes LEFT JOIN c{i + 1} ON c{i + 1}.node = nodes.node)"""
+        )
+    parts.append(
+        f"""
+    SELECT r{n_iter}.node AS part_id,
+           CAST(coalesce(deg.deg, 0) AS BIGINT) AS degree,
+           round(r{n_iter}.r * (SELECT n FROM nn), 6) AS rank_norm
+    FROM r{n_iter} LEFT JOIN deg ON deg.s = r{n_iter}.node"""
+    )
+    return "".join(parts)
+
+
+@register("x_pagerank", oracle=_pagerank_oracle())
+def x_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-iteration PageRank over the part co-purchase graph (parts
+    sharing an order are linked, both directions) — the graph-importance
+    signal curation pipelines use to weight crawl documents; here
+    demonstrated on the deterministic TPC-H co-occurrence graph.  3
+    damped rounds (d=0.85), teleport-only for isolated nodes, rank
+    reported N-normalized (uniform = 1.0).
+
+    Scale: pair generation self-joins on l_orderkey (both sides share one
+    exchange) and is bounded by order width, never corpus-squared; each
+    unrolled iteration is one dst-keyed shuffle (operators/graph.py
+    docstring covers the many-round checkpoint variant).  round(,6)
+    absorbs sum-order and teleport-constant ulps.
+    """
+    from ..operators.graph import pagerank
+
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    nodes = li.select(F.col("l_partkey").alias("node")).distinct()
+    ranks = pagerank(pairs, nodes, n_iter=3, damping=0.85)
+    nn = nodes.agg(F.count("*").cast("double").alias("__n"))
+    deg = pairs.groupBy("src").agg(F.count("*").alias("deg"))
+    return (
+        ranks.join(deg, ranks["node"] == deg["src"], "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("node").alias("part_id"),
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("degree"),
+            F.round(F.col("r") * F.col("__n"), 6).alias("rank_norm"),
+        )
+    )
