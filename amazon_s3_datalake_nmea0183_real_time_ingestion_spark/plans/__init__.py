@@ -32,6 +32,8 @@ _NEEDS_VERDICT = [
     "x_dedup_best",
     "x_zorder",
     "x_pagerank",
+    "q_merge",
+    "q_pattern_match",
 ]
 
 

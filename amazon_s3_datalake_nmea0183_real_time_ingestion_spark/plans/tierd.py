@@ -657,3 +657,142 @@ def x_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("r") * F.col("__n"), 6).alias("rank_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# warehouse maintenance — MERGE INTO semantics; CEP pattern match
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_merge",
+    oracle="""
+    WITH upd AS (
+      SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS spent
+      FROM orders GROUP BY o_custkey),
+    del AS (
+      SELECT c_custkey AS custkey FROM customer
+      WHERE c_acctbal < 0
+        AND c_custkey NOT IN (SELECT custkey FROM upd)),
+    ins AS (
+      SELECT c_custkey + 1000000 AS custkey,
+             concat('Customer#new', CAST(c_custkey AS VARCHAR)) AS name,
+             CAST(0.0 AS DOUBLE) AS acctbal
+      FROM customer WHERE c_custkey < 10),
+    kept AS (
+      SELECT c.c_custkey AS custkey, c.c_name AS name,
+             c.c_acctbal AS acctbal, u.spent
+      FROM customer c LEFT JOIN upd u ON u.custkey = c.c_custkey
+      WHERE c.c_custkey NOT IN (SELECT custkey FROM del))
+    SELECT custkey, name,
+           round(CASE WHEN spent IS NOT NULL THEN acctbal + spent
+                      ELSE acctbal END, 2) AS acctbal,
+           CASE WHEN spent IS NOT NULL THEN 'U' ELSE 'K' END AS op
+    FROM kept
+    UNION ALL
+    SELECT custkey, name, acctbal, 'I' AS op FROM ins
+    """,
+)
+def q_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO semantics without a v2 table format: WHEN MATCHED UPDATE
+    (customers with orders get spend added to their balance), WHEN
+    MATCHED [condition] DELETE (negative balance, no orders), WHEN NOT
+    MATCHED INSERT (a synthetic new-customer batch) — expressed as
+    anti-join + left-join-coalesce + union, the exact rewrite engines
+    apply under the MERGE keyword.
+
+    Scale: the change set aggregates map-side then joins the base on the
+    merge key — one co-partitioned shuffle pair; the delete anti-join
+    rides the same key.  With a bucketed base table (see
+    test_bucketed_join_has_no_exchange) the base side never re-shuffles
+    across repeated merges — the incremental-maintenance layout.
+    """
+    cust = table(spark, sf, "customer")
+    upd = (
+        table(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spent"))
+    )
+    dels = (
+        cust.filter(F.col("c_acctbal") < 0)
+        .join(upd, cust["c_custkey"] == upd["custkey"], "left_anti")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    ins = cust.filter(F.col("c_custkey") < 10).select(
+        (F.col("c_custkey") + 1000000).alias("custkey"),
+        F.concat(F.lit("Customer#new"), F.col("c_custkey").cast("string")).alias(
+            "name"
+        ),
+        F.lit(0.0).alias("acctbal"),
+        F.lit("I").alias("op"),
+    )
+    kept = (
+        cust.join(dels, cust["c_custkey"] == dels["custkey"], "left_anti")
+        .join(upd, cust["c_custkey"] == upd["custkey"], "left")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.round(
+                F.when(
+                    F.col("spent").isNotNull(), F.col("c_acctbal") + F.col("spent")
+                ).otherwise(F.col("c_acctbal")),
+                2,
+            ).alias("acctbal"),
+            F.when(F.col("spent").isNotNull(), F.lit("U"))
+            .otherwise(F.lit("K"))
+            .alias("op"),
+        )
+    )
+    return kept.unionByName(ins)
+
+
+@register(
+    "q_pattern_match",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type, 1) OVER w AS t1,
+             lag(event_type, 2) OVER w AS t2,
+             lag(event_id, 1) OVER w AS e1,
+             lag(event_id, 2) OVER w AS e2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, e2 AS view_event, e1 AS click_event,
+           event_id AS purchase_event, epoch_us(ts) AS purchase_ts_us
+    FROM ordered
+    WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
+    """,
+)
+def q_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential event-pattern detection (MATCH_RECOGNIZE / CEP lite):
+    find view -> click -> purchase as three STRICTLY CONSECUTIVE events
+    of one user — the contiguity-sensitive complement of q_funnel's
+    anytime-after semantics.  Pattern predicates over lag() chains.
+
+    Scale: one user_id shuffle, one sort, all predicates map-side after
+    the window — the standard CEP-on-columnar rewrite (pattern length k
+    = k-1 lag columns, no self-joins).
+    """
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("event_id", 1).over(w).alias("e1"),
+        F.lag("event_id", 2).over(w).alias("e2"),
+    )
+    return o.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "view")
+    ).select(
+        "user_id",
+        F.col("e2").alias("view_event"),
+        F.col("e1").alias("click_event"),
+        F.col("event_id").alias("purchase_event"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+    )
