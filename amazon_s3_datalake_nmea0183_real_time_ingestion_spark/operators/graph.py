@@ -28,11 +28,24 @@ def pagerank(
     nodes: DataFrame,
     n_iter: int = 3,
     damping: float = 0.85,
+    materialize: bool = True,
 ) -> DataFrame:
     """``edges`` (src, dst) directed — pass both directions for an
     undirected graph; ``nodes`` (node).  Returns (node, r) after
     ``n_iter`` rounds of  r(v) = (1-d)/N + d * sum_{u->v} r(u)/deg(u),
-    with r0 = 1/N."""
+    with r0 = 1/N.
+
+    ``materialize`` localCheckpoints the edge and node inputs (lazily —
+    first use runs the producing plan once, later iterations read the
+    stored blocks).  Without it, an expensive edge derivation (a
+    pair-generating self-join, say) is REPLANNED inside every unrolled
+    iteration — measured 45 Exchange nodes vs 14 on the co-purchase
+    graph.  Same lineage-cut rationale as connected_components' per-round
+    checkpoint (dedup.py); pass False when the caller already
+    materialized the inputs."""
+    if materialize:
+        edges = edges.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
     nn = nodes.agg(F.count("*").cast("double").alias("__n"))
     deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
     base = nodes.crossJoin(F.broadcast(nn))

@@ -644,8 +644,16 @@ def x_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
     )
-    nodes = li.select(F.col("l_partkey").alias("node")).distinct()
-    ranks = pagerank(pairs, nodes, n_iter=3, damping=0.85)
+    # materialize the derived graph once (lazy localCheckpoint): the pair
+    # self-join and node distinct otherwise replan inside every unrolled
+    # iteration AND the degree/output branches below
+    pairs = pairs.localCheckpoint(eager=False)
+    nodes = (
+        li.select(F.col("l_partkey").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ranks = pagerank(pairs, nodes, n_iter=3, damping=0.85, materialize=False)
     nn = nodes.agg(F.count("*").cast("double").alias("__n"))
     deg = pairs.groupBy("src").agg(F.count("*").alias("deg"))
     return (
