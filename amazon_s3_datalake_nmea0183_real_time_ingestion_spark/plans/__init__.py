@@ -34,6 +34,7 @@ _NEEDS_VERDICT = [
     "x_pagerank",
     "q_merge",
     "q_pattern_match",
+    "q_agg_approx_quantile",
 ]
 
 

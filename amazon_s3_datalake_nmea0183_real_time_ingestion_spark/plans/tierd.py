@@ -804,3 +804,66 @@ def q_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_id").alias("purchase_event"),
         F.unix_micros("ts").alias("purchase_ts_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch family — mergeable approximate quantiles (tolerance-flag pattern)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_approx_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 2)
+             AS exact_p50,
+           round(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 2)
+             AS exact_p95,
+           CAST(1 AS INT) AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_approx_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable approximate quantiles (approx_percentile — the
+    Greenwald-Khanna-style sketch whose partial states merge across
+    partitions, the 100 TB path where exact percentile_cont would sort
+    every group) next to the exact interpolated quantile.
+
+    Sketch estimates are engine-specific, so — like q_agg_approx — the
+    key returns a deterministic verdict: the exact p50/p95 plus a flag
+    that the sketch landed within 1% relative error at accuracy 10000.
+    A Spark-side sketch regression flips the flag and fails the hash.
+
+    Scale: ONE shuffle; both the sketch and the exact percentile ride the
+    same groupBy (the exact side exists only as the verdict's yardstick —
+    production keeps the sketch alone and stays single-pass mergeable).
+    """
+    li = table(spark, sf, "lineitem")
+    approx = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+    )
+    exact = F.expr(
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+    )
+    exact95 = F.expr(
+        "percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            approx.alias("ap"),
+            exact.alias("e50"),
+            exact95.alias("e95"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("e50", 2).alias("exact_p50"),
+            F.round("e95", 2).alias("exact_p95"),
+            (
+                (F.abs(F.col("ap")[0] - F.col("e50")) / F.col("e50") <= 0.01)
+                & (F.abs(F.col("ap")[1] - F.col("e95")) / F.col("e95") <= 0.01)
+            )
+            .cast("int")
+            .alias("within_tol"),
+        )
+    )

@@ -137,3 +137,57 @@ def test_long_chain_star_cc_converges_in_log_rounds(spark):
     # gap that justifies the star variant for long-diameter graphs
     assert prop_stats["rounds"] >= n // 2
     assert prop_stats["rounds"] > 3 * star_stats["rounds"]
+
+
+def test_funnel_viral_user_constant_state(spark):
+    """ONE user with 200k events next to 2k normal users: q_funnel-style
+    chained conditional-min windows keep per-user state at 3 timestamps —
+    no collect_list of the viral user's event history — so the hot
+    partition costs memory O(1), and the funnel result for normal users
+    is unaffected by the whale's presence."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierd import (
+        q_funnel,
+    )
+    import os
+    import tempfile
+
+    normal = spark.range(2_000).select(
+        F.col("id").alias("user_id"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("base"),
+    )
+    # each normal user: view at +1s, click at +2s, purchase at +3s
+    rows = []
+    for off, et in ((1, "view"), (2, "click"), (3, "purchase")):
+        rows.append(
+            normal.select(
+                (F.col("user_id") * 10 + off).alias("event_id"),
+                (F.col("base") + F.expr(f"INTERVAL {off} SECOND")).alias("ts"),
+                "user_id",
+                F.lit(et).alias("event_type"),
+                F.lit(1.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+        )
+    whale = spark.range(200_000).select(
+        (F.lit(10_000_000) + F.col("id")).alias("event_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + (F.col("id") * F.expr("INTERVAL 1 SECOND"))
+        ).alias("ts"),
+        F.lit(999_999).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),  # views only: converts stage 1
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev = rows[0].unionByName(rows[1]).unionByName(rows[2]).unionByName(whale)
+
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sfprobe")
+        os.makedirs(sf_dir)
+        ev.write.parquet(os.path.join(sf_dir, "events.parquet"))
+        out = {r["stage"]: r for r in q_funnel(spark, sf_dir).collect()}
+    # 2000 normal users convert all three stages; the whale only stage 1
+    assert out["1_view"]["n_users"] == 2_001
+    assert out["2_click"]["n_users"] == 2_000
+    assert out["3_purchase"]["n_users"] == 2_000
+    assert abs(out["3_purchase"]["conv_from_prev"] - 1.0) < 1e-9
