@@ -35,6 +35,7 @@ _NEEDS_VERDICT = [
     "q_merge",
     "q_pattern_match",
     "q_agg_approx_quantile",
+    "x_ann_recall",
 ]
 
 

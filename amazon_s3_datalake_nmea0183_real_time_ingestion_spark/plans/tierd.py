@@ -867,3 +867,83 @@ def q_agg_approx_quantile(spark: SparkSession, sf: str) -> DataFrame:
             .alias("within_tol"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN evaluation — recall@k of the IVF index against brute-force truth
+# ---------------------------------------------------------------------------
+
+_SIM6 = "round(list_cosine_similarity({a}.embedding::DOUBLE[], {b}.embedding::DOUBLE[]), 6)"
+
+
+@register(
+    "x_ann_recall",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label AS centroid_id, p, round(avg(embedding[p]::DOUBLE), 6) AS m
+      FROM embeddings CROSS JOIN unnest(range(1, 65)) u(p)
+      GROUP BY label, p),
+    centv AS (SELECT centroid_id, list(m ORDER BY p) AS centroid
+              FROM cent GROUP BY centroid_id),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN centv c) t
+      WHERE rn = 1),
+    approx AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id
+      FROM assign q JOIN assign a ON a.cluster = q.cluster AND a.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_SIM6.format(a='q', b='a')} DESC, a.vec_id ASC) <= 3),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_SIM6.format(a='q', b='c')} DESC, c.vec_id ASC) <= 3)
+    SELECT e.query_id, CAST(count(a.neighbor_id) AS INT) AS n_hits,
+           round(count(a.neighbor_id) / 3.0, 4) AS recall_at_3
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def x_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN index-quality evaluation: recall@3 of the IVF probe-1 index
+    against the brute-force ground truth, per query — the gate you run
+    before committing a 100 TB corpus to an index layout (probe count and
+    centroid quality trade recall for scan fraction; this measures the
+    trade, engine-side).
+
+    Scale: ground truth is the broadcast-query brute-force scan (corpus
+    stays put); the approx side searches one cluster per query.  The
+    recall join keys on (query_id, neighbor_id) — |queries| x k rows on
+    both sides, negligible next to either search.  Same rounded-sim +
+    vec_id ordering as x_sim_topk/x_sim_ivf keeps both engines' top-k
+    cuts identical.
+    """
+    from ..operators.similarity import cosine_topk, ivf_topk, label_centroids
+
+    e = table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(e, q, k=3).select("query_id", "neighbor_id")
+    approx = ivf_topk(e, q, label_centroids(e), k=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("__h"))
+        .select(
+            "query_id",
+            F.col("__h").cast("int").alias("n_hits"),
+            F.round(F.col("__h") / 3.0, 4).alias("recall_at_3"),
+        )
+    )
