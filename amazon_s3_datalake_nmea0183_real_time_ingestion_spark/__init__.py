@@ -9,9 +9,10 @@ re-expresses that capability Spark-first:
 - ``functions``  : pure column-expression library (base64, NMEA, text,
                    vectors, portable hashing).
 - ``operators``  : composed dataflow operators (classify, flatten, geocode
-                   join, alerts, dedup family, similarity, sessionize, as-of).
+                   join, alerts, dedup family, similarity, clustering,
+                   sessionize, as-of, curation, graph rank, z-order layout).
 - ``sources``    : batch/stream readers + catalog registration.
-- ``plans``      : the query library (Tier A/B/C keys from SURVEY.md section 2).
+- ``plans``      : the query library (Tier A/B/C/D keys from SURVEY.md section 2).
 - ``streaming``  : the structured-streaming ingest pipeline (60 s trigger,
                    multi-sink foreachBatch: stage parquet + raw tees + alerts).
 

@@ -77,6 +77,13 @@ HEADLINE = [
     "x_scd2",
     "x_bm25",
     "x_dedup_best",
+    "q_merge",
+    "q_pattern_match",
+    "q_agg_approx_quantile",
+    "x_surprisal",
+    "x_zorder",
+    "x_ann_recall",
+    "x_pagerank",
 ]
 
 

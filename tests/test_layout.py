@@ -65,3 +65,33 @@ def test_morton_sql_interleaves_bits():
 
     z = duckdb.sql(f"SELECT {expr} AS z FROM (SELECT 5 AS x, 3 AS y)").fetchone()[0]
     assert z == 0b011011  # positions: x@0,2,4 = 1,0,1; y@1,3,5 = 1,1,0
+
+
+def test_morton_sql_roundtrips_any_input():
+    """The interleave is a bijection: decoding the SQL-computed key
+    recovers the inputs exactly (hypothesis sweep, 3 dims included)."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    def decode(z: int, n: int, bits: int) -> list[int]:
+        vals = [0] * n
+        for j in range(bits):
+            for d in range(n):
+                vals[d] |= ((z >> (j * n + d)) & 1) << j
+        return vals
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=(1 << 16) - 1),
+                 min_size=2, max_size=3)
+    )
+    def check(vals):
+        n = len(vals)
+        cols = [f"c{i}" for i in range(n)]
+        sel = ", ".join(f"{v} AS c{i}" for i, v in enumerate(vals))
+        z = duckdb.sql(
+            f"SELECT {morton_sql(cols, 16)} AS z FROM (SELECT {sel})"
+        ).fetchone()[0]
+        assert decode(z, n, 16) == vals
+
+    check()

@@ -351,3 +351,48 @@ def test_zorder_is_map_side_plus_one_rollup(spark, queries):
     assert len(_shuffle_exchanges(plan)) == 1, plan
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "BatchEvalPython" not in plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The session's AQE skew-join config actually fires: a 250k-row hot
+    key meets a 1000-key dim in a SortMergeJoin and the FINAL adaptive
+    plan must read the hot partition as split sub-partitions
+    (AQEShuffleRead ... skewed / skew=true) — the runtime guard that
+    makes un-salted hot keys survivable at 100 TB.  Also documents the
+    two ways a naive probe hides the skew: a filter or projection that
+    prunes the heavy column below the join erases the hot bytes, and a
+    downstream op requiring the join's partitioning vetoes the split."""
+    prev = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor":
+            spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            spark.conf.get(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+            spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        left = spark.range(300_000).select(
+            F.when(F.col("id") < 250_000, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").select("k", "pad", "w")
+        assert len(j.toPandas()) == 300_000  # result correct under the split
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
