@@ -259,3 +259,83 @@ def battery_transitions_tws(stream: DataFrame, threshold: float = 4.0,
             timeMode="none",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming funnel — cross-batch incremental counterpart of plans/tierd.py
+# q_funnel (same strict min-timestamp chain, state = 3 timestamps/user)
+# ---------------------------------------------------------------------------
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", IntegerType()),  # furthest stage reached (1..3)
+        StructField("t1_us", LongType()),
+        StructField("t2_us", LongType()),
+        StructField("t3_us", LongType()),
+    ]
+)
+
+_FUNNEL_STATE = StructType(
+    [
+        StructField("t1", LongType()),
+        StructField("t2", LongType()),
+        StructField("t3", LongType()),
+    ]
+)
+
+
+def streaming_funnel(stream: DataFrame,
+                     user_col: str = "user_id",
+                     ts_col: str = "event_ts",
+                     type_col: str = "event_type",
+                     stages: tuple = ("view", "click", "purchase"),
+                     delay: str = "1 hour") -> DataFrame:
+    """Incremental ordered funnel: the exact fold q_funnel's chained
+    conditional-min windows compute over a static table, carried across
+    micro-batches — per-user state is THREE timestamps (O(1), whale-user
+    safe), and a user emits a row whenever their furthest stage advances.
+
+    Equivalence contract (tested): feeding the same events through any
+    batch split IN EVENT-TIME ORDER yields per-user (t1,t2,t3) identical
+    to the batch key.  Rows arriving later than an already-consumed
+    event-time can only MISS conversions the batch plan would count
+    (the state never rolls back); that's the same late-data posture as
+    battery_transitions' last_seen guard, bounded by the watermark.
+    """
+    s1, s2, s3 = stages
+
+    def _fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        t1, t2, t3 = state.get if state.exists else (0, 0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        before = (t1, t2, t3)
+        for row in pdf.itertuples(index=False):
+            ts_us = int(getattr(row, ts_col).value // 1000)  # ns -> us
+            et = getattr(row, type_col)
+            if et == s1 and t1 == 0:
+                t1 = ts_us
+            elif et == s2 and t1 != 0 and t2 == 0 and ts_us > t1:
+                t2 = ts_us
+            elif et == s3 and t2 != 0 and t3 == 0 and ts_us > t2:
+                t3 = ts_us
+        state.update((t1, t2, t3))
+        if (t1, t2, t3) != before:
+            stage = 3 if t3 else (2 if t2 else 1)
+            yield pd.DataFrame(
+                [(int(key[0]), stage, t1, t2, t3)],
+                columns=["user_id", "stage", "t1_us", "t2_us", "t3_us"],
+            )
+
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=_FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -292,3 +292,66 @@ def test_battery_transitions_tws_matches_legacy(spark, tmp_path):
         (1, T0 + 240, "exit_low"),
         (2, T0 + 300, "enter_low"),
     ]
+
+
+def test_streaming_funnel_matches_batch_chain(spark, tmp_path):
+    """The incremental funnel equals the batch min-timestamp chain when
+    batches arrive in event-time order: strict after-previous-stage
+    ordering, no rollback, per-user state = 3 timestamps."""
+    from pyspark.sql.types import LongType
+
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.streaming.stateful import (
+        streaming_funnel,
+    )
+
+    ev_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts_s", IntegerType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    landing = tmp_path / "ev"
+    landing.mkdir()
+
+    def _ev(u, t, et):
+        return {"user_id": u, "ts_s": T0 + t, "event_type": et}
+
+    # batch 1: u1 view->click; u2 click (ignored: no view yet) then view;
+    # u3 purchase (ignored) — batch 2: u1 purchase; u2 click+purchase
+    # AFTER its view; u3 view only
+    _write(landing / "b1.json", [
+        _ev(1, 10, "view"), _ev(1, 20, "click"),
+        _ev(2, 5, "click"), _ev(2, 8, "view"),
+        _ev(3, 1, "purchase"),
+    ])
+    _write(landing / "b2.json", [
+        _ev(1, 30, "purchase"),
+        _ev(2, 9, "click"), _ev(2, 15, "purchase"),
+        _ev(3, 2, "view"),
+    ])
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+        .withColumn("event_ts", F.timestamp_seconds(F.col("ts_s")))
+    )
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        """SELECT user_id, max(stage) AS stage,
+                  max(t1_us) AS t1, max(t2_us) AS t2, max(t3_us) AS t3
+           FROM funnel_stream GROUP BY user_id"""
+    ).collect()
+    got = {r["user_id"]: (r["stage"], r["t1"], r["t2"], r["t3"]) for r in rows}
+    us = lambda t: (T0 + t) * 1_000_000  # noqa: E731
+    assert got[1] == (3, us(10), us(20), us(30))
+    assert got[2] == (3, us(8), us(9), us(15))   # pre-view click ignored
+    assert got[3] == (1, us(2), 0, 0)            # purchase-before-view ignored
