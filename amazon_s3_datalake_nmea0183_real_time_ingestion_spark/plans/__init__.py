@@ -36,6 +36,7 @@ _NEEDS_VERDICT = [
     "q_pattern_match",
     "q_agg_approx_quantile",
     "x_ann_recall",
+    "q_fn_variant",
 ]
 
 

@@ -947,3 +947,48 @@ def x_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("__h") / 3.0, 4).alias("recall_at_3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# semi-structured — Spark 4 VARIANT ingestion of the events.props JSON
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(CAST(props->>'$.k' AS INT)) AS k_min,
+           max(CAST(props->>'$.k' AS INT)) AS k_max,
+           round(avg(CAST(props->>'$.k' AS INT)), 4) AS k_avg,
+           CAST(sum(CASE WHEN CAST(props->>'$.k' AS INT) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM events GROUP BY event_type
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured ingestion via the Spark 4 VARIANT type:
+    parse_json once into the binary variant encoding, then typed
+    variant_get extraction — the modern replacement for per-access
+    get_json_object string re-parsing (one parse, many cheap typed
+    reads; the open-format answer to a JSON column at 100 TB).
+
+    Scale: parse + extraction are map-side; the rollup is one map-side-
+    combined groupBy on event_type.  avg over ints stays exact (integer
+    partial sums < 2^53) so only the final division is floating — both
+    engines produce the identical double.
+    """
+    ev = table(spark, sf, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.avg("k"), 4).alias("k_avg"),
+            F.sum((F.col("k") > 50).cast("long")).alias("n_high"),
+        )
+    )
