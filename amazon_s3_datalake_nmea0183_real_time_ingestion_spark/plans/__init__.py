@@ -37,6 +37,7 @@ _NEEDS_VERDICT = [
     "q_agg_approx_quantile",
     "x_ann_recall",
     "q_fn_variant",
+    "x_data_checks",
 ]
 
 

@@ -992,3 +992,101 @@ def q_fn_variant(spark: SparkSession, sf: str) -> DataFrame:
             F.sum((F.col("k") > 50).cast("long")).alias("n_high"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# data-quality gate — declarative constraint checks over the lake tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_data_checks",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             AS n_violations
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_custkey_unique',
+           CAST((SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'events_ts_known_range',
+           CAST((SELECT count(*) FROM events
+                 WHERE ts IS NULL
+                    OR ts <  TIMESTAMP '2020-01-01 00:00:00'
+                    OR ts >= TIMESTAMP '2030-01-01 00:00:00') AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_quantity_positive',
+           CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'documents_doc_id_unique',
+           CAST((SELECT count(*) - count(DISTINCT doc_id) FROM documents)
+                AS BIGINT)
+    """,
+)
+def x_data_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-quality gate (Deequ / dbt-test style): referential
+    integrity (anti-join counts), key uniqueness, domain-range and
+    positivity constraints, reported as one violation-count row per check
+    — the admission gate a lake runs before publishing a partition.
+
+    Scale: each FK check is a LEFT ANTI join on the key (broadcast when
+    the dimension fits, SMJ beyond); uniqueness is count - count
+    distinct in one aggregate; range checks are map-side filters.  All
+    checks share one action — a real deployment runs them per-partition
+    from pipeline_maintenance.
+    """
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    ev = table(spark, sf, "events")
+    docs = table(spark, sf, "documents")
+
+    def _count1(df, name):
+        return df.agg(F.count("*").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    fk_orders = _count1(
+        orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+        ),
+        "orders_custkey_fk",
+    )
+    fk_lineitem = _count1(
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"),
+        "lineitem_orderkey_fk",
+    )
+    uniq_cust = cust.agg(
+        (F.count("*") - F.countDistinct("c_custkey")).alias("n_violations")
+    ).select(F.lit("customer_custkey_unique").alias("check_name"), "n_violations")
+    ts_range = _count1(
+        ev.filter(
+            F.col("ts").isNull()
+            | (F.col("ts") < F.lit("2020-01-01 00:00:00").cast("timestamp"))
+            | (F.col("ts") >= F.lit("2030-01-01 00:00:00").cast("timestamp"))
+        ),
+        "events_ts_known_range",
+    )
+    qty_pos = _count1(
+        li.filter(F.col("l_quantity") <= 0), "lineitem_quantity_positive"
+    )
+    uniq_docs = docs.agg(
+        (F.count("*") - F.countDistinct("doc_id")).alias("n_violations")
+    ).select(F.lit("documents_doc_id_unique").alias("check_name"), "n_violations")
+
+    return (
+        fk_orders.unionByName(fk_lineitem)
+        .unionByName(uniq_cust)
+        .unionByName(ts_range)
+        .unionByName(qty_pos)
+        .unionByName(uniq_docs)
+    )
