@@ -375,6 +375,13 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # materialize the candidate graph ONCE (lazily — round 1 computes it,
+    # later rounds read the stored blocks): each round is its own job
+    # (eager label checkpoint + convergence collect), so without this the
+    # upstream edge derivation — for dedup graphs an expensive shingle
+    # inverted-index join — replans EVERY round.  Same lineage-cut as the
+    # per-round label checkpoint below; durable variant under reliable.
+    sym = sym.checkpoint(eager=False) if reliable else sym.localCheckpoint(eager=False)
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
     rounds = 0
     for _ in range(max_iters):
