@@ -12,6 +12,7 @@ few large ones (BASELINE.md "output file sizing").
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -150,6 +151,7 @@ def pipeline_maintenance(
     stage_path: str,
     declared: StructType,
     catalog_tables: list[str] | None = None,
+    quality: bool = False,
 ) -> dict:
     """One scheduled-maintenance pass — the in-engine analog of the
     reference's nightly crawler run (``cron(0 4 * * ? *)``,
@@ -175,6 +177,8 @@ def pipeline_maintenance(
         for _, _, _, status in rows:
             counts[status] = counts.get(status, 0) + 1
         report["drift_status_counts"] = counts
+    if quality and _os.path.isdir(stage_path):
+        report["quality_violations"] = stage_quality_report(spark, stage_path)
     for t in catalog_tables or []:
         if spark.catalog.tableExists(t):
             spark.catalog.recoverPartitions(t)
@@ -207,3 +211,35 @@ def analyze_tables(spark: SparkSession, tables: list[str],
         stats = [r["data_type"] for r in desc if r["col_name"] == "Statistics"]
         out[t] = stats[0] if stats else ""
     return out
+
+
+def stage_quality_report(spark: SparkSession, stage_path: str) -> dict[str, int]:
+    """Data-quality gate over the stage zone (the per-partition analog of
+    the x_data_checks lake gate): key-field null counts, battery-voltage
+    domain range, and duplicate delivery detection — ALL computed in one
+    map-side-combined aggregate job, so the gate costs a single scan no
+    matter how many constraints ride it.
+
+    Returns ``{check_name: violation_count}`` (plain dict, foreachBatch-
+    safe like pipeline_maintenance's report).
+    """
+    df = spark.read.parquet(stage_path)
+    row = df.agg(
+        F.count(F.when(F.col("deviceid").isNull(), 1)).alias("null_deviceid"),
+        F.count(F.when(F.col("date_time").isNull(), 1)).alias("null_date_time"),
+        F.count(
+            F.when(
+                F.col("battery_voltage").isNotNull()
+                & ~F.col("battery_voltage").between(0.0, 100.0),
+                1,
+            )
+        ).alias("battery_out_of_range"),
+        (
+            F.count("*")
+            # struct() is never null, so null-keyed rows still count as
+            # ONE delivery each (bare count_distinct would drop them and
+            # overstate duplicates)
+            - F.countDistinct(F.struct("deviceid", "packetid", "date_time"))
+        ).alias("duplicate_deliveries"),
+    ).first()
+    return {k: int(row[k]) for k in row.asDict()}

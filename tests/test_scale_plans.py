@@ -396,3 +396,42 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_stage_quality_report_single_scan(spark, tmp_path):
+    """The maintenance quality gate: all constraint counters in ONE
+    aggregate job, violation counts exact."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        pipeline_maintenance,
+        stage_quality_report,
+    )
+    from pyspark.sql.types import StructType, StructField, IntegerType, DoubleType
+
+    path = str(tmp_path / "stage")
+    rows = [
+        (1, 100, 1000, 5.0),      # clean
+        (None, 101, 1001, 5.0),   # null deviceid
+        (2, 102, None, 5.0),      # null date_time
+        (3, 103, 1003, 250.0),    # battery out of range
+        (4, 104, 1004, 5.0),      # duplicate pair...
+        (4, 104, 1004, 5.0),      # ...of this
+    ]
+    spark.createDataFrame(
+        rows, "deviceid int, packetid int, date_time int, battery_voltage double"
+    ).write.parquet(path)
+    got = stage_quality_report(spark, path)
+    assert got == {
+        "null_deviceid": 1,
+        "null_date_time": 1,
+        "battery_out_of_range": 1,
+        "duplicate_deliveries": 1,
+    }
+    # wired into the scheduled-maintenance pass
+    declared = StructType([
+        StructField("deviceid", IntegerType()),
+        StructField("packetid", IntegerType()),
+        StructField("date_time", IntegerType()),
+        StructField("battery_voltage", DoubleType()),
+    ])
+    report = pipeline_maintenance(spark, path, declared, quality=True)
+    assert report["quality_violations"] == got
