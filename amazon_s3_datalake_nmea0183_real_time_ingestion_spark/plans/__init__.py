@@ -38,6 +38,7 @@ _NEEDS_VERDICT = [
     "x_ann_recall",
     "q_fn_variant",
     "x_data_checks",
+    "x_dedup_url",
 ]
 
 

@@ -1090,3 +1090,74 @@ def x_data_checks(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(qty_pos)
         .unionByName(uniq_docs)
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-canonicalization dedup — collapse crawl variants before text dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_url",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN upper(lang) ELSE lang END)
+             || '.' || source || '.example.org/item?id='
+             || CAST(doc_id % 100 AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '&utm_campaign=x' ELSE '' END)
+               AS url
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             lower(regexp_replace(url, '&utm_[a-z_]+=[^&]*', '', 'g'))
+               AS canonical_url
+      FROM u)
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           min(doc_id) AS kept_doc
+    FROM c GROUP BY canonical_url
+    """,
+)
+def x_dedup_url(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-canonicalization dedup — the FIRST dedup stage of a crawl
+    pipeline (cheaper than any text comparison): scheme/host case-fold
+    and tracking-parameter (utm_*) stripping collapse crawl variants of
+    one resource; keep the min doc per canonical URL.  URLs are
+    synthesized with deliberate variant classes (case-folded host,
+    utm_source/utm_campaign riders) so ~5 raw URLs collapse per
+    canonical target, mirroring the x_url_parse synthesis pattern.
+
+    Scale: canonicalization is a map-side expression; the collapse is
+    ONE groupBy on the canonical string with map-side combine — at crawl
+    scale this is the always-run cheap pass that shrinks the corpus
+    before MinHash ever tokenizes anything.
+    """
+    d = table(spark, sf, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("HTTPS://")).otherwise(
+            F.lit("https://")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.upper("lang")).otherwise(F.col("lang")),
+        F.lit("."),
+        F.col("source"),
+        F.lit(".example.org/item?id="),
+        (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("&utm_campaign=x")).otherwise(
+            F.lit("")
+        ),
+    )
+    canon = F.lower(F.regexp_replace(url, r"&utm_[a-z_]+=[^&]*", ""))
+    return (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").alias("kept_doc"),
+        )
+    )
