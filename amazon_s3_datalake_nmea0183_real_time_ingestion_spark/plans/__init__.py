@@ -39,6 +39,7 @@ _NEEDS_VERDICT = [
     "q_fn_variant",
     "x_data_checks",
     "x_dedup_url",
+    "q_histogram",
 ]
 
 

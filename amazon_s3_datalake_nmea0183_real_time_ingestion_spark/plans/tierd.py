@@ -1161,3 +1161,49 @@ def x_dedup_url(spark: SparkSession, sf: str) -> DataFrame:
             F.min("doc_id").alias("kept_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution analytics — equi-width histogram (width_bucket)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 500.0 THEN 21
+                  ELSE CAST(floor(value * 20 / 500.0) AS INT) + 1 END AS bucket
+      FROM events)
+    SELECT event_type, bucket,
+           round(0.0 + (bucket - 1) * 25.0, 1) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width value histogram per event type (width_bucket over a
+    fixed [0, 500) domain, 20 buckets) — the distribution profile every
+    monitoring dashboard draws, and the binning primitive behind
+    equi-width data-skipping statistics.
+
+    Scale: width_bucket is a map-side expression; the rollup keys on
+    (type, bucket) — bounded cardinality regardless of row count — with
+    map-side combine.  Bucket edges are data-independent constants so
+    the result is stable under any partitioning/order.
+    """
+    ev = table(spark, sf, "events")
+    b = F.width_bucket("value", F.lit(0.0), F.lit(500.0), F.lit(20))
+    return (
+        ev.select("event_type", b.cast("int").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            F.round(0.0 + (F.col("bucket") - 1) * 25.0, 1).alias("bucket_lo"),
+            "n",
+        )
+    )

@@ -217,6 +217,7 @@ def start_pipeline(
     maintain_every_n_batches: int | None = None,
     maintenance_catalog_tables: list[str] | None = None,
     maintenance_reports: list[dict] | None = None,
+    maintain_quality: bool = False,
 ) -> StreamingQuery:
     """Wire source → foreachBatch → trigger → checkpoint and start.
 
@@ -229,7 +230,9 @@ def start_pipeline(
     ``maintenance_catalog_tables``) after every Nth batch — the in-stream
     analog of the reference's nightly crawler cron
     (cdk_datalake_mvp_stack.py:325); reports append to
-    ``maintenance_reports``."""
+    ``maintenance_reports``.  ``maintain_quality=True`` adds the
+    one-scan stage data-quality gate (stage_quality_report) to each
+    maintenance pass."""
     geo_dim = build_geo_dim(spark)
     stream = read_landing_stream(
         spark, landing_dir, max_files_per_trigger, max_bytes_per_trigger
@@ -256,6 +259,7 @@ def start_pipeline(
                 os.path.join(lake_dir, "stage"),
                 declared,
                 maintenance_catalog_tables,
+                quality=maintain_quality,
             )
             rep["batch_id"] = batch_id
             if maintenance_reports is not None:

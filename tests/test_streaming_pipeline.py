@@ -319,6 +319,7 @@ def test_maintenance_cadence_emits_drift_report(spark, tmp_path):
         spark, str(landing), str(tmp_path / "lake"), str(tmp_path / "ckpt"),
         available_now=True, max_files_per_trigger=1,
         maintain_every_n_batches=2, maintenance_reports=reports,
+        maintain_quality=True,
     )
     q.awaitTermination(180)
     assert [r["batch_id"] for r in reports] == [1, 3]
@@ -327,3 +328,13 @@ def test_maintenance_cadence_emits_drift_report(spark, tmp_path):
         # declared stage schema + y/m/d partition ints — no drift
         assert set(rep["drift_status_counts"]) == {"ok"}
         assert rep["drift_status_counts"]["ok"] == len(rep["drift"])
+    # one-scan quality gate rode the same pass — and catches the
+    # synthetic batches REPLAYING identical envelopes: k batches of the
+    # same 2 rows leave 2*(k-1) duplicate deliveries in stage
+    for rep, n_batches in zip(reports, (2, 4)):
+        assert rep["quality_violations"] == {
+            "null_deviceid": 0,
+            "null_date_time": 0,
+            "battery_out_of_range": 0,
+            "duplicate_deliveries": 2 * (n_batches - 1),
+        }
