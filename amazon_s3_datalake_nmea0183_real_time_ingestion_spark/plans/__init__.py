@@ -40,6 +40,7 @@ _NEEDS_VERDICT = [
     "x_data_checks",
     "x_dedup_url",
     "q_histogram",
+    "q_join_asof_near",
 ]
 
 

@@ -1207,3 +1207,128 @@ def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# nearest as-of join — bidirectional with tolerance (merge_asof nearest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_asof_near",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, 1 AS il FROM events
+      WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, event_id, 0 AS il FROM events
+      WHERE event_type = 'view'),
+    w AS (
+      SELECT user_id, ts, event_id, il,
+             last_value(CASE WHEN il = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, il, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS back_id,
+             last_value(CASE WHEN il = 0 THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, il, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS back_us,
+             first_value(CASE WHEN il = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, il, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS fwd_id,
+             first_value(CASE WHEN il = 0 THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, il, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS fwd_us
+      FROM u),
+    p AS (
+      SELECT user_id, event_id AS purchase_event, epoch_us(ts) AS t_us,
+             back_id, back_us, fwd_id, fwd_us
+      FROM w WHERE il = 1),
+    n AS (
+      SELECT user_id, purchase_event,
+             CASE WHEN back_us IS NULL THEN fwd_id
+                  WHEN fwd_us IS NULL THEN back_id
+                  WHEN t_us - back_us <= fwd_us - t_us THEN back_id
+                  ELSE fwd_id END AS view_event,
+             CASE WHEN back_us IS NULL THEN fwd_us - t_us
+                  WHEN fwd_us IS NULL THEN t_us - back_us
+                  WHEN t_us - back_us <= fwd_us - t_us THEN t_us - back_us
+                  ELSE fwd_us - t_us END AS dist_us
+      FROM p)
+    SELECT user_id, purchase_event, view_event, dist_us
+    FROM n
+    WHERE view_event IS NOT NULL AND dist_us <= 3600000000
+    """,
+)
+def q_join_asof_near(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest as-of join with tolerance (pandas merge_asof
+    direction='nearest'): each purchase pairs with its temporally
+    CLOSEST view by the same user within 1 hour, backward or forward —
+    q_join_asof covers the backward-only case; this is the
+    bidirectional generalization.  Backward ties win (<=), matching
+    merge_asof.
+
+    Scale: the single-window as-of trick doubled — union both sides
+    with a tag, ONE user_id exchange, one (ts, tag, id) sort; the
+    backward candidate is last-view-ignore-nulls over the preceding
+    frame and the forward candidate first-view over the following
+    frame (same sort, two frames).  Never a range cross-join; state
+    per row is two candidate columns.
+    """
+    ev = table(spark, sf, "events")
+    L = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("il")
+    )
+    R = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("il")
+    )
+    u = L.unionByName(R)
+    base = Window.partitionBy("user_id").orderBy("ts", "il", "event_id")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    view_id = F.when(F.col("il") == 0, F.col("event_id"))
+    view_us = F.when(F.col("il") == 0, F.unix_micros("ts"))
+    w = u.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "il",
+        F.last(view_id, ignorenulls=True).over(wb).alias("back_id"),
+        F.last(view_us, ignorenulls=True).over(wb).alias("back_us"),
+        F.first(view_id, ignorenulls=True).over(wf).alias("fwd_id"),
+        F.first(view_us, ignorenulls=True).over(wf).alias("fwd_us"),
+    )
+    p = w.filter(F.col("il") == 1).select(
+        "user_id",
+        F.col("event_id").alias("purchase_event"),
+        F.unix_micros("ts").alias("t_us"),
+        "back_id",
+        "back_us",
+        "fwd_id",
+        "fwd_us",
+    )
+    back_d = F.col("t_us") - F.col("back_us")
+    fwd_d = F.col("fwd_us") - F.col("t_us")
+    view_event = (
+        F.when(F.col("back_us").isNull(), F.col("fwd_id"))
+        .when(F.col("fwd_us").isNull(), F.col("back_id"))
+        .when(back_d <= fwd_d, F.col("back_id"))
+        .otherwise(F.col("fwd_id"))
+    )
+    dist = (
+        F.when(F.col("back_us").isNull(), fwd_d)
+        .when(F.col("fwd_us").isNull(), back_d)
+        .when(back_d <= fwd_d, back_d)
+        .otherwise(fwd_d)
+    )
+    return (
+        p.select(
+            "user_id",
+            "purchase_event",
+            view_event.alias("view_event"),
+            dist.alias("dist_us"),
+        )
+        .filter(F.col("view_event").isNotNull() & (F.col("dist_us") <= 3_600_000_000))
+    )
