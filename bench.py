@@ -84,6 +84,11 @@ HEADLINE = [
     "x_zorder",
     "x_ann_recall",
     "x_pagerank",
+    "q_fn_variant",
+    "x_data_checks",
+    "x_dedup_url",
+    "q_histogram",
+    "q_join_asof_near",
 ]
 
 
