@@ -80,3 +80,34 @@ def test_scd2_single_event_user_is_open_interval(spark, tmp_path):
         (8, "view", us(T0), us(T0 + 120), 0),
         (8, "error", us(T0 + 120), None, 1),
     }
+
+
+def test_asof_near_backward_ties_win_and_tolerance_cuts(spark, tmp_path):
+    """merge_asof nearest semantics: equidistant backward/forward views
+    resolve to the BACKWARD one; matches beyond the 1 h tolerance drop;
+    a purchase with only a forward view within tolerance still pairs."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierd import (
+        q_join_asof_near,
+    )
+
+    rows = [
+        # u1: views 100s before AND after purchase -> backward (id 10) wins
+        (10, T0 + 0, 1, "view", 1.0, "{}"),
+        (11, T0 + 100, 1, "purchase", 1.0, "{}"),
+        (12, T0 + 200, 1, "view", 1.0, "{}"),
+        # u2: only view is 2h after purchase -> outside tolerance, no row
+        (20, T0 + 0, 2, "purchase", 1.0, "{}"),
+        (21, T0 + 7200, 2, "view", 1.0, "{}"),
+        # u3: only a FORWARD view, 30 min away -> pairs forward
+        (30, T0 + 0, 3, "purchase", 1.0, "{}"),
+        (31, T0 + 1800, 3, "view", 1.0, "{}"),
+    ]
+    sf_dir = _events_dir(spark, tmp_path, rows)
+    got = {
+        r["purchase_event"]: (r["view_event"], r["dist_us"])
+        for r in q_join_asof_near(spark, sf_dir).collect()
+    }
+    assert got == {
+        11: (10, 100 * 1_000_000),   # backward tie wins at equal distance
+        30: (31, 1800 * 1_000_000),  # forward-only match within tolerance
+    }
