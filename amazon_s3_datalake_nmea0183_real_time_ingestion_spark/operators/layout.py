@@ -70,10 +70,20 @@ def zorder_write(
     keyed = df.crossJoin(F.broadcast(bounds))
     norm_names = []
     for i, c in enumerate(cols):
-        span = F.greatest(F.col(f"__hi_{c}") - F.col(f"__lo_{c}"), F.lit(1))
+        # Widen to long BEFORE the multiply: for IntegerType dimensions,
+        # (col - lo) * 65535 wraps at int32 once the value range exceeds
+        # ~32768 (non-ANSI mode silently overflows), garbling Morton keys.
+        span = F.greatest(
+            F.col(f"__hi_{c}").cast("long") - F.col(f"__lo_{c}").cast("long"),
+            F.lit(1).cast("long"),
+        )
         keyed = keyed.withColumn(
             f"__n{i}",
-            ((F.col(c) - F.col(f"__lo_{c}")) * top / span).cast("long"),
+            (
+                (F.col(c).cast("long") - F.col(f"__lo_{c}").cast("long"))
+                * top
+                / span
+            ).cast("long"),
         )
         norm_names.append(f"__n{i}")
     keyed = keyed.withColumn("__zval", zorder_key(norm_names, bits)).drop(

@@ -9,38 +9,40 @@ from . import tierc  # noqa: F401,E402
 from . import tierd  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
-# keys per round.  The union of CORRECTNESS_r01+r02 covers 98/101 keys, all
-# green.  Round 3 front-loads ONLY the keys without a driver row yet: the 3
-# round-2 late additions, then every key first registered in round 3.  All
-# already-green keys follow in registration order — re-adjudicating them is
-# free coverage if the window has room, but they pay no window rent.
-# (x_sim_ivf2, green r2, now sits at the back: it is a probe-knob variant of
-# x_sim_ivf and must never displace a first-verdict key again.)
+# keys per round.  Rounds 1-3 union: 121/121 keys green, but 71 keys' latest
+# green row predates the round-3 testdata regeneration (events.ts ->
+# TIMESTAMP_NTZ).  Round 4 (per VERDICT.md "Next round" #1/#3) front-loads:
+#   1. brand-new round-4 keys (guarded dedup twins etc.) — zero driver rows;
+#   2. the 49 keys whose latest row is r2 — re-green on regenerated data;
+#   3. the 22 keys whose latest row is r1 — round 5 takes any overflow.
+# The 50 keys adjudicated in r3 are already green on the new data and pay no
+# window rent.  (x_sim_ivf2 stays at the back: probe-knob variant of
+# x_sim_ivf; its re-green rides the r2 batch anyway.)
 _NEEDS_VERDICT = [
-    # Round-2 late additions (3) — registered beyond round 2's full window
-    "x_dataset_card", "x_decontaminate_near", "x_chunk_documents",
-    # Round-3 additions — each needs its first driver row
-    "x_multimodal_decode",
-    "x_dedup_ledger_near",
-    # Round-3 Tier D analytics extensions
-    "q_funnel",
-    "q_retention",
-    "q_gapfill",
-    "x_scd2",
-    "x_bm25",
-    "x_surprisal",
-    "x_dedup_best",
-    "x_zorder",
-    "x_pagerank",
-    "q_merge",
-    "q_pattern_match",
-    "q_agg_approx_quantile",
-    "x_ann_recall",
-    "q_fn_variant",
-    "x_data_checks",
-    "x_dedup_url",
-    "q_histogram",
-    "q_join_asof_near",
+    # Round-4 new keys — first driver row needed
+    "x_dedup_best_guarded",
+    "x_dedup_cluster_guarded",
+    # Latest row = r2 (49) — stale vs regenerated testdata
+    "cat_recover", "cat_register", "f_contains", "f_element_at", "f_split",
+    "op_alert_filter", "op_error_route", "op_event_partition",
+    "op_flatten_soh", "op_geocode_join", "op_nmea_latlon", "q_agg_modern",
+    "snk_raw_json", "snk_stage_parquet", "x_data_mix", "x_data_upsample",
+    "x_decontaminate", "x_dedup_cluster", "x_dedup_embed", "x_dedup_exact",
+    "x_dedup_near", "x_dedup_ngram", "x_dedup_simhash", "x_domain_quota",
+    "x_embed_reduce", "x_kmeans_assign", "x_kmeans_iter", "x_multimodal",
+    "x_multimodal_binary", "x_pack_sequences", "x_quality_model",
+    "x_session", "x_sim_ivf", "x_sim_lsh", "x_sim_topk", "x_split_hash",
+    "x_text_curate", "x_text_fingerprint", "x_text_langid",
+    "x_text_line_dedup", "x_text_pii", "x_text_quality",
+    "x_text_repetition", "x_text_tf", "x_text_tfidf", "x_text_tokens",
+    "x_url_parse", "x_vocab_topk",
+    # Latest row = r1 (22) — round 5 takes whatever falls past the window
+    "agg_class_count", "f_from_json", "f_isbase64", "f_unbase64",
+    "op_classify", "q_agg_grouping_sets", "q_agg_percentile", "q_agg_stats",
+    "q_explode", "q_fn_bitwise", "q_fn_conditional", "q_fn_sql_udfs",
+    "q_join_full", "q_lateral", "q_pivot", "q_recursive_cte",
+    "q_trajectory", "q_unpivot", "q_win_firstlast", "q_win_ntile",
+    "q_win_range", "src_ingest",
 ]
 
 

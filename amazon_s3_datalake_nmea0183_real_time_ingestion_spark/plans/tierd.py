@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import quality_logit, tokens
-from ..operators.dedup import connected_components, ngram_jaccard_pairs
+from ..operators.dedup import (
+    connected_components,
+    minhash_near_dup,
+    ngram_jaccard_pairs,
+)
 from .registry import register, table
 from .tierc import _CORPUS3_SQL, _SHINGLES_SQL, _TOKS_SQL, _doc_corpus3
 
@@ -495,6 +499,12 @@ def x_dedup_best(spark: SparkSession, sf: str) -> DataFrame:
     """
     corpus = _doc_corpus3(spark, sf)
     edges = ngram_jaccard_pairs(corpus, threshold=0.6).select("id_a", "id_b")
+    return _collapse_best(corpus, edges)
+
+
+def _collapse_best(corpus: DataFrame, edges: DataFrame) -> DataFrame:
+    """Shared tail of the best-representative keys: components over the
+    pair graph, quality score per doc, one window pick per cluster."""
     labels = connected_components(edges, corpus.select("doc_id"))
     # materialize tokens in their own projection first (HOF re-eval rule)
     q = corpus.select("doc_id", "text", tokens("text").alias("__t")).select(
@@ -980,7 +990,9 @@ def q_fn_variant(spark: SparkSession, sf: str) -> DataFrame:
     engines produce the identical double.
     """
     ev = table(spark, sf, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    # try_parse_json: malformed props -> NULL variant (parse_json throws);
+    # try_variant_get then yields NULL, matching the oracle's ->> NULL.
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -989,7 +1001,11 @@ def q_fn_variant(spark: SparkSession, sf: str) -> DataFrame:
             F.min("k").alias("k_min"),
             F.max("k").alias("k_max"),
             F.round(F.avg("k"), 4).alias("k_avg"),
-            F.sum((F.col("k") > 50).cast("long")).alias("n_high"),
+            # sum over an all-NULL group is NULL in Spark but the oracle's
+            # CASE ... ELSE 0 sums to 0 — coalesce keeps the engines aligned.
+            F.coalesce(
+                F.sum((F.col("k") > 50).cast("long")), F.lit(0).cast("long")
+            ).alias("n_high"),
         )
     )
 
@@ -1331,4 +1347,155 @@ def q_join_asof_near(spark: SparkSession, sf: str) -> DataFrame:
             dist.alias("dist_us"),
         )
         .filter(F.col("view_event").isNotNull() & (F.col("dist_us") <= 3_600_000_000))
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-4 — guarded scale-mode twins of the exact-candidate dedup keys.
+# The oracle-exact keys (x_dedup_best / x_dedup_cluster) run candidate
+# generation exhaustively; these twins run the PRODUCTION configuration —
+# boilerplate (max_df) and hot-bucket (max_bucket) guards ON — with an
+# oracle that expresses the identical guarded semantics, so the driver
+# adjudicates the path a 100 TB deployment would actually ship.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_best_guarded",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS3_SQL}, {_TOKS_SQL}, {_SHINGLES_SQL},
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10),
+    csh AS (SELECT s.doc_id, s.shingle
+            FROM sh s JOIN rare r ON r.shingle = s.shingle),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM csh a JOIN csh b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b),
+    pairs AS (SELECT id_a, id_b
+              FROM inter
+              JOIN sz za ON za.doc_id = id_a
+              JOIN sz zb ON zb.doc_id = id_b
+              WHERE n / (za.s + zb.s - n) >= 0.6),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b AS s, id_a AS d FROM pairs),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node),
+    {_QUALITY_SQL.strip().lstrip()}
+    SELECT l.doc_id, l.cluster_id,
+           count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+           q.score
+    FROM lab l JOIN ql q ON q.doc_id = l.doc_id
+    QUALIFY row_number() OVER (PARTITION BY l.cluster_id
+                               ORDER BY q.score DESC, l.doc_id) = 1
+    """,
+)
+def x_dedup_best_guarded(spark: SparkSession, sf: str) -> DataFrame:
+    """x_dedup_best with the boilerplate guard ON (``max_df``): shingles
+    appearing in more than max_df documents are excluded from CANDIDATE
+    generation (bounding the inverted-index self-join's worst bucket at
+    max_df² pairs instead of corpus²), while intersection counts and set
+    sizes stay on the FULL shingle sets — surviving pairs score exactly.
+    The oracle applies the identical df-prefilter, so the driver verifies
+    the guard's semantics, not just its speed.
+
+    max_df=10 is scaled to the ~600-doc test corpus so the guard
+    genuinely filters (4 hot shingles at sf0.01); a production corpus
+    uses 50+.  This is the configuration a 100 TB run ships; the
+    exhaustive x_dedup_best key is the oracle-mode twin (VERDICT r3
+    watch item 2).
+    """
+    corpus = _doc_corpus3(spark, sf)
+    edges = ngram_jaccard_pairs(corpus, threshold=0.6, max_df=10).select(
+        "id_a", "id_b"
+    )
+    return _collapse_best(corpus, edges)
+
+
+@register(
+    "x_dedup_cluster_guarded",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS3_SQL}, {_TOKS_SQL}, {_SHINGLES_SQL},
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS hh
+          FROM sh),
+    perms AS (SELECT i,
+                     (1103515245 * (i + 1) + 12345) % 2147483647 AS a,
+                     (1103515245 * (i + 1000003) + 12345) % 2147483647 AS b
+              FROM unnest(range(16)) u(i)),
+    mh AS (SELECT doc_id, i, min((a * hh + b) % 2147483647) AS mn
+           FROM h CROSS JOIN perms GROUP BY doc_id, i),
+    bands AS (SELECT doc_id, i // 4 AS band_id,
+                     md5(string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i)) AS band_sig
+              FROM mh GROUP BY doc_id, i // 4),
+    bsz AS (SELECT band_id, band_sig FROM bands
+            GROUP BY band_id, band_sig HAVING count(*) <= 3),
+    kept AS (SELECT b.doc_id, b.band_id, b.band_sig
+             FROM bands b JOIN bsz USING (band_id, band_sig)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM kept a JOIN kept b USING (band_id, band_sig)
+             WHERE a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b),
+    pairs AS (SELECT id_a, id_b
+              FROM inter
+              JOIN sz za ON za.doc_id = id_a
+              JOIN sz zb ON zb.doc_id = id_b
+              WHERE n / (za.s + zb.s - n) >= 0.6),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b AS s, id_a AS d FROM pairs),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           CAST(doc_id = cluster_id AS INT) AS is_canonical
+    FROM lab
+    """,
+)
+def x_dedup_cluster_guarded(spark: SparkSession, sf: str) -> DataFrame:
+    """x_dedup_cluster with MinHash-LSH candidate generation and the
+    hot-bucket guard ON (``max_bucket``): LSH buckets holding more than
+    max_bucket documents (a viral duplicate or boilerplate template would
+    emit b² candidate pairs from one key) are dropped from candidate
+    generation; candidates are then verified with exact Jaccard over the
+    FULL shingle sets at 0.6 and clustered by connected components.  The
+    md5-based signature arithmetic is engine-portable, so the oracle
+    replays signatures, banding, the bucket-size guard, verification and
+    the reachability closure exactly.
+
+    max_bucket=3 is scaled to the ~600-doc test corpus so the guard
+    genuinely drops buckets (13 hot buckets at sf0.01); a production
+    corpus uses 100+.  Scale: the production near-dup clustering path —
+    bucketed candidates (never corpus²), guard bounds the worst bucket,
+    components converge in O(diameter) rounds (VERDICT r3 watch item 2).
+    """
+    corpus = _doc_corpus3(spark, sf)
+    edges = minhash_near_dup(corpus, threshold=0.6, max_bucket=3).select(
+        "id_a", "id_b"
+    )
+    labels = connected_components(edges, corpus.select("doc_id"))
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )

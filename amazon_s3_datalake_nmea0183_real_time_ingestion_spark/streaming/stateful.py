@@ -290,7 +290,8 @@ def streaming_funnel(stream: DataFrame,
                      ts_col: str = "event_ts",
                      type_col: str = "event_type",
                      stages: tuple = ("view", "click", "purchase"),
-                     delay: str = "1 hour") -> DataFrame:
+                     delay: str = "1 hour",
+                     id_col: str = "event_id") -> DataFrame:
     """Incremental ordered funnel: the exact fold q_funnel's chained
     conditional-min windows compute over a static table, carried across
     micro-batches — per-user state is THREE timestamps (O(1), whale-user
@@ -308,21 +309,27 @@ def streaming_funnel(stream: DataFrame,
     def _fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        t1, t2, t3 = state.get if state.exists else (0, 0, 0)
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        # NULL (not 0) is the unset sentinel: an event at exactly epoch 0
+        # must still be able to set state.
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # Total fold order: event-time, then event id when present — without
+        # the tie-break, same-timestamp rows fold in arrival order.
+        order = [ts_col] + ([id_col] if id_col in pdf.columns else [])
+        pdf = pdf.sort_values(order, kind="mergesort")
         before = (t1, t2, t3)
         for row in pdf.itertuples(index=False):
             ts_us = int(getattr(row, ts_col).value // 1000)  # ns -> us
             et = getattr(row, type_col)
-            if et == s1 and t1 == 0:
+            if et == s1 and t1 is None:
                 t1 = ts_us
-            elif et == s2 and t1 != 0 and t2 == 0 and ts_us > t1:
+            elif et == s2 and t1 is not None and t2 is None and ts_us > t1:
                 t2 = ts_us
-            elif et == s3 and t2 != 0 and t3 == 0 and ts_us > t2:
+            elif et == s3 and t2 is not None and t3 is None and ts_us > t2:
                 t3 = ts_us
         state.update((t1, t2, t3))
         if (t1, t2, t3) != before:
-            stage = 3 if t3 else (2 if t2 else 1)
+            stage = 3 if t3 is not None else (2 if t2 is not None else 1)
             yield pd.DataFrame(
                 [(int(key[0]), stage, t1, t2, t3)],
                 columns=["user_id", "stage", "t1_us", "t2_us", "t3_us"],

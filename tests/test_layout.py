@@ -58,6 +58,34 @@ def test_zorder_write_tightens_envelopes_on_both_dims(spark, tmp_path):
     assert z_power < 0.5 * r_power, (z_power, r_power)
 
 
+def test_zorder_write_int32_wide_range(spark, tmp_path):
+    """IntegerType dimensions with a value range past 2^15 used to wrap at
+    int32 in the (col - lo) * 65535 normalization multiply (non-ANSI mode
+    overflows silently), garbling Morton keys.  The widened-to-long path
+    must produce a layout as tight as the BIGINT path does."""
+    n = 20_000
+    df = spark.range(n).select(
+        # int32 columns spanning ~2_000_000 — far past the wrap threshold
+        (F.col("id") * 100).cast("int").alias("a"),
+        ((F.lit(n - 1) - F.col("id")) * 100).cast("int").alias("b"),
+    )
+    dims = ["a", "b"]
+    zpath = str(tmp_path / "z_int32")
+    zorder_write(df, dims, zpath, n_files=8)
+    z = spark.read.parquet(zpath)
+    assert z.count() == n
+
+    lo = {"a": 0, "b": 0}
+    hi = {"a": (n - 1) * 100, "b": (n - 1) * 100}
+    power = _pruning_power(
+        file_envelopes(spark, zpath, dims).collect(), dims, lo, hi
+    )
+    # a and b are perfectly anti-correlated, so a correct 2-D interleave
+    # still yields tight per-file envelopes; wrapped keys scatter rows and
+    # push the mean envelope width toward 1.0.
+    assert power < 0.5, power
+
+
 def test_morton_sql_interleaves_bits():
     # 3-bit check: x=0b101, y=0b011 -> z bits x0,y0,x1,y1,x2,y2 = 1,1,0,1,1,0
     expr = morton_sql(["x", "y"], bits=3)

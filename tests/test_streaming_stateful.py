@@ -354,4 +354,4 @@ def test_streaming_funnel_matches_batch_chain(spark, tmp_path):
     us = lambda t: (T0 + t) * 1_000_000  # noqa: E731
     assert got[1] == (3, us(10), us(20), us(30))
     assert got[2] == (3, us(8), us(9), us(15))   # pre-view click ignored
-    assert got[3] == (1, us(2), 0, 0)            # purchase-before-view ignored
+    assert got[3] == (1, us(2), None, None)      # purchase-before-view ignored
