@@ -79,3 +79,60 @@ def enrich_geocode(
 
 def geo_columns() -> list[str]:
     return list(GEO_COLUMNS)
+
+
+# ---------------------------------------------------------------------------
+# too-big-to-broadcast fallback: bucketed dimension, co-partitioned join.
+# The 1°×1° grid dim broadcasts (64,800 rows ≈ MBs), but a richer dimension
+# — parcel-level reverse geocoding, 100m cells, per-address records — can
+# reach 100s of GB, past any broadcast threshold.  The scale path writes
+# the dim ONCE as a bucketed table on the join key; every subsequent
+# enrichment joins against it with NO dim-side exchange and NO fact-side
+# shuffle beyond the one explicit co-partitioning exchange (which replaces
+# the shuffle a plain sort-merge join would have needed anyway).
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed_geo_dim(
+    geo_dim: DataFrame, table_name: str, n_buckets: int = 32
+) -> None:
+    """Persist the geo dimension bucketed + sorted by ``geo_cell``.
+
+    One-time (or per-dim-refresh) cost: a shuffle into ``n_buckets``
+    files whose layout the catalog records as
+    ``HashPartitioning(geo_cell, n_buckets)``.  At 100 TB the bucket
+    count should be sized so each bucket file is ~128-512 MB."""
+    (
+        geo_dim.write.mode("overwrite")
+        .bucketBy(n_buckets, "geo_cell")
+        .sortBy("geo_cell")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def enrich_geocode_bucketed(
+    df: DataFrame,
+    spark: SparkSession,
+    table_name: str,
+    lon_col: str = "longitude",
+    lat_col: str = "latitude",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Enrich against a dimension too big to broadcast: sort-merge join
+    against the bucketed dim table written by
+    :func:`write_bucketed_geo_dim`.
+
+    The fact side is explicitly repartitioned to the dim's exact bucket
+    layout (``HashPartitioning(geo_cell, n_buckets)``), so
+    EnsureRequirements adds NO further exchange on either side: the dim
+    scan's bucketing satisfies the join requirement directly (zero
+    dim-side shuffle — the payoff: the big dim never moves after its
+    one-time bucket write) and the fact's repartition IS the join
+    distribution.  ``merge`` hint pins sort-merge so a small test dim
+    doesn't silently take the broadcast path this function exists to
+    avoid.  Plan-asserted in tests/test_scale_plans.py."""
+    dim = spark.table(table_name)
+    keyed = df.withColumn("geo_cell", grid_cell(F.col(lon_col), F.col(lat_col)))
+    keyed = keyed.repartition(n_buckets, "geo_cell")
+    return keyed.join(dim.hint("merge"), "geo_cell", "left").drop("geo_cell")

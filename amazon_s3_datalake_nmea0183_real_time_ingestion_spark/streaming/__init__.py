@@ -2,11 +2,14 @@
 
 from .pipeline import (  # noqa: F401
     PipelineBatchResult,
+    StreamRoute,
     build_stage_rows,
     process_batch,
     read_landing_stream,
     run_batch,
     start_pipeline,
+    start_streams,
+    stream_route,
 )
 from .joins import sensor_with_recent_soh  # noqa: F401
 from .stateful import (  # noqa: F401

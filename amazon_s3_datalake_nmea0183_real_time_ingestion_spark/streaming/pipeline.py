@@ -44,6 +44,7 @@ need a transactional table format under every sink (SURVEY.md §7.4.1).
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -218,6 +219,7 @@ def start_pipeline(
     maintenance_catalog_tables: list[str] | None = None,
     maintenance_reports: list[dict] | None = None,
     maintain_quality: bool = False,
+    geo_dim: DataFrame | None = None,
 ) -> StreamingQuery:
     """Wire source → foreachBatch → trigger → checkpoint and start.
 
@@ -232,8 +234,13 @@ def start_pipeline(
     (cdk_datalake_mvp_stack.py:325); reports append to
     ``maintenance_reports``.  ``maintain_quality=True`` adds the
     one-scan stage data-quality gate (stage_quality_report) to each
-    maintenance pass."""
-    geo_dim = build_geo_dim(spark)
+    maintenance pass.
+
+    ``geo_dim`` lets callers running SEVERAL pipeline instances (see
+    ``start_streams``) share one geocode dimension instead of rebuilding
+    it per stream."""
+    if geo_dim is None:
+        geo_dim = build_geo_dim(spark)
     stream = read_landing_stream(
         spark, landing_dir, max_files_per_trigger, max_bytes_per_trigger
     )
@@ -281,3 +288,91 @@ def run_batch(
     """Batch-mode equivalent of one micro-batch (backfill entry point)."""
     return process_batch(envelopes, batch_id=0, lake_dir=lake_dir,
                          geo_dim=build_geo_dim(spark))
+
+
+# ---------------------------------------------------------------------------
+# multi-stream ingest routing — the reference's ``POST /{stream-name}`` API
+# route (cdk_datalake_mvp_stack.py:273-279,295): the path parameter selects
+# the delivery stream, so one endpoint fans out to N independent Firehose
+# streams.  Spark analog: one pipeline INSTANCE per stream name, each with
+# its own landing / checkpoint / lake prefixes — checkpoints never cross,
+# so each stream's exactly-once-per-batch progress is independent.
+# ---------------------------------------------------------------------------
+
+# API Gateway path-parameter discipline: a stream name is a single path
+# segment, S3-prefix-safe.  Reject anything that could escape the prefix
+# (separators, dots) BEFORE it reaches os.path.join.
+_STREAM_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_-]{0,63}$")
+
+
+@dataclass(frozen=True)
+class StreamRoute:
+    """Filesystem layout for one named delivery stream under a shared
+    base directory — the Spark analog of the per-stream Firehose
+    delivery-stream + S3 prefix the CDK stack provisions per route."""
+
+    stream_name: str
+    landing_dir: str
+    lake_dir: str
+    checkpoint_dir: str
+
+
+def stream_route(base_dir: str, stream_name: str) -> StreamRoute:
+    """Resolve ``POST /{stream-name}`` to the stream's isolated prefixes.
+
+    Producers append JSON-line envelope files under ``landing_dir`` (the
+    DirectPut analog); the stream's pipeline owns ``lake_dir`` and
+    ``checkpoint_dir``.  Raises ``ValueError`` for names that aren't a
+    valid single path segment (the API Gateway path-param contract)."""
+    if not _STREAM_NAME_RE.match(stream_name):
+        raise ValueError(
+            f"invalid stream name {stream_name!r}: must match "
+            f"{_STREAM_NAME_RE.pattern} (single S3-prefix-safe path segment)"
+        )
+    return StreamRoute(
+        stream_name=stream_name,
+        landing_dir=os.path.join(base_dir, "landing", stream_name),
+        lake_dir=os.path.join(base_dir, "lake", stream_name),
+        checkpoint_dir=os.path.join(base_dir, "ckpt", stream_name),
+    )
+
+
+def start_streams(
+    spark: SparkSession,
+    base_dir: str,
+    stream_names: list[str],
+    results: dict[str, list[PipelineBatchResult]] | None = None,
+    **pipeline_kwargs,
+) -> dict[str, StreamingQuery]:
+    """Start one independent pipeline per stream name (multi-fleet
+    ingest).  Every stream gets its own landing/checkpoint/lake prefixes
+    from :func:`stream_route`; the geocode dimension is built ONCE and
+    shared (broadcast per batch regardless, so sharing costs nothing and
+    saves N-1 dim builds).  ``results[name]`` collects per-batch counters
+    when a dict is passed.  Remaining kwargs flow to
+    :func:`start_pipeline` for every stream.
+
+    Scale: streams are separate StreamingQuery instances scheduled
+    concurrently by Spark; at cluster scale each stream's micro-batch
+    jobs interleave on the shared executors (fair scheduler pools are
+    the knob if one fleet must not starve another)."""
+    routes = [stream_route(base_dir, name) for name in stream_names]
+    if len({r.stream_name for r in routes}) != len(routes):
+        raise ValueError(f"duplicate stream names in {stream_names!r}")
+    geo_dim = build_geo_dim(spark)
+    queries: dict[str, StreamingQuery] = {}
+    for route in routes:
+        os.makedirs(route.landing_dir, exist_ok=True)
+        stream_results: list[PipelineBatchResult] | None = None
+        if results is not None:
+            stream_results = results.setdefault(route.stream_name, [])
+        queries[route.stream_name] = start_pipeline(
+            spark,
+            route.landing_dir,
+            route.lake_dir,
+            route.checkpoint_dir,
+            results=stream_results,
+            geo_dim=geo_dim,
+            **pipeline_kwargs,
+        )
+    return queries

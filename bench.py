@@ -89,7 +89,52 @@ HEADLINE = [
     "x_dedup_url",
     "q_histogram",
     "q_join_asof_near",
+    # round-4: guarded scale-mode dedup twins (production guard-on path)
+    "x_dedup_best_guarded",
+    "x_dedup_cluster_guarded",
 ]
+
+# The similarity/hashing family regressed 31-62% in BENCH_r03 on identical
+# plans (VERDICT r3 "Next round" #2) — run these at min-of-3 instead of
+# min-of-2 so one contended run can't set the reported number.
+EXTRA_RUN_KEYS = {
+    "x_sim_topk",
+    "x_sim_ivf",
+    "x_sim_lsh",
+    "x_dedup_simhash",
+    "x_embed_reduce",
+    "x_domain_quota",
+}
+
+# Tables the headline queries scan — provenance block input.
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _provenance(sf_dir: str, spark) -> dict:
+    """Self-describing bench context: input row/byte counts per table plus
+    the parallelism knobs — so round-over-round comparisons can rule out
+    testdata regeneration and machine-shape drift without guesswork
+    (VERDICT r3 'Next round' #8)."""
+    import pyarrow.parquet as pq
+
+    tables = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        tables[name] = {
+            "rows": pq.ParquetFile(path).metadata.num_rows,
+            "bytes": os.path.getsize(path),
+        }
+    return {
+        "tables": tables,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "runs_per_query": {"default": 2, "extra": sorted(EXTRA_RUN_KEYS)},
+    }
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -113,6 +158,14 @@ def main() -> int:
         # bogus speedup in round-over-round comparisons
         raise SystemExit(f"HEADLINE keys missing from queries(): {missing}")
     keys = list(HEADLINE)
+    # ad-hoc subset runs (scaling experiments): comma-separated key list;
+    # the driver never sets this, so round-over-round numbers stay full.
+    subset = os.environ.get("SPARK_GRAFT_KEYS")
+    if subset:
+        keys = [k.strip() for k in subset.split(",") if k.strip()]
+        bad = [k for k in keys if k not in qs]
+        if bad:
+            raise SystemExit(f"SPARK_GRAFT_KEYS not in queries(): {bad}")
 
     # JVM/codegen warmup on a genuinely tiny job so no headline key gets
     # an extra warm run the others don't.
@@ -129,7 +182,7 @@ def main() -> int:
     timings: dict[str, float] = {}
     for key in keys:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3 if key in EXTRA_RUN_KEYS else 2):
             t0 = time.perf_counter()
             qs[key](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -144,6 +197,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "provenance": _provenance(SF_DIR, spark),
             }
         )
     )

@@ -98,6 +98,51 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bucketed_geocode_fallback_no_broadcast_one_fact_exchange(spark):
+    """Too-big-to-broadcast geo dimension (VERDICT r3 'Next round' #7):
+    the bucketed dim joins with NO BroadcastExchange and NO dim-side
+    shuffle; the only Exchange in the plan is the fact side's explicit
+    co-partitioning repartition.  Results must equal the broadcast path."""
+    import shutil
+
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.geocode import (
+        build_geo_dim,
+        enrich_geocode,
+        enrich_geocode_bucketed,
+        write_bucketed_geo_dim,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS t_geo_dim_bucketed")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/t_geo_dim_bucketed", ignore_errors=True)
+
+    dim = build_geo_dim(spark)
+    write_bucketed_geo_dim(dim, "t_geo_dim_bucketed", n_buckets=8)
+
+    fact = spark.range(500).select(
+        F.col("id").alias("rid"),
+        ((F.col("id") % 360) - 180 + 0.5).cast("double").alias("longitude"),
+        ((F.col("id") % 180) - 90 + 0.5).cast("double").alias("latitude"),
+    )
+    enriched = enrich_geocode_bucketed(
+        fact, spark, "t_geo_dim_bucketed", n_buckets=8
+    )
+    plan = plan_of(enriched)
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan
+    # exactly ONE shuffle: the fact-side co-partitioning; the dim side's
+    # bucketing satisfies the join distribution with zero movement
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+
+    # semantics identical to the broadcast path
+    expected = enrich_geocode(fact, dim).orderBy("rid").collect()
+    got = enriched.orderBy("rid").collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in expected]
+
+
 def test_schema_drift_report_logs_not_applies(spark, tmp_path):
     """A20 crawler parity: drift is reported (added/missing/type_changed)
     while the declared schema stays authoritative."""

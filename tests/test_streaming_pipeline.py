@@ -338,3 +338,71 @@ def test_maintenance_cadence_emits_drift_report(spark, tmp_path):
             "battery_out_of_range": 0,
             "duplicate_deliveries": 2 * (n_batches - 1),
         }
+
+
+def test_multi_stream_routing_isolated(spark, tmp_path):
+    """POST /{stream-name} parity (cdk_datalake_mvp_stack.py:273-279,295):
+    two device fleets ingest through one base endpoint but land in fully
+    isolated per-stream prefixes — independent stage outputs, counters,
+    and checkpoints (a new file for fleet A re-triggers ONLY fleet A)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.streaming import (
+        start_streams,
+        stream_route,
+    )
+
+    base = str(tmp_path / "multi")
+    ra = stream_route(base, "fleet-a")
+    rb = stream_route(base, "fleet-b")
+    assert ra.landing_dir != rb.landing_dir
+    assert ra.checkpoint_dir != rb.checkpoint_dir
+
+    import os
+
+    os.makedirs(ra.landing_dir), os.makedirs(rb.landing_dir)
+    with open(os.path.join(ra.landing_dir, "b0.json"), "w") as f:
+        for row in envelope_rows(n_soh=4, n_sensor=1, n_unknown=0):
+            f.write(json.dumps(row) + "\n")
+    with open(os.path.join(rb.landing_dir, "b0.json"), "w") as f:
+        for row in envelope_rows(n_soh=2, n_sensor=0, n_unknown=3):
+            f.write(json.dumps(row) + "\n")
+
+    results: dict = {}
+    qs = start_streams(spark, base, ["fleet-a", "fleet-b"],
+                       results=results, available_now=True)
+    assert set(qs) == {"fleet-a", "fleet-b"}
+    for q in qs.values():
+        q.awaitTermination(180)
+
+    # independent per-stream counters and stage rows
+    assert results["fleet-a"][0].counts == {"soh": 4, "sensor": 1}
+    assert results["fleet-b"][0].counts == {"soh": 2, "unknown": 3}
+    assert spark.read.parquet(os.path.join(ra.lake_dir, "stage")).count() == 4
+    assert spark.read.parquet(os.path.join(rb.lake_dir, "stage")).count() == 2
+
+    # checkpoint isolation: new data for fleet-a only; fleet-b's restart
+    # drains nothing (its checkpoint already covers its landing dir)
+    with open(os.path.join(ra.landing_dir, "b1.json"), "w") as f:
+        for row in envelope_rows(n_soh=3, n_sensor=0, n_unknown=0):
+            f.write(json.dumps(row) + "\n")
+    qs2 = start_streams(spark, base, ["fleet-a", "fleet-b"],
+                        results=results, available_now=True)
+    for q in qs2.values():
+        q.awaitTermination(180)
+    assert spark.read.parquet(os.path.join(ra.lake_dir, "stage")).count() == 7
+    assert spark.read.parquet(os.path.join(rb.lake_dir, "stage")).count() == 2
+    assert len(results["fleet-a"]) == 2
+    assert len(results["fleet-b"]) == 1  # no second batch for fleet-b
+
+
+def test_stream_route_rejects_path_escapes():
+    """Stream names are API-Gateway path params: a name that could escape
+    its S3 prefix must be rejected before any filesystem path is built."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.streaming import (
+        stream_route,
+    )
+
+    for bad in ("../other", "a/b", "", ".hidden", "a b", "x" * 65):
+        with pytest.raises(ValueError):
+            stream_route("/tmp/base", bad)
+    ok = stream_route("/tmp/base", "fleet_A-01")
+    assert ok.landing_dir.endswith("landing/fleet_A-01")
