@@ -120,15 +120,29 @@ def _provenance(sf_dir: str, spark) -> dict:
     (VERDICT r3 'Next round' #8)."""
     import pyarrow.parquet as pq
 
+    def table_meta(path: str) -> dict:
+        # driver testdata is one file per table; Spark-written datasets
+        # (e.g. tools/make_sfscale.py output) are part-file directories
+        if os.path.isdir(path):
+            rows = nbytes = 0
+            for root, _, files in os.walk(path):
+                for fn in files:
+                    fp = os.path.join(root, fn)
+                    nbytes += os.path.getsize(fp)
+                    if fn.endswith(".parquet"):
+                        rows += pq.ParquetFile(fp).metadata.num_rows
+            return {"rows": rows, "bytes": nbytes}
+        return {
+            "rows": pq.ParquetFile(path).metadata.num_rows,
+            "bytes": os.path.getsize(path),
+        }
+
     tables = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        tables[name] = {
-            "rows": pq.ParquetFile(path).metadata.num_rows,
-            "bytes": os.path.getsize(path),
-        }
+        tables[name] = table_meta(path)
     return {
         "tables": tables,
         "default_parallelism": spark.sparkContext.defaultParallelism,

@@ -347,6 +347,26 @@ def test_simhash_pairs_has_no_pair_distinct_exchange(spark, queries):
             assert "id_a" not in line and "id_b" not in line, line.strip()
 
 
+def test_guarded_ngram_pairs_window_tagged_df(spark):
+    """The guarded n-gram scorer (ngram_jaccard_pairs max_df mode) tags df
+    with a WINDOW over the shingle shuffle (one exchange shape shared by
+    the rare/hot split and the self-join at runtime via ReuseExchange —
+    the static plan shows the duplicated subtrees), instead of a separate
+    groupBy+rejoin; and nothing drops to Python, a cartesian product, or
+    a nested-loop join."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = plan_of(ngram_jaccard_pairs(docs, threshold=0.6, max_df=10))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the df guard is a windowspec over shingle, not an aggregate+join
+    assert "windowspecdefinition(shingle" in plan, plan[:2000]
+
+
 def _shuffle_exchanges(plan: str) -> list[str]:
     """Detail-section shuffle Exchange nodes (excludes broadcast + reuse)."""
     return [
