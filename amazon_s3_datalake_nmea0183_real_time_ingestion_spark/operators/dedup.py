@@ -271,10 +271,13 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     pack into each 64-bit sum: 20 aggregates instead of 60 (measured 20%
     faster end-to-end at sf0.1, bit-identical signatures — the DuckDB
     oracle keeps the 60-sum formulation as the independent replay).
-    Lane-overflow bound: a document would need >2^21 ≈ 2.1M DISTINCT
-    tokens to wrap a counter — beyond any natural-language vocabulary;
-    widen ``_SIMHASH_LANE_BITS`` (fewer lanes per sum) if ids/numbers
-    corpora ever approach it."""
+    Lane-overflow bound: a counter carries into its neighbor at exactly
+    2^21 ≈ 2.1M DISTINCT tokens in one document — beyond any
+    natural-language vocabulary, and GUARDED: the per-doc distinct-token
+    count is already an aggregate here, so a runtime assert fails fast
+    instead of silently corrupting signatures.  Widen
+    ``_SIMHASH_LANE_BITS`` (fewer lanes per sum) for ids/numbers corpora
+    that approach the bound."""
     toks = (
         docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
         .distinct()
@@ -295,6 +298,20 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         )
         aggs.append(F.sum(packed).alias(f"__p{s}"))
     grouped = toks.groupBy(id_col).agg(*aggs)
+    # fail fast at the documented bound — a wrapped lane would silently
+    # flip many signature bits; the count is already aggregated, so the
+    # assert costs one comparison per document
+    grouped = grouped.filter(
+        F.assert_true(
+            F.col("__n") < F.lit(1 << width),
+            F.concat(
+                F.lit("simhash lane overflow: document "),
+                F.col(id_col).cast("string"),
+                F.lit(f" has >= 2^{width} distinct tokens; widen "
+                      "_SIMHASH_LANE_BITS"),
+            ),
+        ).isNull()
+    )
     mask = (1 << width) - 1
     bits = []
     for b in range(SIMHASH_BITS):

@@ -70,17 +70,21 @@ def zorder_write(
     keyed = df.crossJoin(F.broadcast(bounds))
     norm_names = []
     for i, c in enumerate(cols):
-        # Widen to long BEFORE the multiply: for IntegerType dimensions,
-        # (col - lo) * 65535 wraps at int32 once the value range exceeds
-        # ~32768 (non-ANSI mode silently overflows), garbling Morton keys.
+        # Normalize in DOUBLE: for IntegerType dimensions the native-type
+        # multiply (col - lo) * 65535 wraps at int32 once the value range
+        # exceeds ~32768 (non-ANSI mode silently overflows), and a long
+        # widening would instead FLOOR fractional dimensions (lat/lon,
+        # scores in [0,1]) before normalization, collapsing them to a few
+        # buckets.  Double holds int32 exactly and int64 to 2^53 — beyond
+        # that the sub-ULP relative error is invisible at 16-bit key width.
         span = F.greatest(
-            F.col(f"__hi_{c}").cast("long") - F.col(f"__lo_{c}").cast("long"),
-            F.lit(1).cast("long"),
+            F.col(f"__hi_{c}").cast("double") - F.col(f"__lo_{c}").cast("double"),
+            F.lit(1e-12),
         )
         keyed = keyed.withColumn(
             f"__n{i}",
             (
-                (F.col(c).cast("long") - F.col(f"__lo_{c}").cast("long"))
+                (F.col(c).cast("double") - F.col(f"__lo_{c}").cast("double"))
                 * top
                 / span
             ).cast("long"),

@@ -12,17 +12,18 @@ from . import tierd  # noqa: F401,E402
 # keys per round.  Rounds 1-3 union: 121/121 keys green, but 71 keys' latest
 # green row predates the round-3 testdata regeneration (events.ts ->
 # TIMESTAMP_NTZ).  Round 4 (per VERDICT.md "Next round" #1/#3) front-loads:
-#   1. brand-new round-4 keys (guarded dedup twins etc.) — zero driver rows;
-#   2. the 49 keys whose latest row is r2 — re-green on regenerated data;
-#   3. the 22 keys whose latest row is r1 — round 5 takes any overflow.
-# The 50 keys adjudicated in r3 are already green on the new data and pay no
-# window rent.  (x_sim_ivf2 stays at the back: probe-knob variant of
-# x_sim_ivf; its re-green rides the r2 batch anyway.)
+#   1. brand-new round-4 keys (2 guarded dedup twins) — zero driver rows;
+#   2. 48 of the 49 r2-row keys (every distinct OPERATOR first) — exactly
+#      fills the 50-slot window;
+#   3. x_sim_ivf2 (the 49th r2 key, a probe-knob variant of x_sim_ivf),
+#      then the 22 r1-row keys — all past the window, round 5 takes them.
+# The 50 keys adjudicated in r3 are already green on the new data and pay
+# no window rent.
 _NEEDS_VERDICT = [
     # Round-4 new keys — first driver row needed
     "x_dedup_best_guarded",
     "x_dedup_cluster_guarded",
-    # Latest row = r2 (49) — stale vs regenerated testdata
+    # Latest row = r2 (48 of 49; x_sim_ivf2 queues just below)
     "cat_recover", "cat_register", "f_contains", "f_element_at", "f_split",
     "op_alert_filter", "op_error_route", "op_event_partition",
     "op_flatten_soh", "op_geocode_join", "op_nmea_latlon", "q_agg_modern",
@@ -36,7 +37,9 @@ _NEEDS_VERDICT = [
     "x_text_line_dedup", "x_text_pii", "x_text_quality",
     "x_text_repetition", "x_text_tf", "x_text_tfidf", "x_text_tokens",
     "x_url_parse", "x_vocab_topk",
-    # Latest row = r1 (22) — round 5 takes whatever falls past the window
+    # 49th r2 key — first in line when the round-5 window opens
+    "x_sim_ivf2",
+    # Latest row = r1 (22) — round 5 takes these after x_sim_ivf2
     "agg_class_count", "f_from_json", "f_isbase64", "f_unbase64",
     "op_classify", "q_agg_grouping_sets", "q_agg_percentile", "q_agg_stats",
     "q_explode", "q_fn_bitwise", "q_fn_conditional", "q_fn_sql_udfs",
@@ -46,10 +49,10 @@ _NEEDS_VERDICT = [
 ]
 
 
-# Redundant probe-knob variants: keep registered (they are real capability)
-# but last, so a re-adjudication slot is never spent on them before every
-# distinct operator has been re-greened.
-_BACK = ["x_sim_ivf2"]
+# Redundant probe-knob variants that should never displace a distinct
+# operator: none currently — x_sim_ivf2 is ordered explicitly above (51st,
+# behind every distinct-operator re-green but ahead of the r1 batch).
+_BACK: list[str] = []
 
 
 def _front_load(priority: list[str], back: list[str]) -> None:

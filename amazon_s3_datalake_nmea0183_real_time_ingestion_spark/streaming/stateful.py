@@ -303,6 +303,13 @@ def streaming_funnel(stream: DataFrame,
     event-time can only MISS conversions the batch plan would count
     (the state never rolls back); that's the same late-data posture as
     battery_transitions' last_seen guard, bounded by the watermark.
+
+    State format v2 (round 4): unset stages are NULL, not 0 — the 0
+    sentinel made an event at exactly epoch 0 unrepresentable.  The
+    struct SCHEMA is unchanged, so a checkpoint written by the v1 fold
+    would resume without error but reinterpret v1's (0,0,0) "no
+    progress" as "stage 1 at epoch 0" — restart v2 queries from a fresh
+    checkpoint (replay the landing data; admission is idempotent).
     """
     s1, s2, s3 = stages
 

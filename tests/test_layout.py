@@ -86,6 +86,28 @@ def test_zorder_write_int32_wide_range(spark, tmp_path):
     assert power < 0.5, power
 
 
+def test_zorder_write_fractional_dims(spark, tmp_path):
+    """Double dimensions with sub-integer ranges (scores in [0,1], lat/lon
+    fractions) must normalize at full precision — a long-widened
+    normalization would floor them to a handful of buckets and the
+    dimension would stop contributing to the Morton key."""
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") / n).cast("double").alias("a"),          # [0, 1)
+        ((F.lit(n - 1) - F.col("id")) / n * 0.5).alias("b"),  # [0, 0.5)
+    )
+    dims = ["a", "b"]
+    zpath = str(tmp_path / "z_frac")
+    zorder_write(df, dims, zpath, n_files=8)
+    assert spark.read.parquet(zpath).count() == n
+    lo = {"a": 0.0, "b": 0.0}
+    hi = {"a": (n - 1) / n, "b": (n - 1) / n * 0.5}
+    power = _pruning_power(
+        file_envelopes(spark, zpath, dims).collect(), dims, lo, hi
+    )
+    assert power < 0.5, power
+
+
 def test_morton_sql_interleaves_bits():
     # 3-bit check: x=0b101, y=0b011 -> z bits x0,y0,x1,y1,x2,y2 = 1,1,0,1,1,0
     expr = morton_sql(["x", "y"], bits=3)

@@ -124,9 +124,8 @@ def test_bucketed_geocode_fallback_no_broadcast_one_fact_exchange(spark):
         ((F.col("id") % 360) - 180 + 0.5).cast("double").alias("longitude"),
         ((F.col("id") % 180) - 90 + 0.5).cast("double").alias("latitude"),
     )
-    enriched = enrich_geocode_bucketed(
-        fact, spark, "t_geo_dim_bucketed", n_buckets=8
-    )
+    # no explicit n_buckets: the count must come from the catalog
+    enriched = enrich_geocode_bucketed(fact, spark, "t_geo_dim_bucketed")
     plan = plan_of(enriched)
     assert "BroadcastExchange" not in plan
     assert "SortMergeJoin" in plan

@@ -8,10 +8,13 @@ of each sf0.1 table with:
 - **key offsets** (copy i adds ``i * OFFSET`` to every entity key) so
   join fan-outs and group cardinalities scale linearly, never quadratically;
 - **content perturbation** where identical payloads would distort the
-  workload: document text is token-ROTATED per copy (same token multiset —
-  unigram stats, lengths and quality scores keep their distribution — but
-  different 3-gram shingles, so near-dup candidate structure scales ~K×
-  instead of exploding into K-cliques of verbatim copies), and embedding
+  workload: document text is token-SHUFFLED per copy (tokens reordered by
+  a per-copy hash sort — same token multiset, so unigram stats, lengths
+  and quality scores keep their distribution, but the 3-gram shingle sets
+  of two copies are ~disjoint, so near-dup candidate structure scales ~K×
+  instead of exploding into K-cliques; a mere ROTATION would NOT work —
+  rotating n tokens by any offset shares n-4 of n cyclic 3-grams with the
+  original, Jaccard (n-4)/n ≈ 0.93, still a near-dup), and embedding
   components get a tiny per-copy additive shift (breaks exact ties in
   top-k without moving the distribution);
 - dimension tables ``region``/``nation`` copied as-is (they are fixed-size
@@ -56,15 +59,24 @@ def scaled_copy(df, table: str, i: int):
     for kc in KEY_COLS.get(table, []):
         out = out.withColumn(kc, F.col(kc) + F.lit(i * OFFSET))
     if table == "documents" and i > 0:
-        # rotate the token sequence by 7*i: shingle sets diverge between
-        # copies while token multiset (and thus length/quality stats) hold
+        # deterministic per-copy token SHUFFLE: sort tokens by
+        # md5(token || copy || position).  Token multiset (and thus
+        # length/quality stats) hold, but consecutive-token 3-grams are
+        # destroyed, so copies are NOT near-dups of each other —
+        # verified: rotation instead leaves Jaccard ≈ (n-4)/n between
+        # copies, which degenerates the corpus into K-cliques.
         toks = F.split(F.col("text"), r"\s+")
-        n = F.greatest(F.size(toks), F.lit(1))
-        r = F.pmod(F.lit(7 * i), n)
-        rotated = F.concat(
-            F.slice(toks, r + F.lit(1), n), F.slice(toks, F.lit(1), r)
+        keyed = F.transform(
+            toks,
+            lambda t, j: F.struct(
+                F.md5(
+                    F.concat_ws("|", t, F.lit(str(i)), j.cast("string"))
+                ).alias("k"),
+                t.alias("t"),
+            ),
         )
-        out = out.withColumn("text", F.array_join(rotated, " "))
+        shuffled = F.transform(F.array_sort(keyed), lambda s: s["t"])
+        out = out.withColumn("text", F.array_join(shuffled, " "))
     if table == "embeddings" and i > 0:
         shift = F.lit(float(i) * 1e-3)
         out = out.withColumn(
