@@ -7,6 +7,7 @@ from . import tierb  # noqa: F401,E402
 from . import tiera  # noqa: F401,E402
 from . import tierc  # noqa: F401,E402
 from . import tierd  # noqa: F401,E402
+from . import tiere  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
 # keys per round.  Rounds 1-3 union: 121/121 keys green, but 71 keys' latest
@@ -37,7 +38,13 @@ _NEEDS_VERDICT = [
     "x_text_line_dedup", "x_text_pii", "x_text_quality",
     "x_text_repetition", "x_text_tf", "x_text_tfidf", "x_text_tokens",
     "x_url_parse", "x_vocab_topk",
-    # 49th r2 key — first in line when the round-5 window opens
+    # Round-4 Tier E keys (registered after the round-4 window was sized;
+    # zero driver rows — round 5 front-loads these, then x_sim_ivf2, then
+    # the r1 batch: 7 + 1 + 22 = 30 of 50 slots, the rest re-green r3 keys)
+    "q_triangle_count", "x_outlier_mad", "q_ts_downsample",
+    "x_sample_weighted", "x_decontaminate_bloom", "x_dedup_semantic",
+    "x_dedup_lev",
+    # 49th r2 key — next in line after the Tier E batch
     "x_sim_ivf2",
     # Latest row = r1 (22) — round 5 takes these after x_sim_ivf2
     "agg_class_count", "f_from_json", "f_isbase64", "f_unbase64",

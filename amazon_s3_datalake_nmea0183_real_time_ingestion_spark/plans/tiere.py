@@ -1,0 +1,574 @@
+"""Tier E — round-4 analytics extensions: graph triangle counting
+(degree-ordered), robust outlier detection (median/MAD), OHLC time-series
+downsampling, weighted priority sampling (Efraimidis–Spirakis), Bloom-filter
+decontamination, SemDeDup-style semantic dedup over learned centroids, and
+edit-distance verification on LSH candidates.
+
+Every key follows the registry's cross-engine hash rules (registry.py
+docstring).  Techniques are from the public literature: degree-ordered
+triangle enumeration (Suri & Vassilvitskii, WWW'11 "the curse of the last
+reducer"), A-ES weighted sampling (Efraimidis & Spirakis, IPL'06), Bloom
+filters (Bloom, CACM'70), SemDeDup (Abbas et al., 2023).
+
+Scale notes (100 TB design point) are on each key's docstring — the common
+theme: candidate generation is always bucketed/oriented (never all-pairs),
+dimension-sized sides broadcast, global top-k via TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import MERSENNE_P, md5_u32, minhash_permuted
+from ..operators.dedup import (
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_set,
+)
+from .registry import register, table
+from .tierc import _CORPUS_SQL, _doc_corpus, _emb_corpus
+
+# ---------------------------------------------------------------------------
+# graph — triangle counting (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+              SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+            GROUP BY node),
+    ori AS (SELECT CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.u ELSE und.v END AS src,
+                   CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.v ELSE und.u END AS dst,
+                   CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN dv.d ELSE du.d END AS dd
+            FROM und
+            JOIN deg du ON du.node = und.u
+            JOIN deg dv ON dv.node = und.v),
+    tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+            FROM ori e1
+            JOIN ori e2 ON e2.src = e1.src
+                       AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+            JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+    pernode AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                  SELECT x AS node FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri)
+                GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS part_id, n_triangles
+    FROM pernode
+    ORDER BY n_triangles DESC, part_id ASC
+    LIMIT 50
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts over the part co-purchase graph, top-50 —
+    the local-clustering signal (community density / spam-farm detection)
+    curation pipelines compute next to PageRank's global importance.
+
+    Degree-ordered enumeration (Suri & Vassilvitskii WWW'11): each
+    undirected edge is oriented from its lower-(degree, id) endpoint, so
+    wedges are generated only at each triangle's minimum vertex — total
+    wedge work drops from Σ deg² (hub-quadratic) to O(m^1.5), killing
+    "the curse of the last reducer" that a raw u<v orientation hits on
+    hub nodes.  Scale: the wedge self-join keys on src and the closing
+    probe on (y, z) — both plain keyed shuffles; pair generation is
+    bounded by order width (same derivation as x_pagerank); no driver
+    loop, no cartesian.
+    """
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    # reuse the undirected edge list across degree/orientation/wedge/probe
+    # branches instead of replanning the order self-join four times
+    und = und.localCheckpoint(eager=False)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    j = und.join(du, "u").join(dv, "v")
+    u_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    ori = j.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    ).localCheckpoint(eager=False)
+    e1, e2 = ori.alias("e1"), ori.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            F.struct(F.col("e1.dd"), F.col("e1.dst"))
+            < F.struct(F.col("e2.dd"), F.col("e2.dst"))
+        ),
+    ).select(
+        F.col("e1.src").alias("x"), F.col("e1.dst").alias("y"), F.col("e2.dst").alias("z")
+    )
+    e3 = ori.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = wedges.join(e3, ["y", "z"])
+    pernode = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        pernode.select(F.col("node").cast("long").alias("part_id"), "n_triangles")
+        .orderBy(F.col("n_triangles").desc(), F.col("part_id").asc())
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# robust outlier detection — median / MAD
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_outlier_mad",
+    oracle="""
+    WITH med AS (SELECT event_type, median(value) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+            FROM events e JOIN med m ON m.event_type = e.event_type),
+    mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(sum(CASE WHEN d.adev > 3 * 1.4826 * a.mad THEN 1 ELSE 0 END) / count(*), 4) AS outlier_rate,
+           round(max(d.med), 4) AS med,
+           round(max(a.mad), 4) AS mad
+    FROM dev d JOIN mad a ON a.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+)
+def x_outlier_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-group outlier detection: |value − median| > 3·1.4826·MAD
+    (the normal-consistency-scaled median-absolute-deviation rule) — the
+    telemetry anomaly screen that, unlike z-scores, is not itself dragged
+    by the outliers it is hunting.
+
+    Scale: two event_type-keyed aggregations (median, then MAD over the
+    residuals) with the group-level stats BROADCAST back — the fact table
+    shuffles on event_type at most twice and never sorts globally.  Exact
+    ``median`` holds per-group values in executor memory (fine for
+    low-cardinality group keys); at 100 TB with high-cardinality groups
+    the drop-in is ``approx_percentile(value, 0.5)`` — the mergeable
+    KLL/GK sketch path q_agg_approx_quantile already demonstrates — the
+    flag rule is unchanged.
+    """
+    ev = table(spark, sf, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    out = F.col("adev") > F.lit(3) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(out.cast("long")).alias("n_outliers"),
+            F.round(F.sum(out.cast("long")) / F.count("*"), 4).alias("outlier_rate"),
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series downsampling — OHLC bars
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ts_downsample",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value,
+             row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS cnt
+      FROM events)
+    SELECT event_type, day,
+           max(CASE WHEN rn = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn = cnt THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS vol
+    FROM w GROUP BY event_type, day
+    """,
+)
+def q_ts_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, day) bars with open (first by
+    event time), high, low, close (last by event time), count and volume
+    — the classic telemetry/market compaction that turns a raw stream
+    into a fixed-rate series for dashboards and model features.
+
+    Scale: ONE shuffle on the bar key; ``row_number`` (ordered by
+    ts, event_id — a total order, so first/last are well-defined under
+    ties) and the partition count ride the same sort, and the final
+    groupBy is partition-local (the window already co-located the key).
+    Day granularity is a column expression — hour/minute bars are the
+    same plan with a different truncation.
+    """
+    ev = table(spark, sf, "events")
+    day = F.col("ts").cast("date")
+    wo = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wu = Window.partitionBy("event_type", "day")
+    base = (
+        ev.select("event_type", day.alias("day"), "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("cnt", F.count("*").over(wu))
+    )
+    return base.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn") == F.col("cnt"), F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("vol"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted priority sampling — Efraimidis–Spirakis A-ES
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_sample_weighted",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             round(ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                      / 4294967296.0)
+                   / (n_chars + 1), 8) AS priority
+      FROM documents)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, priority,
+           CAST(row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS INT) AS rank
+    FROM keyed
+    ORDER BY priority DESC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def x_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each doc draws a deterministic uniform u from a salted md5 hash and
+    is ranked on key = ln(u)/w with weight w = n_chars+1; the global
+    top-100 is an exact weighted sample — the quality/length-weighted
+    corpus subset selection step of a training-data mix, reproducible
+    across runs and engines because the "randomness" is content-keyed.
+
+    Scale: key computation is map-side; the top-k is
+    TakeOrderedAndProject (per-partition heaps, driver merges k rows) —
+    no global sort, no shuffle of the corpus.  One pass, any corpus
+    size, k rows of driver memory.  ln is <=1 ulp on both engines;
+    round(,8) + doc_id tie-break make the selection order total.
+    """
+    d = table(spark, sf, "documents")
+    u = (
+        md5_u32(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) + 1
+    ) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / (F.col("n_chars") + 1), 8)
+    top = (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            key.alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_decontaminate_bloom",
+    oracle="""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+    btoks AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
+              FROM bench),
+    bsh AS (SELECT DISTINCT shingle FROM (
+              SELECT unnest([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
+              FROM btoks)),
+    perms AS (SELECT j,
+                     (1103515245 * (j + 1) + 12345) % 2147483647 AS a,
+                     (1103515245 * (j + 1000003) + 12345) % 2147483647 AS b
+              FROM unnest(range(3)) u(j)),
+    bloom AS (SELECT DISTINCT
+                (a * (('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647) + b)
+                  % 2147483647 % 65536 AS pos
+              FROM bsh CROSS JOIN perms),
+    ctoks AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
+              FROM corpus),
+    csh AS (SELECT DISTINCT doc_id, shingle FROM (
+              SELECT doc_id,
+                     unnest([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
+              FROM ctoks)),
+    probe AS (SELECT doc_id, shingle,
+                     (a * (('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647) + b)
+                       % 2147483647 % 65536 AS pos
+              FROM csh CROSS JOIN perms),
+    hits AS (SELECT doc_id, shingle, count(*) AS k_hits
+             FROM probe JOIN bloom USING (pos)
+             GROUP BY doc_id, shingle),
+    flagged AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+                FROM hits WHERE k_hits = 3 GROUP BY doc_id),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+           FROM csh GROUP BY doc_id)
+    SELECT s.doc_id, s.n_shingles,
+           CAST(coalesce(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+           CAST(CASE WHEN coalesce(f.n_flagged, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM sz s LEFT JOIN flagged f ON f.doc_id = s.doc_id
+    """,
+)
+def x_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination: the benchmark's word-3-gram set is
+    compressed into a 65536-slot / 3-hash Bloom bit-set; every corpus
+    shingle probes the filter and a doc is flagged when any shingle hits
+    all 3 positions.  This is the constant-memory screen that scales the
+    exact n-gram check (x_decontaminate) to benchmark suites too large
+    to ship as raw shingle sets — false-positive rate (fill)^3, false
+    negatives zero, so it is a safe PRE-filter: only flagged docs go to
+    exact verification.
+
+    Scale: the bit-set (distinct positions, <=65536 rows regardless of
+    benchmark size) is BROADCAST; the corpus side is one map-side probe
+    explode (3 rows per distinct shingle) + a partial-agg count — the
+    100 TB corpus never shuffles for membership.  The permuted-md5
+    position function is the same engine-portable universal-hash family
+    MinHash uses (functions/hashing.py).
+    """
+    d = table(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    n_hash, m_slots = 3, 65536
+
+    def positions(sh: DataFrame, keep_id: bool) -> DataFrame:
+        h = md5_u32(F.col("shingle")) % MERSENNE_P
+        cols = (["doc_id"] if keep_id else []) + ["shingle"]
+        pos = F.explode(
+            F.array(*[minhash_permuted(F.col("h"), j) % m_slots for j in range(n_hash)])
+        ).alias("pos")
+        return sh.select(*cols, h.alias("h")).select(*cols, pos)
+
+    bloom = (
+        positions(shingle_set(bench, "doc_id", "text", k=3), keep_id=False)
+        .select("pos")
+        .distinct()
+    )
+    csh = shingle_set(corpus, "doc_id", "text", k=3)
+    probe = positions(csh, keep_id=True)
+    hits = (
+        probe.join(F.broadcast(bloom), "pos")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("k_hits"))
+    )
+    flagged = (
+        hits.filter(F.col("k_hits") == n_hash)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_flagged"))
+    )
+    sz = csh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return sz.join(flagged, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_flagged"), F.lit(0)).cast("long").alias("n_flagged"),
+        (F.coalesce(F.col("n_flagged"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup over learned coarse clusters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_semantic",
+    oracle="""
+    WITH ecorpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id < 50),
+    cent AS (
+      SELECT label AS centroid_id, p, round(avg(embedding[p]::DOUBLE), 6) AS m
+      FROM embeddings CROSS JOIN unnest(range(1, 65)) u(p)
+      GROUP BY label, p),
+    centv AS (SELECT centroid_id, list(m ORDER BY p) AS centroid
+              FROM cent GROUP BY centroid_id),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM ecorpus e CROSS JOIN centv c) t
+      WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+      FROM assign a JOIN assign b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+    SELECT id_b AS dropped_id, CAST(min(id_a) AS BIGINT) AS kept_by,
+           arg_min(sim, id_a) AS cos_sim
+    FROM pairs WHERE sim >= 0.99
+    GROUP BY id_b
+    """,
+)
+def x_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding near-dup where the pair
+    space is bucketed by LEARNED coarse clusters — vectors are assigned
+    to their nearest centroid (the same IVF assignment the ANN index
+    uses) and cosine comparison happens only within a cluster; each
+    duplicate reports the lowest-id survivor that absorbs it.  This is
+    the production counterpart of x_dedup_embed's ground-truth-label
+    blocking: at 100 TB there are no labels, only learned cells.
+
+    Scale: centroid assignment is a broadcast map-side argmax (k
+    centroids); the pair join shuffles once on the cluster key and each
+    cell's pair count is (cell size)², bounded by balancing k — the same
+    hot-cell economics as LSH's max_bucket guard; the keep-lowest-id
+    collapse is one more keyed agg riding the pair shuffle.
+    """
+    from ..operators.similarity import (
+        assign_to_centroids,
+        dot_double,
+        label_centroids,
+    )
+
+    e = _emb_corpus(spark, sf).select("vec_id", "embedding")
+    cents = label_centroids(table(spark, sf, "embeddings"))
+    asg = assign_to_centroids(e, cents)
+    a = asg.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("vd").alias("va"),
+        F.col("vn").alias("na"),
+        "cluster",
+    )
+    b = asg.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("vd").alias("vb"),
+        F.col("vn").alias("nb"),
+        "cluster",
+    )
+    sim = F.round(
+        F.try_divide(dot_double(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
+        6,
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.99)
+    )
+    return pairs.groupBy(F.col("id_b").alias("dropped_id")).agg(
+        F.min("id_a").cast("long").alias("kept_by"),
+        F.expr("min_by(sim, id_a)").alias("cos_sim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance verification on LSH candidates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_lev",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
+      FROM corpus),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+2], ' ')
+                       for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
+        FROM toks)),
+    h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS hh FROM sh),
+    perms AS (SELECT i,
+                     (1103515245 * (i + 1) + 12345) % 2147483647 AS a,
+                     (1103515245 * (i + 1000003) + 12345) % 2147483647 AS b
+              FROM unnest(range(16)) u(i)),
+    mh AS (SELECT doc_id, i, min((a * hh + b) % 2147483647) AS mn
+           FROM h CROSS JOIN perms GROUP BY doc_id, i),
+    bands AS (SELECT doc_id, i // 4 AS band_id,
+                     md5(string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i)) AS band_sig
+              FROM mh GROUP BY doc_id, i // 4),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b USING (band_id, band_sig)
+             WHERE a.doc_id < b.doc_id),
+    tx AS (SELECT doc_id, substr(text, 1, 160) AS head FROM corpus)
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(ta.head, tb.head) AS INT) AS edit_distance
+    FROM cand c
+    JOIN tx ta ON ta.doc_id = c.id_a
+    JOIN tx tb ON tb.doc_id = c.id_b
+    WHERE levenshtein(ta.head, tb.head) <= 24
+    """,
+)
+def x_dedup_lev(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance near-dup: MinHash-LSH proposes candidate pairs and
+    Levenshtein distance over the 160-char document head verifies them —
+    the character-level twin of exact-Jaccard verification, catching
+    small in-place edits (typo fixes, template fills) that token-set
+    overlap scores identically but character distance separates.
+
+    Scale: candidates come from the SAME banded-LSH machinery as
+    x_dedup_near (bucketed, max_bucket-guardable, never all-pairs);
+    Levenshtein is O(len²) per PAIR, which is why it only ever runs on
+    LSH survivors and on a fixed-length head — both knobs (head length,
+    threshold) are explicit.  One extra broadcast-sized join per side to
+    fetch heads; no new shuffle shape beyond x_dedup_near.
+    """
+    corpus = _doc_corpus(spark, sf)
+    sh = shingle_set(corpus, "doc_id", "text", k=3)
+    cand = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh)))
+    tx = corpus.select("doc_id", F.substring("text", 1, 160).alias("head"))
+    ta = tx.select(F.col("doc_id").alias("id_a"), F.col("head").alias("head_a"))
+    tb = tx.select(F.col("doc_id").alias("id_b"), F.col("head").alias("head_b"))
+    lev = F.levenshtein(F.col("head_a"), F.col("head_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(lev <= 24)
+        .select("id_a", "id_b", lev.cast("int").alias("edit_distance"))
+    )

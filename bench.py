@@ -92,6 +92,14 @@ HEADLINE = [
     # round-4: guarded scale-mode dedup twins (production guard-on path)
     "x_dedup_best_guarded",
     "x_dedup_cluster_guarded",
+    # round-4: Tier E analytics
+    "q_triangle_count",
+    "x_outlier_mad",
+    "q_ts_downsample",
+    "x_sample_weighted",
+    "x_decontaminate_bloom",
+    "x_dedup_semantic",
+    "x_dedup_lev",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

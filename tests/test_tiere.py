@@ -1,0 +1,174 @@
+"""Tier E edge semantics the sf fixtures can't isolate: triangle counts on
+known graphs, the MAD outlier rule on constructed values, OHLC tie-breaks,
+weighted-sampling weight dominance, Bloom zero-false-negatives, and the
+planted near-dup pairs for semantic/edit-distance dedup."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tiere import (
+    q_triangle_count,
+    q_ts_downsample,
+    x_decontaminate_bloom,
+    x_dedup_lev,
+    x_dedup_semantic,
+    x_outlier_mad,
+    x_sample_weighted,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    sf_dir = str(tmp_path)
+    df = spark.createDataFrame(rows, schema)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return sf_dir
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, ts_epoch_s, user_id, event_type, value, props)."""
+    sf_dir = str(tmp_path)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+# -- q_triangle_count -------------------------------------------------------
+
+
+def test_triangle_single(spark, tmp_path):
+    # order 1 = parts {1,2,3} -> one triangle; order 2 = {3,4} -> a dangling
+    # edge; order 3 = {1,2} -> repeated edge (dedup'd by DISTINCT)
+    rows = [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4), (3, 1), (3, 2)]
+    sf = _write(spark, tmp_path, "lineitem", rows, "l_orderkey long, l_partkey long")
+    got = {r["part_id"]: r["n_triangles"] for r in q_triangle_count(spark, sf).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_k4(spark, tmp_path):
+    # one order with 4 parts = K4: 4 triangles, each node in exactly 3
+    rows = [(1, p) for p in (1, 2, 3, 4)]
+    sf = _write(spark, tmp_path, "lineitem", rows, "l_orderkey long, l_partkey long")
+    got = {r["part_id"]: r["n_triangles"] for r in q_triangle_count(spark, sf).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+# -- x_outlier_mad ----------------------------------------------------------
+
+
+def test_mad_flags_only_the_outlier(spark, tmp_path):
+    # values 1..4 + 100: med=3, MAD=1 -> only 100 exceeds 3*1.4826*1
+    rows = [
+        (i, 1_700_000_000 + i, 1, "a", v, "{}")
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    row = x_outlier_mad(spark, sf).collect()[0]
+    assert (row["n"], row["n_outliers"]) == (5, 1)
+    assert row["med"] == 3.0 and row["mad"] == 1.0
+    assert abs(row["outlier_rate"] - 0.2) < 1e-9
+
+
+# -- q_ts_downsample --------------------------------------------------------
+
+
+def test_ohlc_ties_break_by_event_id(spark, tmp_path):
+    # two events at the SAME timestamp: open must be the lower event_id's
+    t0 = 1_700_000_000
+    rows = [
+        (2, t0, 1, "a", 5.0, "{}"),
+        (1, t0, 1, "a", 3.0, "{}"),
+        (3, t0 + 60, 1, "a", 9.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    row = q_ts_downsample(spark, sf).collect()[0]
+    assert (row["open"], row["high"], row["low"], row["close"]) == (3.0, 9.0, 3.0, 9.0)
+    assert row["n_events"] == 3 and row["vol"] == 17.0
+
+
+# -- x_sample_weighted ------------------------------------------------------
+
+
+def test_weighted_sample_weight_dominates_and_is_deterministic(spark, tmp_path):
+    # a doc with a 1e9-char weight gets key ~ -1e-9 -- above any unit-weight
+    # doc's (ln(u) ~ -0.7 on average), so it must rank first
+    rows = [(i, f"doc {i}", "en", "src0", 10) for i in range(1, 40)] + [
+        (999, "heavy", "en", "src0", 1_000_000_000)
+    ]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out1 = x_sample_weighted(spark, sf).collect()
+    assert out1[0]["doc_id"] == 999 and out1[0]["rank"] == 1
+    assert [r["rank"] for r in out1] == list(range(1, len(out1) + 1))
+    assert all(r["priority"] <= 0.0 for r in out1)
+    assert out1 == x_sample_weighted(spark, sf).collect()
+
+
+# -- x_decontaminate_bloom --------------------------------------------------
+
+
+def test_bloom_has_no_false_negatives(spark, tmp_path):
+    # corpus doc 1 shares the 3-gram 'alpha beta gamma' with bench doc 0
+    # (0 % 97 == 0) -> MUST be flagged; doc 2 shares nothing -> with a
+    # near-empty filter (fill ~ 1e-4) a false positive would need a ~1e-12
+    # event, so assert clean
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "en", "src0", 30),
+        (1, "intro words alpha beta gamma outro", "en", "src0", 34),
+        (2, "zeta eta theta iota kappa lambdas", "en", "src0", 33),
+    ]
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in x_decontaminate_bloom(spark, sf).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["contaminated"] == 1 and got[1]["n_flagged"] >= 1
+    assert got[2]["contaminated"] == 0 and got[2]["n_flagged"] == 0
+
+
+# -- x_dedup_semantic / x_dedup_lev (planted duplicates, real fixture) ------
+
+
+def test_semantic_dedup_drops_every_planted_copy(spark):
+    planted = {
+        r["vec_id"] + 1_000_000
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .filter(F.col("vec_id") < 50)
+        .select("vec_id")
+        .collect()
+    }
+    out = x_dedup_semantic(spark, SF_SMALL).collect()
+    dropped = {r["dropped_id"] for r in out}
+    # identical copies share the original's cluster -> all must be dropped,
+    # absorbed by a lower id at cos ~ 1.0
+    assert planted <= dropped
+    by_id = {r["dropped_id"]: r for r in out}
+    assert all(by_id[p]["kept_by"] < p and by_id[p]["cos_sim"] >= 0.99 for p in planted)
+
+
+def test_lev_dedup_catches_planted_suffix_edits(spark):
+    out = x_dedup_lev(spark, SF_SMALL).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["edit_distance"] for r in out}
+    planted = [(a, b) for (a, b) in pairs if b == a + 1_000_000]
+    # the ' zz9 qq8' suffix is an 8-char edit (0 when the head window
+    # ends before it); LSH must surface these and the verifier keep them
+    assert planted, "no planted near-dup pair survived LSH + levenshtein"
+    assert all(pairs[p] <= 8 for p in planted)
+    assert all(d <= 24 for d in pairs.values())
