@@ -499,3 +499,39 @@ def test_stage_quality_report_single_scan(spark, tmp_path):
     ])
     report = pipeline_maintenance(spark, path, declared, quality=True)
     assert report["quality_violations"] == got
+
+
+def test_tiere_plans_have_no_cartesian_or_nested_loop(spark, queries):
+    """Tier E candidate generation must stay keyed: the triangle wedge
+    join, the SemDeDup pair join and the Bloom probe are all equi-joins —
+    a refactor that drops the equi-key degrades them to a nested-loop
+    cross product, which is the 100 TB failure mode."""
+    for key in ("q_triangle_count", "x_dedup_semantic", "x_decontaminate_bloom"):
+        plan = plan_of(queries[key](spark, SF))
+        assert "CartesianProduct" not in plan, key
+        if key == "x_dedup_semantic":
+            # the ONLY nested-loop allowed is the k-row broadcast-centroid
+            # argmax (same shape as x_sim_ivf): once per pair side in the
+            # static plan (AQE's ReuseExchange dedupes the shared argmax
+            # subtree at the window exchange above it at runtime); the
+            # PAIR join itself must be keyed
+            simple = plan_of(queries[key](spark, SF), "simple")
+            assert simple.count("BroadcastNestedLoopJoin") <= 2, key
+            assert "SortMergeJoin" in simple or "ShuffledHashJoin" in simple, key
+        else:
+            assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_weighted_sample_plans_take_ordered(spark, queries):
+    """A-ES top-k must be TakeOrderedAndProject (per-partition heaps), not
+    a global sort of the corpus."""
+    plan = plan_of(queries["x_sample_weighted"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [priority" not in plan  # no full-corpus global sort
+
+
+def test_bloom_bitset_side_broadcasts(spark, queries):
+    """The Bloom position set must reach the corpus probe as a broadcast —
+    the corpus side must never shuffle for membership."""
+    plan = plan_of(queries["x_decontaminate_bloom"](spark, SF))
+    assert "BroadcastHashJoin" in plan
