@@ -173,24 +173,28 @@ def x_outlier_mad(spark: SparkSession, sf: str) -> DataFrame:
     low-cardinality group keys); at 100 TB with high-cardinality groups
     the drop-in is ``approx_percentile(value, 0.5)`` — the mergeable
     KLL/GK sketch path q_agg_approx_quantile already demonstrates — the
-    flag rule is unchanged.
+    flag rule is unchanged.  The fit (mad_stats) / score (flag_outliers)
+    split is shared with the streaming scorer
+    (operators/outliers.py::streaming_mad_scores).
     """
+    from ..operators.outliers import flag_outliers, mad_stats
+
     ev = table(spark, sf, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
-    )
-    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
-    out = F.col("adev") > F.lit(3) * F.lit(1.4826) * F.col("mad")
+    stats = mad_stats(ev)
+    flagged = flag_outliers(ev, stats)
+    hit = F.col("is_outlier").cast("long")
     return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
+        flagged.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(out.cast("long")).alias("n_outliers"),
-            F.round(F.sum(out.cast("long")) / F.count("*"), 4).alias("outlier_rate"),
-            F.round(F.max("med"), 4).alias("med"),
-            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(hit).alias("n_outliers"),
+            F.round(F.sum(hit) / F.count("*"), 4).alias("outlier_rate"),
+        )
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type", "n", "n_outliers", "outlier_rate",
+            F.round(F.col("med"), 4).alias("med"),
+            F.round(F.col("mad"), 4).alias("mad"),
         )
     )
 

@@ -172,3 +172,58 @@ def test_lev_dedup_catches_planted_suffix_edits(spark):
     assert planted, "no planted near-dup pair survived LSH + levenshtein"
     assert all(pairs[p] <= 8 for p in planted)
     assert all(d <= 24 for d in pairs.values())
+
+
+# -- streaming MAD scoring (fit on batch, score the stream) -----------------
+
+
+def test_streaming_mad_scores_against_batch_stats(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.outliers import (
+        mad_stats,
+        streaming_mad_scores,
+    )
+
+    # reference batch: med=3, MAD=1 -> outlier cut at |v-3| > 4.4478
+    ref = spark.createDataFrame(
+        [("a", v) for v in [1.0, 2.0, 3.0, 4.0, 5.0]], "event_type string, value double"
+    )
+    stats = mad_stats(ref)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [
+        {"event_id": 1, "event_type": "a", "value": 3.5},   # inlier
+        {"event_id": 2, "event_type": "a", "value": 99.0},  # outlier
+        {"event_id": 3, "event_type": "a", "value": -50.0}, # outlier (low side)
+    ]
+    with open(landing / "b1.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    stream = spark.readStream.schema(schema).json(str(landing))
+    q = (
+        streaming_mad_scores(stream, stats)
+        .writeStream.format("memory")
+        .queryName("mad_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["event_id"]: r for r in spark.sql("SELECT * FROM mad_out").collect()}
+    assert not got[1]["is_outlier"] and got[2]["is_outlier"] and got[3]["is_outlier"]
+    assert got[3]["robust_z"] < 0 < got[2]["robust_z"]
