@@ -227,3 +227,33 @@ def test_streaming_mad_scores_against_batch_stats(spark, tmp_path):
     got = {r["event_id"]: r for r in spark.sql("SELECT * FROM mad_out").collect()}
     assert not got[1]["is_outlier"] and got[2]["is_outlier"] and got[3]["is_outlier"]
     assert got[3]["robust_z"] < 0 < got[2]["robust_z"]
+
+
+def test_triangle_random_graph_matches_bruteforce(spark, tmp_path):
+    """Erdős–Rényi-ish fixed-seed graph, each order = one edge; per-node
+    counts must equal the O(n³) Python reference."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    n = 30
+    edges = [
+        (u, v) for u, v in itertools.combinations(range(1, n + 1), 2)
+        if rng.random() < 0.3
+    ]
+    rows = [(i, p) for i, (u, v) in enumerate(edges) for p in (u, v)]
+    sf = _write(spark, tmp_path, "lineitem", rows, "l_orderkey long, l_partkey long")
+
+    adj = {i: set() for i in range(1, n + 1)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    expected = {}
+    for a, b, c in itertools.combinations(range(1, n + 1), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for node in (a, b, c):
+                expected[node] = expected.get(node, 0) + 1
+    top50 = dict(sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:50])
+
+    got = {r["part_id"]: r["n_triangles"] for r in q_triangle_count(spark, sf).collect()}
+    assert got == top50
