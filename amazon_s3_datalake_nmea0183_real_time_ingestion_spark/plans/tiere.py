@@ -576,3 +576,103 @@ def x_dedup_lev(spark: SparkSession, sf: str) -> DataFrame:
         .filter(lev <= 24)
         .select("id_a", "id_b", lev.cast("int").alias("edit_distance"))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-count stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_sample_stratified",
+    oracle="""
+    SELECT doc_id, source, CAST(rn AS INT) AS strat_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rn
+      FROM documents) t
+    WHERE rn <= 20
+    """,
+)
+def x_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-count stratified sampling: exactly 20 docs per source, chosen
+    by a salted content-keyed hash order — the eval-set construction
+    primitive where per-stratum counts must be EXACT (a rate-based gate
+    like x_data_mix only hits its quota in expectation).  The trade-off
+    is explicit and documented: hash-RANK selection guarantees the count
+    but membership shifts as the stratum grows (rank is relative);
+    rate-gate selection is append-stable but count-approximate.  Use
+    ranks for frozen eval sets, gates for rolling training mixes.
+
+    Scale: one source-keyed shuffle; the rank<=k filter compiles to
+    WindowGroupLimit (plan-asserted) — per-partition top-k heaps, so
+    only ~k rows per stratum survive the partial stage and the full
+    stratum never materializes post-shuffle.
+    """
+    d = table(spark, sf, "documents")
+    order_key = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(order_key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source", F.col("rn").cast("int").alias("strat_rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# percentile winsorization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_winsorize",
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value < c.lo OR e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           round(avg(e.value), 4) AS mean_raw,
+           round(avg(least(greatest(e.value, c.lo), c.hi)), 4) AS mean_winsorized,
+           round(max(c.lo), 4) AS p05,
+           round(max(c.hi), 4) AS p95
+    FROM events e JOIN cuts c ON c.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def x_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile winsorization: clip each group's values into its own
+    [p05, p95] band and report the clipped count and the raw-vs-winsorized
+    mean shift — the feature-preprocessing step that tames heavy tails
+    without dropping rows (the complement of x_outlier_mad, which flags).
+
+    Scale: one exact-percentile aggregation per group key, cut points
+    BROADCAST back, then one map-side clamp + final agg — two
+    event_type shuffles total, no global sort.  Same high-cardinality
+    note as x_outlier_mad: exact ``percentile`` is for low-cardinality
+    group keys; ``approx_percentile`` is the drop-in beyond that.
+    """
+    ev = table(spark, sf, "events").select("event_type", "value")
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    wins = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(clipped.cast("long")).alias("n_clipped"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(wins), 4).alias("mean_winsorized"),
+            F.round(F.max("lo"), 4).alias("p05"),
+            F.round(F.max("hi"), 4).alias("p95"),
+        )
+    )

@@ -100,6 +100,8 @@ HEADLINE = [
     "x_decontaminate_bloom",
     "x_dedup_semantic",
     "x_dedup_lev",
+    "x_sample_stratified",
+    "x_winsorize",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

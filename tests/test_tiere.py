@@ -257,3 +257,59 @@ def test_triangle_random_graph_matches_bruteforce(spark, tmp_path):
 
     got = {r["part_id"]: r["n_triangles"] for r in q_triangle_count(spark, sf).collect()}
     assert got == top50
+
+
+# -- x_sample_stratified / x_winsorize --------------------------------------
+
+
+def test_stratified_sample_exact_counts_and_band_containment(spark, tmp_path):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tiere import (
+        x_sample_stratified,
+        x_winsorize,
+    )
+
+    # 3 strata with 50/25/5 docs: quotas are exactly 20/20/5
+    rows = [
+        (i, f"doc {i}", "en", f"src{i % 3 if i < 75 else 2}", 10)
+        for i in range(100)
+    ]
+    rows = (
+        [(i, f"d{i}", "en", "big", 10) for i in range(50)]
+        + [(100 + i, f"d{i}", "en", "mid", 10) for i in range(25)]
+        + [(200 + i, f"d{i}", "en", "tiny", 10) for i in range(5)]
+    )
+    sf = _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = x_sample_stratified(spark, sf).collect()
+    import collections
+
+    counts = collections.Counter(r["source"] for r in out)
+    assert counts == {"big": 20, "mid": 20, "tiny": 5}
+    assert all(1 <= r["strat_rank"] <= 20 for r in out)
+    # deterministic across runs
+    assert sorted((r["source"], r["doc_id"]) for r in out) == sorted(
+        (r["source"], r["doc_id"]) for r in x_sample_stratified(spark, sf).collect()
+    )
+
+    # winsorize: values 0..98 plus one huge tail value in one group
+    vals = [float(i) for i in range(99)] + [10_000.0]
+    ev = [(i, 1_700_000_000 + i, 1, "a", v, "{}") for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, ev)
+    w = x_winsorize(spark, sf).collect()[0]
+    # p05/p95 at linear-interpolated rank 0.05/0.95*(n-1): 4.95 / 94.05
+    assert w["p05"] == 4.95 and w["p95"] == 94.05
+    assert w["n"] == 100 and w["n_clipped"] == 10
+    # clipping the 10000 tail must pull the mean down
+    assert w["mean_winsorized"] < w["mean_raw"]
+
+
+def test_stratified_sample_uses_window_group_limit(spark, tmp_path):
+    from conftest import plan_of
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tiere import (
+        x_sample_stratified,
+    )
+
+    plan = plan_of(x_sample_stratified(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
