@@ -267,3 +267,67 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame,
         .select("query_id", "neighbor_id", pair_cosine().alias("sim"))
     )
     return _ranked_topk(scored, k)
+
+
+def semantic_dedup_pairs(corpus: DataFrame, centroids: DataFrame,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         threshold: float = 0.99,
+                         max_cell: int | None = None) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023): assign every vector
+    to its nearest centroid (broadcast argmax), emit within-cell pairs
+    with cosine >= ``threshold`` (rounded to 6, id_a < id_b).
+
+    ``max_cell`` is the hot-cell guard, the embedding-space twin of
+    ``lsh_candidate_pairs(max_bucket=...)``: a cell holding c vectors
+    emits c² pairs, so ONE viral embedding (thousands of exact copies of
+    a boilerplate page's vector) turns the self-join quadratic on a
+    single cell.  Cells larger than ``max_cell`` are dropped from pair
+    generation — run exact dedup first (verbatim copies are its job),
+    and treat surviving over-full cells as a signal to RAISE k (the
+    SemDeDup production fix is constant target cell size: k grows with
+    the corpus).  The cell-size window rides the same cluster shuffle
+    the pair join needs.  Default None keeps generation exhaustive (the
+    oracle mode).
+    """
+    asg = assign_to_centroids(corpus, centroids, id_col, vec_col)
+    if max_cell is not None:
+        w = Window.partitionBy("cluster")
+        asg = (
+            asg.withColumn("__csz", F.count("*").over(w))
+            .filter(F.col("__csz") <= max_cell)
+            .drop("__csz")
+        )
+    a = asg.select(
+        F.col(id_col).alias("id_a"), F.col("vd").alias("va"),
+        F.col("vn").alias("na"), "cluster",
+    )
+    b = asg.select(
+        F.col(id_col).alias("id_b"), F.col("vd").alias("vb"),
+        F.col("vn").alias("nb"), "cluster",
+    )
+    sim = F.round(
+        F.try_divide(dot_double(F.col("va"), F.col("vb")),
+                     F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   threshold: float = 0.99,
+                   max_cell: int | None = None) -> DataFrame:
+    """Keep-lowest-id SemDeDup collapse: each duplicate reports the
+    lowest-id survivor that absorbs it (dropped_id, kept_by, cos_sim) —
+    one keyed agg riding the pair shuffle."""
+    pairs = semantic_dedup_pairs(
+        corpus, centroids, id_col, vec_col, threshold, max_cell
+    )
+    return pairs.groupBy(F.col("id_b").alias("dropped_id")).agg(
+        F.min("id_a").cast("long").alias("kept_by"),
+        F.expr("min_by(sim, id_a)").alias("cos_sim"),
+    )

@@ -468,44 +468,17 @@ def x_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     Scale: centroid assignment is a broadcast map-side argmax (k
     centroids); the pair join shuffles once on the cluster key and each
     cell's pair count is (cell size)², bounded by balancing k — the same
-    hot-cell economics as LSH's max_bucket guard; the keep-lowest-id
-    collapse is one more keyed agg riding the pair shuffle.
+    hot-cell economics as LSH's max_bucket guard, and the same shipped
+    valve: ``semantic_dedup(max_cell=...)`` drops viral cells from pair
+    generation (measured in tests/test_scale_probes.py); the
+    keep-lowest-id collapse is one more keyed agg riding the pair
+    shuffle.  This key runs the exhaustive oracle mode (max_cell=None).
     """
-    from ..operators.similarity import (
-        assign_to_centroids,
-        dot_double,
-        label_centroids,
-    )
+    from ..operators.similarity import label_centroids, semantic_dedup
 
     e = _emb_corpus(spark, sf).select("vec_id", "embedding")
     cents = label_centroids(table(spark, sf, "embeddings"))
-    asg = assign_to_centroids(e, cents)
-    a = asg.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("vd").alias("va"),
-        F.col("vn").alias("na"),
-        "cluster",
-    )
-    b = asg.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("vd").alias("vb"),
-        F.col("vn").alias("nb"),
-        "cluster",
-    )
-    sim = F.round(
-        F.try_divide(dot_double(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
-        6,
-    )
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
-        .filter(F.col("sim") >= 0.99)
-    )
-    return pairs.groupBy(F.col("id_b").alias("dropped_id")).agg(
-        F.min("id_a").cast("long").alias("kept_by"),
-        F.expr("min_by(sim, id_a)").alias("cos_sim"),
-    )
+    return semantic_dedup(e, cents, threshold=0.99, max_cell=None)
 
 
 # ---------------------------------------------------------------------------

@@ -191,3 +191,56 @@ def test_funnel_viral_user_constant_state(spark):
     assert out["2_click"]["n_users"] == 2_000
     assert out["3_purchase"]["n_users"] == 2_000
     assert abs(out["3_purchase"]["conv_from_prev"] - 1.0) < 1e-9
+
+
+def test_viral_embedding_hot_cell_guard(spark):
+    """One boilerplate page's vector duplicated 400× lands every copy in
+    the SAME IVF cell: the within-cell pair join goes quadratic on that
+    cell (>= 400·399/2 pairs among the copies alone). semantic_dedup's
+    ``max_cell`` drops the viral cell from pair generation while normal
+    cells are untouched — the embedding-space twin of the LSH max_bucket
+    guard."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    dim, k = 8, 8
+    # 8 one-hot centroids
+    cents = spark.createDataFrame(
+        [(c, [1.0 if i == c else 0.0 for i in range(dim)]) for c in range(k)],
+        "centroid_id int, centroid array<double>",
+    )
+    # 800 organic vectors, 100 per cell: dominant axis id%8 plus a small
+    # deterministic off-axis component so they are NOT near-dups of each
+    # other (pairwise cos < 0.99) but still assign to the dominant cell
+    base = spark.range(800).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                F.when(F.lit(i) == F.col("id") % k, F.lit(10.0))
+                .otherwise(
+                    F.when(F.lit(i) == (F.col("id") + 3) % k, (F.col("id") % 7).cast("double"))
+                    .otherwise(F.lit(0.0))
+                )
+                for i in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    viral = spark.range(400).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.array(*[F.lit(10.0 if i == 0 else 0.0) for i in range(dim)]).alias("embedding"),
+    )
+    corpus = base.unionByName(viral)
+
+    # candidate volume, threshold disabled: the JOIN size is the concern
+    unguarded = semantic_dedup_pairs(corpus, cents, threshold=-1.0).count()
+    guarded = semantic_dedup_pairs(corpus, cents, threshold=-1.0, max_cell=150).count()
+    # viral cell holds 100 organic + 400 copies = 500 -> 124,750 pairs;
+    # the other 7 cells hold 100 each -> 4,950 pairs per cell
+    assert unguarded == 500 * 499 // 2 + 7 * (100 * 99 // 2)
+    assert guarded == 7 * (100 * 99 // 2)
+    # and the REAL near-dups the guard mode still must catch: copies of
+    # the viral vector are exact dups -> exact dedup's job (run first);
+    # organic cells keep scoring exactly
+    organic_pairs = semantic_dedup_pairs(corpus, cents, threshold=0.99, max_cell=150)
+    assert organic_pairs.filter(F.col("id_a") >= 1_000_000).count() == 0
