@@ -313,3 +313,49 @@ def test_stratified_sample_uses_window_group_limit(spark, tmp_path):
 
     plan = plan_of(x_sample_stratified(spark, SF_SMALL))
     assert "WindowGroupLimit" in plan
+
+
+# -- edge inputs ------------------------------------------------------------
+
+
+def test_triangle_empty_and_triangle_free_graphs(spark, tmp_path):
+    # a path graph (1-2-3) has wedges but zero triangles
+    rows = [(1, 1), (1, 2), (2, 2), (2, 3)]
+    sf = _write(spark, tmp_path, "lineitem", rows, "l_orderkey long, l_partkey long")
+    assert q_triangle_count(spark, sf).count() == 0
+    # single-part orders -> no edges at all
+    rows = [(1, 1), (2, 2)]
+    sf = _write(spark, tmp_path, "lineitem", rows, "l_orderkey long, l_partkey long")
+    assert q_triangle_count(spark, sf).count() == 0
+
+
+def test_mad_constant_group_flags_nothing(spark, tmp_path):
+    # constant values: med=v, MAD=0 -> strict > never fires, no outliers
+    rows = [(i, 1_700_000_000 + i, 1, "c", 7.5, "{}") for i in range(6)]
+    sf = _write_events(spark, tmp_path, rows)
+    row = x_outlier_mad(spark, sf).collect()[0]
+    assert (row["n"], row["n_outliers"], row["mad"]) == (6, 0, 0.0)
+
+    # and the streaming scorer emits NULL robust_z (try_divide), not a crash
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.outliers import (
+        flag_outliers,
+        mad_stats,
+    )
+
+    # degenerate scale (MAD=0): robust_z is NULL (unquantifiable), but ANY
+    # deviation from a constant reference distribution IS an outlier —
+    # the value sits infinitely many MADs out
+    ref = spark.createDataFrame([("c", 7.5)] * 4, "event_type string, value double")
+    stats = mad_stats(ref)
+    dev, same = (
+        flag_outliers(
+            spark.createDataFrame(
+                [(1, "c", 9.9), (2, "c", 7.5)], "id long, event_type string, value double"
+            ),
+            stats,
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert dev["robust_z"] is None and dev["is_outlier"]
+    assert not same["is_outlier"]
