@@ -188,6 +188,26 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     means near-pure-boilerplate docs (drop-eligible anyway).  Default
     ``None`` = exact candidate generation (the oracle-matched mode)."""
     sh = shingle_set(docs, id_col, text_col, k)
+    pairs = ngram_intersection_pairs(sh, id_col, max_df)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        pairs.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_intersection_pairs(sh: DataFrame, id_col: str = "doc_id",
+                             max_df: int | None = None) -> DataFrame:
+    """Exact (id_a < id_b, n_inter) shingle-intersection counts over an
+    inverted-index self-join of a (id, shingle) set — the shared candidate
+    + intersection core under both Jaccard (resemblance) and containment
+    scoring.  ``max_df`` semantics as in :func:`ngram_jaccard_pairs`."""
     if max_df is None:
         # exact mode: one self-join pass, intersection counted in place
         sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -243,17 +263,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                 "n_inter"
             ),
         )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-    return (
-        pairs.join(za, "id_a")
-        .join(zb, "id_b")
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return pairs
 
 
 _SIMHASH_LANES_PER_SUM = 3
@@ -643,4 +653,60 @@ def decontaminate_near(corpus: DataFrame, benchmark: DataFrame,
         .withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= threshold)
         .select("corpus_id", "bench_id", "jaccard")
+    )
+
+
+def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      threshold: float = 0.9,
+                      max_df: int | None = None) -> DataFrame:
+    """Asymmetric containment dedup: C = |A∩B| / min(|A|,|B|) — the
+    doc-inside-doc detector (Broder '97's "containment" next to
+    "resemblance").  A short document quoted whole inside a much longer
+    wrapper (template chrome around syndicated body text) has containment
+    ≈ 1 while symmetric Jaccard ≈ |A|/|B| can sit far below every
+    near-dup threshold — so resemblance-based dedup keeps BOTH copies.
+
+    Output: (contained_id, container_id, containment, jaccard) for pairs
+    with containment >= threshold; the smaller set is the contained side
+    (ties: higher id).  Jaccard is reported alongside to make the
+    asymmetric catch auditable.
+
+    Scale: the same rare-shingle inverted-index candidates as
+    :func:`ngram_jaccard_pairs` — ``max_df`` bounds the worst bucket at
+    max_df² pairs; intersection exact (rare + hot-correction split).
+    Containment is MORE guard-sensitive than Jaccard (a tiny doc of pure
+    boilerplate is "contained" in everything), so production runs want
+    BOTH max_df and a minimum-size floor on the contained side.
+    """
+    sh = shingle_set(docs, id_col, text_col, k)
+    pairs = ngram_intersection_pairs(sh, id_col, max_df)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    j = pairs.join(za, "id_a").join(zb, "id_b")
+    cont = F.col("n_inter") / F.least(F.col("sz_a"), F.col("sz_b"))
+    jac = F.round(
+        F.col("n_inter")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        4,
+    ).alias("jaccard")
+    contained = (
+        F.when(F.col("sz_a") < F.col("sz_b"), F.col("id_a"))
+        .when(F.col("sz_b") < F.col("sz_a"), F.col("id_b"))
+        .otherwise(F.greatest(F.col("id_a"), F.col("id_b")))
+    )
+    container = (
+        F.when(F.col("sz_a") < F.col("sz_b"), F.col("id_b"))
+        .when(F.col("sz_b") < F.col("sz_a"), F.col("id_a"))
+        .otherwise(F.least(F.col("id_a"), F.col("id_b")))
+    )
+    return (
+        j.filter(cont >= threshold)
+        .select(
+            contained.alias("contained_id"),
+            container.alias("container_id"),
+            F.round(cont, 4).alias("containment"),
+            jac,
+        )
     )

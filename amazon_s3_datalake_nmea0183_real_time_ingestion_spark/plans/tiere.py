@@ -649,3 +649,80 @@ def x_winsorize(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max("hi"), 4).alias("p95"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# containment dedup — doc-inside-doc detection
+# ---------------------------------------------------------------------------
+
+_WRAP_PREFIX = " ".join(f"px{i}" for i in range(30))
+_WRAP_SUFFIX = " ".join(f"sx{i}" for i in range(30))
+
+
+@register(
+    "x_dedup_containment",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id,
+             '{_WRAP_PREFIX} ' || text || ' {_WRAP_SUFFIX}' AS text
+      FROM documents WHERE doc_id < 30),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
+      FROM corpus),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+2], ' ')
+                       for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
+        FROM toks)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+      FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id)
+    SELECT CASE WHEN za.s < zb.s THEN id_a
+                WHEN zb.s < za.s THEN id_b
+                ELSE greatest(id_a, id_b) END AS contained_id,
+           CASE WHEN za.s < zb.s THEN id_b
+                WHEN zb.s < za.s THEN id_a
+                ELSE least(id_a, id_b) END AS container_id,
+           round(n / least(za.s, zb.s), 4) AS containment,
+           round(n / (za.s + zb.s - n), 4) AS jaccard
+    FROM inter
+    JOIN sz za ON za.doc_id = id_a
+    JOIN sz zb ON zb.doc_id = id_b
+    WHERE n / least(za.s, zb.s) >= 0.9
+    """,
+)
+def x_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment dedup (Broder '97 "containment" vs "resemblance"): a
+    document quoted WHOLE inside a longer wrapper (template chrome around
+    a syndicated body) has containment |A∩B|/min(|A|,|B|) = 1.0 while
+    symmetric Jaccard ≈ |A|/|B| can sit below every near-dup threshold —
+    resemblance dedup keeps both copies, this key catches them.  The
+    corpus plants 30 wrapper docs (30-token chrome on each side of an
+    original); every 3-gram of the original is a contiguous 3-gram of its
+    wrapper, so the planted containment is exactly 1.0.  Jaccard is
+    reported alongside to make the asymmetric catch auditable.
+
+    Scale: the same rare-shingle inverted-index core as x_dedup_ngram
+    (operators/dedup.py::ngram_intersection_pairs — max_df bounds the
+    worst bucket at max_df², hot-shingle correction keeps counts exact);
+    this key runs the exhaustive oracle mode.  Production runs want BOTH
+    max_df and a minimum-size floor on the contained side: a tiny
+    boilerplate doc is "contained" in everything.
+    """
+    from ..operators.dedup import containment_pairs
+
+    d = table(spark, sf, "documents")
+    wrapped = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.lit(_WRAP_PREFIX + " "), F.col("text"), F.lit(" " + _WRAP_SUFFIX)
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(wrapped)
+    return containment_pairs(corpus, threshold=0.9)

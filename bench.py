@@ -102,6 +102,7 @@ HEADLINE = [
     "x_dedup_lev",
     "x_sample_stratified",
     "x_winsorize",
+    "x_dedup_containment",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

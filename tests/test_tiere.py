@@ -359,3 +359,33 @@ def test_mad_constant_group_flags_nothing(spark, tmp_path):
     )
     assert dev["robust_z"] is None and dev["is_outlier"]
     assert not same["is_outlier"]
+
+
+# -- x_dedup_containment ----------------------------------------------------
+
+
+def test_containment_catches_wrapped_doc_jaccard_misses(spark, tmp_path):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    body = " ".join(f"w{i}" for i in range(40))
+    header = " ".join(f"c{i}" for i in range(120))
+    footer = " ".join(f"d{i}" for i in range(120))
+    rows = [(1, body), (2, f"{header} {body} {footer}")]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = containment_pairs(corpus, threshold=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    # every 3-gram of the body is a contiguous 3-gram of the wrapper
+    assert (r["contained_id"], r["container_id"]) == (1, 2)
+    assert r["containment"] == 1.0
+    # ...but resemblance is far below any near-dup threshold
+    assert r["jaccard"] < 0.2
+    assert ngram_jaccard_pairs(corpus, threshold=0.6).count() == 0
+
+    # the max_df guard path scores surviving pairs identically
+    guarded = containment_pairs(corpus, threshold=0.9, max_df=10).collect()
+    assert [tuple(x) for x in guarded] == [tuple(x) for x in got]
