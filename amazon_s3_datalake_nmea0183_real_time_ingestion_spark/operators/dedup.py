@@ -188,18 +188,25 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     means near-pure-boilerplate docs (drop-eligible anyway).  Default
     ``None`` = exact candidate generation (the oracle-matched mode)."""
     sh = shingle_set(docs, id_col, text_col, k)
+    j = ngram_pairs_with_sizes(sh, id_col, max_df)
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        j.withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_pairs_with_sizes(sh: DataFrame, id_col: str = "doc_id",
+                           max_df: int | None = None) -> DataFrame:
+    """(id_a, id_b, n_inter, sz_a, sz_b): the intersection core joined
+    with both sides' set sizes — the shared scaffold every set-overlap
+    scorer (Jaccard, containment, overlap coefficient) derives from."""
     pairs = ngram_intersection_pairs(sh, id_col, max_df)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-    return (
-        pairs.join(za, "id_a")
-        .join(zb, "id_b")
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return pairs.join(za, "id_a").join(zb, "id_b")
 
 
 def ngram_intersection_pairs(sh: DataFrame, id_col: str = "doc_id",
@@ -680,11 +687,7 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     BOTH max_df and a minimum-size floor on the contained side.
     """
     sh = shingle_set(docs, id_col, text_col, k)
-    pairs = ngram_intersection_pairs(sh, id_col, max_df)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    j = pairs.join(za, "id_a").join(zb, "id_b")
+    j = ngram_pairs_with_sizes(sh, id_col, max_df)
     cont = F.col("n_inter") / F.least(F.col("sz_a"), F.col("sz_b"))
     jac = F.round(
         F.col("n_inter")

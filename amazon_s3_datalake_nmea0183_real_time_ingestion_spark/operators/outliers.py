@@ -42,18 +42,20 @@ def mad_stats(df: DataFrame, group_col: str = "event_type",
 
 def flag_outliers(df: DataFrame, stats: DataFrame,
                   group_col: str = "event_type", value_col: str = "value",
-                  k: float = 3.0) -> DataFrame:
+                  k: float = 3.0, keep_stats: bool = False) -> DataFrame:
     """Map-side scoring: adds ``is_outlier`` (|v − med| > k·1.4826·MAD)
     and ``robust_z`` ((v − med) / (1.4826·MAD), NULL when MAD = 0).
-    ``stats`` is broadcast — the scored side never shuffles."""
+    ``stats`` is broadcast — the scored side never shuffles.
+    ``keep_stats=True`` keeps the joined med/mad columns so downstream
+    reporting doesn't have to re-join (and re-evaluate) the stats plan."""
     dev = F.col(value_col) - F.col("med")
     scale = F.lit(MAD_CONSISTENCY) * F.col("mad")
-    return (
+    out = (
         df.join(F.broadcast(stats), group_col)
         .withColumn("robust_z", F.try_divide(dev, scale))
         .withColumn("is_outlier", F.abs(dev) > F.lit(k) * scale)
-        .drop("med", "mad")
     )
+    return out if keep_stats else out.drop("med", "mad")
 
 
 def streaming_mad_scores(stream: DataFrame, stats: DataFrame,

@@ -321,9 +321,18 @@ def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    threshold: float = 0.99,
                    max_cell: int | None = None) -> DataFrame:
-    """Keep-lowest-id SemDeDup collapse: each duplicate reports the
-    lowest-id survivor that absorbs it (dropped_id, kept_by, cos_sim) —
-    one keyed agg riding the pair shuffle."""
+    """Keep-lowest-id SemDeDup collapse: each duplicate reports its
+    lowest-id SIMILAR NEIGHBOR (dropped_id, kept_by, cos_sim) — one keyed
+    agg riding the pair shuffle.
+
+    ``kept_by`` is NOT guaranteed to survive: under a non-transitive
+    similarity chain (sim(1,2) and sim(2,3) above threshold, sim(1,3)
+    below), vec 2 is dropped toward 1 while 3 points at 2.  The
+    survivor set (ids never appearing as dropped_id) is exactly right;
+    consumers REDIRECTING references must follow kept_by chains to a
+    survivor — or run connected_components over the pairs (the
+    x_dedup_cluster path) when a canonical representative per clique is
+    required."""
     pairs = semantic_dedup_pairs(
         corpus, centroids, id_col, vec_col, threshold, max_cell
     )

@@ -181,21 +181,16 @@ def x_outlier_mad(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = table(spark, sf, "events").select("event_type", "value")
     stats = mad_stats(ev)
-    flagged = flag_outliers(ev, stats)
+    # keep_stats rides med/mad through the scoring join — re-joining stats
+    # after the rollup would evaluate the two-median aggregation twice
+    flagged = flag_outliers(ev, stats, keep_stats=True)
     hit = F.col("is_outlier").cast("long")
-    return (
-        flagged.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(hit).alias("n_outliers"),
-            F.round(F.sum(hit) / F.count("*"), 4).alias("outlier_rate"),
-        )
-        .join(F.broadcast(stats), "event_type")
-        .select(
-            "event_type", "n", "n_outliers", "outlier_rate",
-            F.round(F.col("med"), 4).alias("med"),
-            F.round(F.col("mad"), 4).alias("mad"),
-        )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(hit).alias("n_outliers"),
+        F.round(F.sum(hit) / F.count("*"), 4).alias("outlier_rate"),
+        F.round(F.max("med"), 4).alias("med"),
+        F.round(F.max("mad"), 4).alias("mad"),
     )
 
 
@@ -461,7 +456,10 @@ def x_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     space is bucketed by LEARNED coarse clusters — vectors are assigned
     to their nearest centroid (the same IVF assignment the ANN index
     uses) and cosine comparison happens only within a cluster; each
-    duplicate reports the lowest-id survivor that absorbs it.  This is
+    duplicate reports its lowest-id similar neighbor (which may itself
+    be dropped under a non-transitive chain — see semantic_dedup's
+    docstring; the survivor SET is exact, reference redirection follows
+    chains or uses the CC path).  This is
     the production counterpart of x_dedup_embed's ground-truth-label
     blocking: at 100 TB there are no labels, only learned cells.
 

@@ -281,6 +281,11 @@ _FUNNEL_STATE = StructType(
         StructField("t1", LongType()),
         StructField("t2", LongType()),
         StructField("t3", LongType()),
+        # state-format version marker: v1 checkpoints (3-field struct, 0 as
+        # the unset sentinel) FAIL Spark's state-schema compatibility check
+        # against this 4-field struct instead of silently resuming with
+        # (0,0,0) reinterpreted as "stage 1 at epoch 0"
+        StructField("ver", IntegerType()),
     ]
 )
 
@@ -306,10 +311,12 @@ def streaming_funnel(stream: DataFrame,
 
     State format v2 (round 4): unset stages are NULL, not 0 — the 0
     sentinel made an event at exactly epoch 0 unrepresentable.  The
-    struct SCHEMA is unchanged, so a checkpoint written by the v1 fold
-    would resume without error but reinterpret v1's (0,0,0) "no
-    progress" as "stage 1 at epoch 0" — restart v2 queries from a fresh
-    checkpoint (replay the landing data; admission is idempotent).
+    state struct carries a ``ver`` field precisely so a v1 checkpoint
+    (3-field struct) fails Spark's state-schema compatibility check
+    LOUDLY on upgrade instead of silently reinterpreting v1's (0,0,0)
+    "no progress" as "stage 1 at epoch 0" — on that error, restart from
+    a fresh checkpoint (replay the landing data; admission is
+    idempotent).
     """
     s1, s2, s3 = stages
 
@@ -318,7 +325,7 @@ def streaming_funnel(stream: DataFrame,
     ) -> Iterator[pd.DataFrame]:
         # NULL (not 0) is the unset sentinel: an event at exactly epoch 0
         # must still be able to set state.
-        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        t1, t2, t3 = state.get[:3] if state.exists else (None, None, None)
         pdf = pd.concat(list(pdfs), ignore_index=True)
         # Total fold order: event-time, then event id when present — without
         # the tie-break, same-timestamp rows fold in arrival order.
@@ -334,7 +341,7 @@ def streaming_funnel(stream: DataFrame,
                 t2 = ts_us
             elif et == s3 and t2 is not None and t3 is None and ts_us > t2:
                 t3 = ts_us
-        state.update((t1, t2, t3))
+        state.update((t1, t2, t3, 2))
         if (t1, t2, t3) != before:
             stage = 3 if t3 is not None else (2 if t2 is not None else 1)
             yield pd.DataFrame(
