@@ -724,3 +724,128 @@ def x_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     )
     corpus = d.select("doc_id", "text").unionByName(wrapped)
     return containment_pairs(corpus, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# distribution drift — population stability index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_drift_psi",
+    oracle="""
+    WITH span AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) / 2.0 AS mid_us
+      FROM events),
+    tagged AS (
+      SELECT e.event_type, e.value,
+             CASE WHEN epoch_us(e.ts) < s.mid_us THEN 'ref' ELSE 'cur' END AS period
+      FROM events e CROSS JOIN span s),
+    bounds AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi
+      FROM tagged WHERE period = 'ref' GROUP BY event_type),
+    bucketed AS (
+      SELECT t.event_type, t.period,
+             CAST(least(10, greatest(1,
+               1 + floor((t.value - b.lo) / ((b.hi - b.lo) / 10)))) AS INT) AS bucket
+      FROM tagged t JOIN bounds b ON b.event_type = t.event_type
+      WHERE b.hi > b.lo),
+    cnt AS (
+      SELECT event_type, bucket,
+             sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM bucketed GROUP BY event_type, bucket),
+    tot AS (
+      SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+      FROM cnt GROUP BY event_type),
+    psi AS (
+      SELECT c.event_type,
+             sum(((c.n_ref + 0.5) / (t.t_ref + 5.0) - (c.n_cur + 0.5) / (t.t_cur + 5.0))
+                 * ln(((c.n_ref + 0.5) / (t.t_ref + 5.0))
+                      / ((c.n_cur + 0.5) / (t.t_cur + 5.0)))) AS psi_raw
+      FROM cnt c JOIN tot t ON t.event_type = c.event_type
+      GROUP BY c.event_type)
+    SELECT p.event_type,
+           CAST(t.t_ref AS BIGINT) AS n_ref,
+           CAST(t.t_cur AS BIGINT) AS n_cur,
+           round(p.psi_raw, 6) AS psi,
+           CAST(CASE WHEN p.psi_raw > 0.2 THEN 1 ELSE 0 END AS INT) AS drifted
+    FROM psi p JOIN tot t ON t.event_type = p.event_type
+    """,
+)
+def x_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Population stability index per event_type: split the stream at its
+    temporal midpoint, bucket the current half against the REFERENCE
+    half's 10 equal-width value buckets, PSI = Σ (p−q)·ln(p/q) with
+    +0.5 Laplace smoothing (no empty-bucket ln(0)); psi > 0.2 is the
+    standard "investigate" threshold.  This is the DISTRIBUTION monitor
+    next to x_data_checks' constraint monitor — schema-valid data whose
+    shape silently shifts (sensor recalibration, upstream sampling
+    change) passes every constraint and fails this.
+
+    Scale: one pass tags periods map-side (the 2-row span agg is a
+    broadcast cross join); bucket bounds are a per-type broadcast agg;
+    the count rollup is one (type, bucket) shuffle with map-side combine
+    — bucket cardinality is fixed at 10×types, so the PSI reduction is
+    dimension-sized regardless of corpus size.  Bucket arithmetic is
+    explicit (floor of scaled offset, clamped) rather than width_bucket
+    so any ANSI engine replays it bit-identically.
+    """
+    ev = table(spark, sf, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    # midpoint in epoch micros as a double — values < 2^53, so the
+    # division is exact and both engines compare identically
+    span = ev.agg(
+        ((F.min("ts_us") + F.max("ts_us")) / F.lit(2.0)).alias("mid_us")
+    )
+    tagged = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "value",
+        F.when(F.col("ts_us") < F.col("mid_us"), F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("period"),
+    )
+    bounds = (
+        tagged.filter(F.col("period") == "ref")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    bucket = F.least(
+        F.lit(10),
+        F.greatest(
+            F.lit(1),
+            1 + F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10)),
+        ),
+    ).cast("int")
+    cnt = (
+        tagged.join(F.broadcast(bounds), "event_type")
+        .filter(F.col("hi") > F.col("lo"))
+        .select("event_type", "period", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum((F.col("period") == "ref").cast("long")).alias("n_ref"),
+            F.sum((F.col("period") == "cur").cast("long")).alias("n_cur"),
+        )
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)
+    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)
+    psi = (
+        cnt.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((p - q) * F.log(p / q)).alias("psi_raw"),
+            F.max("t_ref").alias("t_ref"),
+            F.max("t_cur").alias("t_cur"),
+        )
+    )
+    return psi.select(
+        "event_type",
+        F.col("t_ref").cast("long").alias("n_ref"),
+        F.col("t_cur").cast("long").alias("n_cur"),
+        F.round(F.col("psi_raw"), 6).alias("psi"),
+        (F.col("psi_raw") > 0.2).cast("int").alias("drifted"),
+    )

@@ -103,6 +103,7 @@ HEADLINE = [
     "x_sample_stratified",
     "x_winsorize",
     "x_dedup_containment",
+    "x_drift_psi",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

@@ -389,3 +389,30 @@ def test_containment_catches_wrapped_doc_jaccard_misses(spark, tmp_path):
     # the max_df guard path scores surviving pairs identically
     guarded = containment_pairs(corpus, threshold=0.9, max_df=10).collect()
     assert [tuple(x) for x in guarded] == [tuple(x) for x in got]
+
+
+# -- x_drift_psi ------------------------------------------------------------
+
+
+def test_psi_flags_shifted_distribution_only(spark, tmp_path):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tiere import (
+        x_drift_psi,
+    )
+
+    t0 = 1_700_000_000
+    rows = []
+    # type 'stable': same value cycle in both halves -> psi ~ 0
+    for i in range(200):
+        rows.append((i, t0 + i, 1, "stable", float(i % 10), "{}"))
+    for i in range(200):
+        rows.append((1000 + i, t0 + 1000 + i, 1, "stable", float(i % 10), "{}"))
+    # type 'shifted': first half 0..9, second half clustered at the top
+    for i in range(200):
+        rows.append((2000 + i, t0 + i, 1, "shifted", float(i % 10), "{}"))
+    for i in range(200):
+        rows.append((3000 + i, t0 + 1000 + i, 1, "shifted", 9.0, "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["event_type"]: r for r in x_drift_psi(spark, sf).collect()}
+    assert got["stable"]["drifted"] == 0 and got["stable"]["psi"] < 0.05
+    assert got["shifted"]["drifted"] == 1 and got["shifted"]["psi"] > 0.2
+    assert got["shifted"]["n_ref"] == 200 and got["shifted"]["n_cur"] == 200
