@@ -40,11 +40,11 @@ _NEEDS_VERDICT = [
     "x_url_parse", "x_vocab_topk",
     # Round-4 Tier E keys (registered after the round-4 window was sized;
     # zero driver rows — round 5 front-loads these, then x_sim_ivf2, then
-    # the r1 batch: 11 + 1 + 22 = 34 of 50 slots, the rest re-green r3 keys)
+    # the r1 batch: 12 + 1 + 22 = 35 of 50 slots, the rest re-green r3 keys)
     "q_triangle_count", "x_outlier_mad", "q_ts_downsample",
     "x_sample_weighted", "x_decontaminate_bloom", "x_dedup_semantic",
     "x_dedup_lev", "x_sample_stratified", "x_winsorize",
-    "x_dedup_containment", "x_drift_psi",
+    "x_dedup_containment", "x_drift_psi", "x_dedup_containment_guarded",
     # 49th r2 key — next in line after the Tier E batch
     "x_sim_ivf2",
     # Latest row = r1 (22) — round 5 takes these after x_sim_ivf2

@@ -849,3 +849,74 @@ def x_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("psi_raw"), 6).alias("psi"),
         (F.col("psi_raw") > 0.2).cast("int").alias("drifted"),
     )
+
+
+@register(
+    "x_dedup_containment_guarded",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id,
+             '{_WRAP_PREFIX} ' || text || ' {_WRAP_SUFFIX}' AS text
+      FROM documents WHERE doc_id < 30),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
+      FROM corpus),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+2], ' ')
+                       for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
+        FROM toks)),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10),
+    csh AS (SELECT s.doc_id, s.shingle
+            FROM sh s JOIN rare r ON r.shingle = s.shingle),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM csh a JOIN csh b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b),
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id)
+    SELECT CASE WHEN za.s < zb.s THEN id_a
+                WHEN zb.s < za.s THEN id_b
+                ELSE greatest(id_a, id_b) END AS contained_id,
+           CASE WHEN za.s < zb.s THEN id_b
+                WHEN zb.s < za.s THEN id_a
+                ELSE least(id_a, id_b) END AS container_id,
+           round(n / least(za.s, zb.s), 4) AS containment,
+           round(n / (za.s + zb.s - n), 4) AS jaccard
+    FROM inter
+    JOIN sz za ON za.doc_id = id_a
+    JOIN sz zb ON zb.doc_id = id_b
+    WHERE n / least(za.s, zb.s) >= 0.9
+    """,
+)
+def x_dedup_containment_guarded(spark: SparkSession, sf: str) -> DataFrame:
+    """x_dedup_containment with the boilerplate guard ON (``max_df=10``) —
+    the PRODUCTION containment configuration, driver-adjudicated like the
+    x_dedup_best/cluster guarded twins: shingles in more than max_df docs
+    (here: every wrapper-chrome shingle, df=30) are excluded from
+    CANDIDATE generation, bounding the inverted-index worst bucket at
+    max_df² pairs, while intersection counts and set sizes stay exact on
+    the full sets.  The planted wrappers are still caught through their
+    rare body shingles; a pair whose every shared shingle is boilerplate
+    is exactly the pair the production screen should not spend a
+    comparison on.  The oracle replays the identical df-prefilter
+    (rare-shingle candidate CTE + full-set intersection).
+    """
+    from ..operators.dedup import containment_pairs
+
+    d = table(spark, sf, "documents")
+    wrapped = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.lit(_WRAP_PREFIX + " "), F.col("text"), F.lit(" " + _WRAP_SUFFIX)
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(wrapped)
+    return containment_pairs(corpus, threshold=0.9, max_df=10)

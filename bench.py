@@ -104,6 +104,7 @@ HEADLINE = [
     "x_winsorize",
     "x_dedup_containment",
     "x_drift_psi",
+    "x_dedup_containment_guarded",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical
