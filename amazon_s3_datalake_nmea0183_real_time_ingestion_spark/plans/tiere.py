@@ -656,11 +656,11 @@ def x_winsorize(spark: SparkSession, sf: str) -> DataFrame:
 _WRAP_PREFIX = " ".join(f"px{i}" for i in range(30))
 _WRAP_SUFFIX = " ".join(f"sx{i}" for i in range(30))
 
-
-@register(
-    "x_dedup_containment",
-    oracle=f"""
-    WITH corpus AS (
+# shared between x_dedup_containment and its guarded twin: the planted
+# wrapper corpus (chrome around the first 30 docs) and its shingle CTEs —
+# one place to change the plant so the twins cannot drift apart
+_CONTAIN_CORPUS_SQL = f"""
+    corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 3000000 AS doc_id,
@@ -675,7 +675,24 @@ _WRAP_SUFFIX = " ".join(f"sx{i}" for i in range(30))
         SELECT doc_id,
                unnest([array_to_string(t[i:i+2], ' ')
                        for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
-        FROM toks)),
+        FROM toks))
+"""
+
+
+def _containment_corpus(d: DataFrame) -> DataFrame:
+    wrapped = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.lit(_WRAP_PREFIX + " "), F.col("text"), F.lit(" " + _WRAP_SUFFIX)
+        ).alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(wrapped)
+
+
+@register(
+    "x_dedup_containment",
+    oracle=f"""
+    WITH {_CONTAIN_CORPUS_SQL},
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
       FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
@@ -715,14 +732,7 @@ def x_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     """
     from ..operators.dedup import containment_pairs
 
-    d = table(spark, sf, "documents")
-    wrapped = d.filter(F.col("doc_id") < 30).select(
-        (F.col("doc_id") + 3000000).alias("doc_id"),
-        F.concat(
-            F.lit(_WRAP_PREFIX + " "), F.col("text"), F.lit(" " + _WRAP_SUFFIX)
-        ).alias("text"),
-    )
-    corpus = d.select("doc_id", "text").unionByName(wrapped)
+    corpus = _containment_corpus(table(spark, sf, "documents"))
     return containment_pairs(corpus, threshold=0.9)
 
 
@@ -746,10 +756,10 @@ def x_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
       FROM tagged WHERE period = 'ref' GROUP BY event_type),
     bucketed AS (
       SELECT t.event_type, t.period,
-             CAST(least(10, greatest(1,
-               1 + floor((t.value - b.lo) / ((b.hi - b.lo) / 10)))) AS INT) AS bucket
-      FROM tagged t JOIN bounds b ON b.event_type = t.event_type
-      WHERE b.hi > b.lo),
+             CAST(CASE WHEN b.hi > b.lo THEN least(10, greatest(1,
+                          1 + floor((t.value - b.lo) / ((b.hi - b.lo) / 10))))
+                       WHEN t.value = b.lo THEN 1 ELSE 2 END AS INT) AS bucket
+      FROM tagged t JOIN bounds b ON b.event_type = t.event_type),
     cnt AS (
       SELECT event_type, bucket,
              sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS n_ref,
@@ -764,13 +774,24 @@ def x_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
                  * ln(((c.n_ref + 0.5) / (t.t_ref + 5.0))
                       / ((c.n_cur + 0.5) / (t.t_cur + 5.0)))) AS psi_raw
       FROM cnt c JOIN tot t ON t.event_type = c.event_type
-      GROUP BY c.event_type)
-    SELECT p.event_type,
-           CAST(t.t_ref AS BIGINT) AS n_ref,
-           CAST(t.t_cur AS BIGINT) AS n_cur,
-           round(p.psi_raw, 6) AS psi,
-           CAST(CASE WHEN p.psi_raw > 0.2 THEN 1 ELSE 0 END AS INT) AS drifted
-    FROM psi p JOIN tot t ON t.event_type = p.event_type
+      GROUP BY c.event_type),
+    scored AS (
+      SELECT p.event_type,
+             CAST(t.t_ref AS BIGINT) AS n_ref,
+             CAST(t.t_cur AS BIGINT) AS n_cur,
+             round(p.psi_raw, 6) AS psi,
+             CAST(CASE WHEN p.psi_raw > 0.2 THEN 1 ELSE 0 END AS INT) AS drifted
+      FROM psi p JOIN tot t ON t.event_type = p.event_type),
+    newtypes AS (
+      SELECT event_type,
+             CAST(0 AS BIGINT) AS n_ref,
+             CAST(count(*) AS BIGINT) AS n_cur,
+             CAST(NULL AS DOUBLE) AS psi,
+             CAST(1 AS INT) AS drifted
+      FROM tagged
+      WHERE event_type NOT IN (SELECT event_type FROM bounds)
+      GROUP BY event_type)
+    SELECT * FROM scored UNION ALL SELECT * FROM newtypes
     """,
 )
 def x_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
@@ -811,16 +832,30 @@ def x_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     )
-    bucket = F.least(
-        F.lit(10),
-        F.greatest(
-            F.lit(1),
-            1 + F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10)),
-        ),
-    ).cast("int")
+    # degenerate (constant) reference half: everything equal to the
+    # constant is bucket 1, anything else bucket 2 — so a current half
+    # that moves off the constant still registers as drift instead of
+    # being silently filtered out
+    bucket = (
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(10),
+                F.greatest(
+                    F.lit(1),
+                    1
+                    + F.floor(
+                        (F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10)
+                    ),
+                ),
+            ),
+        )
+        .when(F.col("value") == F.col("lo"), F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+    )
     cnt = (
         tagged.join(F.broadcast(bounds), "event_type")
-        .filter(F.col("hi") > F.col("lo"))
         .select("event_type", "period", bucket.alias("bucket"))
         .groupBy("event_type", "bucket")
         .agg(
@@ -842,34 +877,33 @@ def x_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
             F.max("t_cur").alias("t_cur"),
         )
     )
-    return psi.select(
+    scored = psi.select(
         "event_type",
         F.col("t_ref").cast("long").alias("n_ref"),
         F.col("t_cur").cast("long").alias("n_cur"),
         F.round(F.col("psi_raw"), 6).alias("psi"),
         (F.col("psi_raw") > 0.2).cast("int").alias("drifted"),
     )
+    # types with NO reference rows (first seen after the midpoint) have
+    # no distribution to compare against — the strongest drift signal of
+    # all; flag them explicitly instead of inner-joining them away
+    newtypes = (
+        tagged.join(F.broadcast(bounds), "event_type", "left_anti")
+        .groupBy("event_type")
+        .agg(
+            F.lit(0).cast("long").alias("n_ref"),
+            F.count("*").alias("n_cur"),
+            F.lit(None).cast("double").alias("psi"),
+            F.lit(1).cast("int").alias("drifted"),
+        )
+    )
+    return scored.unionByName(newtypes)
 
 
 @register(
     "x_dedup_containment_guarded",
     oracle=f"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 3000000 AS doc_id,
-             '{_WRAP_PREFIX} ' || text || ' {_WRAP_SUFFIX}' AS text
-      FROM documents WHERE doc_id < 30),
-    toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
-      FROM corpus),
-    sh AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id,
-               unnest([array_to_string(t[i:i+2], ' ')
-                       for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
-        FROM toks)),
+    WITH {_CONTAIN_CORPUS_SQL},
     rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10),
     csh AS (SELECT s.doc_id, s.shingle
             FROM sh s JOIN rare r ON r.shingle = s.shingle),
@@ -911,12 +945,5 @@ def x_dedup_containment_guarded(spark: SparkSession, sf: str) -> DataFrame:
     """
     from ..operators.dedup import containment_pairs
 
-    d = table(spark, sf, "documents")
-    wrapped = d.filter(F.col("doc_id") < 30).select(
-        (F.col("doc_id") + 3000000).alias("doc_id"),
-        F.concat(
-            F.lit(_WRAP_PREFIX + " "), F.col("text"), F.lit(" " + _WRAP_SUFFIX)
-        ).alias("text"),
-    )
-    corpus = d.select("doc_id", "text").unionByName(wrapped)
+    corpus = _containment_corpus(table(spark, sf, "documents"))
     return containment_pairs(corpus, threshold=0.9, max_df=10)

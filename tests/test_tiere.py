@@ -416,3 +416,28 @@ def test_psi_flags_shifted_distribution_only(spark, tmp_path):
     assert got["stable"]["drifted"] == 0 and got["stable"]["psi"] < 0.05
     assert got["shifted"]["drifted"] == 1 and got["shifted"]["psi"] > 0.2
     assert got["shifted"]["n_ref"] == 200 and got["shifted"]["n_cur"] == 200
+
+
+def test_psi_sees_new_types_and_constant_reference(spark, tmp_path):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tiere import (
+        x_drift_psi,
+    )
+
+    t0 = 1_700_000_000
+    rows = []
+    # 'newtype': first appears AFTER the temporal midpoint -> no reference
+    # distribution -> must still be flagged, psi NULL
+    # (the midpoint is set by 'const', spanning t0 .. t0+2000)
+    for i in range(50):
+        rows.append((i, t0 + 1500 + i, 1, "newtype", float(i), "{}"))
+    # 'const': constant reference half, current half moves off the
+    # constant -> the 2-bucket degenerate rule must register drift
+    for i in range(100):
+        rows.append((1000 + i, t0 + i, 1, "const", 5.0, "{}"))
+    for i in range(100):
+        rows.append((2000 + i, t0 + 2000 - 99 + i, 1, "const", 42.0, "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["event_type"]: r for r in x_drift_psi(spark, sf).collect()}
+    assert got["newtype"]["n_ref"] == 0 and got["newtype"]["n_cur"] == 50
+    assert got["newtype"]["psi"] is None and got["newtype"]["drifted"] == 1
+    assert got["const"]["drifted"] == 1 and got["const"]["psi"] > 0.2
