@@ -666,7 +666,8 @@ def decontaminate_near(corpus: DataFrame, benchmark: DataFrame,
 def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 3,
                       threshold: float = 0.9,
-                      max_df: int | None = None) -> DataFrame:
+                      max_df: int | None = None,
+                      min_size: int | None = None) -> DataFrame:
     """Asymmetric containment dedup: C = |A∩B| / min(|A|,|B|) — the
     doc-inside-doc detector (Broder '97's "containment" next to
     "resemblance").  A short document quoted whole inside a much longer
@@ -684,9 +685,26 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     max_df² pairs; intersection exact (rare + hot-correction split).
     Containment is MORE guard-sensitive than Jaccard (a tiny doc of pure
     boilerplate is "contained" in everything), so production runs want
-    BOTH max_df and a minimum-size floor on the contained side.
+    BOTH max_df and ``min_size`` — a minimum shingle-set-size floor.
+    Because the contained side of every pair is by construction the
+    SMALLER set, dropping all docs whose set size < min_size before
+    candidate generation is exactly equivalent to dropping every pair
+    whose contained side is sub-floor (any pair touching a sub-floor doc
+    has min(|A|,|B|) < min_size), while also pruning those docs from the
+    inverted-index self-join entirely — a tiny chrome-only doc stops
+    being a candidate against the whole corpus instead of being scored
+    and discarded.  The floor is one windowed count riding the same
+    id-keyed exchange the size join needs, and SQL-replayable
+    (``HAVING count(*) >= min_size`` on the shingle sets).
     """
     sh = shingle_set(docs, id_col, text_col, k)
+    if min_size is not None:
+        w_id = Window.partitionBy(id_col)
+        sh = (
+            sh.withColumn("__sz", F.count("*").over(w_id))
+            .filter(F.col("__sz") >= min_size)
+            .drop("__sz")
+        )
     j = ngram_pairs_with_sizes(sh, id_col, max_df)
     cont = F.col("n_inter") / F.least(F.col("sz_a"), F.col("sz_b"))
     jac = F.round(

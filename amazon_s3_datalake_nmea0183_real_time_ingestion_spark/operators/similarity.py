@@ -123,6 +123,23 @@ def label_centroids(corpus: DataFrame, label_col: str = "label",
     )
 
 
+def strided_centroids(corpus: DataFrame, stride: int = 25,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Deterministic k ∝ n centroid seeding: every ``stride``-th vector
+    (by id) becomes a centroid, so the centroid count GROWS with the
+    corpus and the expected cell size stays ~``stride`` at any scale —
+    the SemDeDup production fix for fixed-k's quadratic cells (cell size
+    n/k explodes when k is constant; constant TARGET cell size keeps
+    within-cell pair work linear in n).  A map-side filter, no shuffle,
+    trivially SQL-replayable (``WHERE id % stride = 0``) — the
+    deterministic stand-in for k-means|| seeding, which would pick
+    better-spread centers but not reproducibly across engines."""
+    return corpus.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid")
+    )
+
+
 def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         n_probe: int = 1) -> DataFrame:
@@ -290,6 +307,16 @@ def semantic_dedup_pairs(corpus: DataFrame, centroids: DataFrame,
     oracle mode).
     """
     asg = assign_to_centroids(corpus, centroids, id_col, vec_col)
+    # Zero-norm (degenerate) vectors are dropped EXPLICITLY rather than
+    # relying on try_divide->NULL failing the sim threshold: DuckDB's
+    # list_cosine_similarity yields NaN for a zero vector and DuckDB
+    # orders NaN above every number, so NaN >= threshold is TRUE there
+    # while NULL >= threshold is filtered here — a cross-engine
+    # divergence the moment a zero embedding enters the corpus.  The
+    # filter (mirrored in every oracle via list_dot_product(v,v) > 0)
+    # pins both engines to the same row set; it also keeps degenerate
+    # rows out of the max_cell cell-size counts below.
+    asg = asg.filter(F.col("vn") > 0)
     if max_cell is not None:
         w = Window.partitionBy("cluster")
         asg = (

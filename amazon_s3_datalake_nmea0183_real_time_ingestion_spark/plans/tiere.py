@@ -95,7 +95,14 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     # reuse the undirected edge list across degree/orientation/wedge/probe
-    # branches instead of replanning the order self-join four times
+    # branches instead of replanning the order self-join four times.
+    # Fault-tolerance trade-off: localCheckpoint TRUNCATES lineage to
+    # blocks on the executors that computed them, so losing an executor
+    # mid-job fails the query instead of recomputing the lost partitions.
+    # Acceptable for an interactive analytics query (rerun is cheap, the
+    # 4× replan saving is every run); a 1000-executor production job over
+    # 100 TB should use .persist(DISK_ONLY) (replays lineage on loss) or
+    # reliable checkpoint(dir) instead — same plan shape, same reuse.
     und = und.localCheckpoint(eager=False)
     deg = (
         und.select(F.col("u").alias("node"))
@@ -438,7 +445,8 @@ def x_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
                  PARTITION BY e.vec_id
                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
                           c.centroid_id ASC) AS rn
-        FROM ecorpus e CROSS JOIN centv c) t
+        FROM ecorpus e CROSS JOIN centv c
+        WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0) t
       WHERE rn = 1),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -477,6 +485,72 @@ def x_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     e = _emb_corpus(spark, sf).select("vec_id", "embedding")
     cents = label_centroids(table(spark, sf, "embeddings"))
     return semantic_dedup(e, cents, threshold=0.99, max_cell=None)
+
+
+@register(
+    "x_dedup_semantic_guarded",
+    oracle="""
+    WITH ecorpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id < 50),
+    cent AS (SELECT vec_id AS centroid_id, embedding AS centroid
+             FROM embeddings WHERE vec_id % 25 = 0),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM ecorpus e CROSS JOIN cent c
+        WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0) t
+      WHERE rn = 1),
+    cells AS (SELECT cluster FROM assign GROUP BY cluster HAVING count(*) <= 150),
+    kept AS (SELECT a.* FROM assign a JOIN cells c ON c.cluster = a.cluster),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+      FROM kept a JOIN kept b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+    SELECT id_b AS dropped_id, CAST(min(id_a) AS BIGINT) AS kept_by,
+           arg_min(sim, id_a) AS cos_sim
+    FROM pairs WHERE sim >= 0.99
+    GROUP BY id_b
+    """,
+)
+def x_dedup_semantic_guarded(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION SemDeDup configuration — driver-adjudicated like the
+    best/cluster/containment guarded twins.  Two changes vs the exhaustive
+    x_dedup_semantic key, both from the SemDeDup scaling prescription
+    (Abbas et al. 2023; SCALE.md §7e):
+
+    - **k ∝ n centroids** (``strided_centroids(stride=25)``): the
+      exhaustive key's fixed k=10 label centroids make cell size n/10 —
+      within-cell pair work grows QUADRATICALLY with the corpus (measured
+      8.9× on 10× data).  Sampling every 25th vector as a centroid keeps
+      the EXPECTED cell size constant (~25-55 here) at any scale, so pair
+      work grows linearly; seeding is a map-side filter, deterministic,
+      and the oracle replays it as ``WHERE vec_id % 25 = 0``.
+    - **``max_cell=150`` hot-cell guard**: a cell c vectors wide emits c²
+      pairs, so one viral embedding (thousands of copies of a boilerplate
+      page's vector) re-quadratizes a single cell no matter how k scales.
+      Cells over the cap are dropped from pair generation (exact dedup
+      owns verbatim copies); the cap rides the cluster shuffle the pair
+      join already needs.  At driver scale no organic cell exceeds it —
+      the guard's bite is probe-measured in tests/test_scale_probes.py
+      (159,400 → 34,650 pairs on a planted viral cell).
+
+    The oracle replays BOTH knobs (strided-centroid CTE + HAVING
+    count(*) <= 150 cell screen) plus the shared zero-norm screen, so the
+    driver adjudicates exactly the configuration production would run.
+    """
+    from ..operators.similarity import semantic_dedup, strided_centroids
+
+    e = _emb_corpus(spark, sf).select("vec_id", "embedding")
+    cents = strided_centroids(table(spark, sf, "embeddings"), stride=25)
+    return semantic_dedup(e, cents, threshold=0.99, max_cell=150)
 
 
 # ---------------------------------------------------------------------------
@@ -904,18 +978,21 @@ def x_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     "x_dedup_containment_guarded",
     oracle=f"""
     WITH {_CONTAIN_CORPUS_SQL},
-    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10),
+    floor_ok AS (SELECT doc_id FROM sh GROUP BY doc_id HAVING count(*) >= 10),
+    shf AS (SELECT s.doc_id, s.shingle
+            FROM sh s JOIN floor_ok k ON k.doc_id = s.doc_id),
+    rare AS (SELECT shingle FROM shf GROUP BY shingle HAVING count(*) <= 10),
     csh AS (SELECT s.doc_id, s.shingle
-            FROM sh s JOIN rare r ON r.shingle = s.shingle),
+            FROM shf s JOIN rare r ON r.shingle = s.shingle),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM csh a JOIN csh b
                ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
     inter AS (SELECT c.id_a, c.id_b, count(*) AS n
               FROM cand c
-              JOIN sh a ON a.doc_id = c.id_a
-              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              JOIN shf a ON a.doc_id = c.id_a
+              JOIN shf b ON b.doc_id = c.id_b AND b.shingle = a.shingle
               GROUP BY c.id_a, c.id_b),
-    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id)
+    sz AS (SELECT doc_id, count(*) AS s FROM shf GROUP BY doc_id)
     SELECT CASE WHEN za.s < zb.s THEN id_a
                 WHEN zb.s < za.s THEN id_b
                 ELSE greatest(id_a, id_b) END AS contained_id,
@@ -940,10 +1017,19 @@ def x_dedup_containment_guarded(spark: SparkSession, sf: str) -> DataFrame:
     the full sets.  The planted wrappers are still caught through their
     rare body shingles; a pair whose every shared shingle is boilerplate
     is exactly the pair the production screen should not spend a
-    comparison on.  The oracle replays the identical df-prefilter
-    (rare-shingle candidate CTE + full-set intersection).
+    comparison on.
+
+    Round 5 adds the second guard the docstring prescribed
+    (operators/dedup.py::containment_pairs): ``min_size=10`` — docs with
+    fewer than 10 distinct shingles are dropped BEFORE candidate
+    generation.  Containment's denominator is min(|A|,|B|), so a tiny
+    chrome-only doc scores "contained" in everything; the floor removes
+    it from the inverted index instead of scoring-and-discarding its
+    corpus-wide pair fan (equivalence of doc-floor and pair-floor in the
+    operator docstring).  The oracle replays BOTH prefilters
+    (size floor + rare-shingle candidates + full-set intersection).
     """
     from ..operators.dedup import containment_pairs
 
     corpus = _containment_corpus(table(spark, sf, "documents"))
-    return containment_pairs(corpus, threshold=0.9, max_df=10)
+    return containment_pairs(corpus, threshold=0.9, max_df=10, min_size=10)

@@ -146,12 +146,121 @@ def refresh_rollup(spark: SparkSession, stage_path: str, rollup_path: str,
     return n
 
 
+DRIFT_DEFAULT_COLUMNS: dict[str, str] = {
+    # 1-volt bins: wide enough to be stable per-batch, narrow enough that a
+    # fleet-wide voltage regression moves mass across bins
+    "battery_voltage": "CAST(floor(battery_voltage) AS STRING)",
+    # categorical: the device-mix profile (a fleet segment going silent or
+    # a new fleet joining shifts this before any value column moves)
+    "deviceid": "CAST(deviceid AS STRING)",
+}
+
+
+def _drift_counts(df: DataFrame, columns: dict[str, str]) -> DataFrame:
+    """(column, bucket, n) counts for every monitored column in ONE job —
+    the per-column bucket maps are unioned before the single groupBy, so
+    the profile costs one scan + one tiny shuffle regardless of how many
+    dimensions are monitored (same economics as stage_quality_report)."""
+    parts = [
+        df.select(
+            F.lit(col).alias("column"),
+            F.coalesce(F.expr(expr), F.lit("__null__")).alias("bucket"),
+        )
+        for col, expr in columns.items()
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("column", "bucket").agg(F.count("*").alias("n"))
+
+
+def drift_psi_report(
+    spark: SparkSession,
+    stage_path: str,
+    profile_path: str,
+    columns: dict[str, str] | None = None,
+    threshold: float = 0.2,
+) -> dict:
+    """Population-stability-index drift monitor over the stage zone — the
+    maintenance-cadence counterpart of the batch ``x_drift_psi`` key
+    (plans/tiere.py), with a PERSISTED reference-period profile instead of
+    a same-table midpoint split.
+
+    First call (no profile at ``profile_path``): the current bucket
+    profile is WRITTEN as the reference period and the report says
+    ``bootstrapped``.  Every later call compares the current stage
+    distribution against that frozen profile per monitored column, with
+    the same smoothed PSI the batch key uses (Siddiqi '06; +0.5/bucket
+    Laplace smoothing so empty buckets don't produce ±inf) and the same
+    0.2 industry drift threshold.  Re-bootstrap by deleting the profile
+    (e.g. after an intentional fleet change).
+
+    Scale: the profile is bucket-count sized (columns × buckets rows —
+    KBs at any corpus size), so both the persisted artifact and the
+    full-outer bucket join are driver-trivial; the only data-sized work
+    is the one profile scan, which at 100 TB should read only the recent
+    event-date partitions (partition-pruned by the caller's cadence).
+
+    Returns ``{"bootstrapped": bool, "columns": {col: {"psi": float|None,
+    "drifted": bool, "n_ref": int, "n_cur": int}}}`` (plain dict,
+    foreachBatch-safe).
+    """
+    import os as _os
+
+    cols = columns or DRIFT_DEFAULT_COLUMNS
+    cur = _drift_counts(spark.read.parquet(stage_path), cols)
+    if not _os.path.isdir(profile_path):
+        cur.write.mode("overwrite").parquet(profile_path)
+        return {"bootstrapped": True, "columns": {}}
+    ref = spark.read.parquet(profile_path).select(
+        "column", "bucket", F.col("n").alias("n_ref")
+    )
+    joined = (
+        ref.join(
+            cur.select("column", "bucket", F.col("n").alias("n_cur")),
+            ["column", "bucket"],
+            "full_outer",
+        )
+        .fillna(0, ["n_ref", "n_cur"])
+    )
+    tot = joined.groupBy("column").agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count("*").alias("k"),
+    )
+    p = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * F.col("k"))
+    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * F.col("k"))
+    scored = (
+        joined.join(F.broadcast(tot), "column")
+        .groupBy("column")
+        .agg(
+            F.sum((p - q) * F.log(p / q)).alias("psi_raw"),
+            F.max("t_ref").alias("t_ref"),
+            F.max("t_cur").alias("t_cur"),
+        )
+        .collect()  # control-plane: one row per monitored column
+    )
+    return {
+        "bootstrapped": False,
+        "columns": {
+            r["column"]: {
+                "psi": round(float(r["psi_raw"]), 6),
+                "drifted": bool(r["psi_raw"] > threshold),
+                "n_ref": int(r["t_ref"]),
+                "n_cur": int(r["t_cur"]),
+            }
+            for r in scored
+        },
+    }
+
+
 def pipeline_maintenance(
     spark: SparkSession,
     stage_path: str,
     declared: StructType,
     catalog_tables: list[str] | None = None,
     quality: bool = False,
+    drift_profile_path: str | None = None,
 ) -> dict:
     """One scheduled-maintenance pass — the in-engine analog of the
     reference's nightly crawler run (``cron(0 4 * * ? *)``,
@@ -161,7 +270,10 @@ def pipeline_maintenance(
     Returns ``{"drift": [(column, declared, observed, status), ...],
     "drift_status_counts": {...}, "recovered_tables": [...]}`` — a plain
     dict so foreachBatch callers can append it to a report list without
-    touching Spark objects after the batch.
+    touching Spark objects after the batch.  ``drift_profile_path`` adds
+    a ``drift_psi`` DISTRIBUTION drift block (see
+    :func:`drift_psi_report`) next to the schema drift LOG — schema says
+    the shape changed, PSI says the DATA changed under the same shape.
     """
     import os as _os
 
@@ -179,6 +291,10 @@ def pipeline_maintenance(
         report["drift_status_counts"] = counts
     if quality and _os.path.isdir(stage_path):
         report["quality_violations"] = stage_quality_report(spark, stage_path)
+    if drift_profile_path and _os.path.isdir(stage_path):
+        report["drift_psi"] = drift_psi_report(
+            spark, stage_path, drift_profile_path
+        )
     for t in catalog_tables or []:
         if spark.catalog.tableExists(t):
             spark.catalog.recoverPartitions(t)

@@ -219,6 +219,7 @@ def start_pipeline(
     maintenance_catalog_tables: list[str] | None = None,
     maintenance_reports: list[dict] | None = None,
     maintain_quality: bool = False,
+    maintain_drift: bool = False,
     geo_dim: DataFrame | None = None,
 ) -> StreamingQuery:
     """Wire source → foreachBatch → trigger → checkpoint and start.
@@ -234,7 +235,11 @@ def start_pipeline(
     (cdk_datalake_mvp_stack.py:325); reports append to
     ``maintenance_reports``.  ``maintain_quality=True`` adds the
     one-scan stage data-quality gate (stage_quality_report) to each
-    maintenance pass.
+    maintenance pass.  ``maintain_drift=True`` adds the PSI
+    distribution-drift monitor (drift_psi_report): the FIRST maintenance
+    pass persists the reference-period bucket profile under
+    ``<lake>/maintenance/drift_profile``; every later pass scores the
+    stage distribution against it and flags columns with PSI > 0.2.
 
     ``geo_dim`` lets callers running SEVERAL pipeline instances (see
     ``start_streams``) share one geocode dimension instead of rebuilding
@@ -267,6 +272,11 @@ def start_pipeline(
                 declared,
                 maintenance_catalog_tables,
                 quality=maintain_quality,
+                drift_profile_path=(
+                    os.path.join(lake_dir, "maintenance", "drift_profile")
+                    if maintain_drift
+                    else None
+                ),
             )
             rep["batch_id"] = batch_id
             if maintenance_reports is not None:

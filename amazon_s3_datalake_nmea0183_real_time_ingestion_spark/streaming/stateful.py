@@ -317,6 +317,14 @@ def streaming_funnel(stream: DataFrame,
     "no progress" as "stage 1 at epoch 0" — on that error, restart from
     a fresh checkpoint (replay the landing data; admission is
     idempotent).
+
+    Two independent layers enforce that guard: Spark's state-schema
+    compatibility check (``spark.sql.streaming.stateStore.stateSchemaCheck``,
+    default true) rejects the 3-field struct at query start, and — in
+    case an operator has that check DISABLED, where a v1 checkpoint
+    would resume with ``ver`` silently NULL — the fold itself asserts
+    ``ver == 2`` on every read and raises on anything else.  The same
+    assert is the branch point a future v3 migration would hook.
     """
     s1, s2, s3 = stages
 
@@ -325,7 +333,19 @@ def streaming_funnel(stream: DataFrame,
     ) -> Iterator[pd.DataFrame]:
         # NULL (not 0) is the unset sentinel: an event at exactly epoch 0
         # must still be able to set state.
-        t1, t2, t3 = state.get[:3] if state.exists else (None, None, None)
+        if state.exists:
+            t1, t2, t3, ver = state.get
+            # in-fold version assert: catches a v1 checkpoint resumed with
+            # stateSchemaCheck disabled (ver arrives NULL) — the guard must
+            # not depend solely on engine config
+            if ver != 2:
+                raise ValueError(
+                    f"funnel state version {ver!r} != 2: incompatible "
+                    "checkpoint — restart from a fresh checkpoint and "
+                    "replay the landing data"
+                )
+        else:
+            t1, t2, t3 = None, None, None
         pdf = pd.concat(list(pdfs), ignore_index=True)
         # Total fold order: event-time, then event id when present — without
         # the tie-break, same-timestamp rows fold in arrival order.

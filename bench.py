@@ -105,6 +105,8 @@ HEADLINE = [
     "x_dedup_containment",
     "x_drift_psi",
     "x_dedup_containment_guarded",
+    # round-5: production SemDeDup (k ∝ n centroids + max_cell guard)
+    "x_dedup_semantic_guarded",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical
@@ -216,6 +218,7 @@ def main() -> int:
         timings[key] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    sf = _sf_from_dir(SF_DIR)
     print(
         json.dumps(
             {
@@ -223,8 +226,27 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
+                "sf": sf,
                 "provenance": _provenance(SF_DIR, spark),
+            }
+        )
+    )
+    # The full line above outgrew the driver's stdout tail capture in
+    # round 4 (66 timings + provenance → the captured tail started
+    # mid-line and parsed as null).  Emit a LAST, sub-1KB compact line —
+    # headline number, query count, and the top-10 slowest timings — so
+    # the artifact is parseable from any tail window; the full line
+    # remains first for humans and for captures wide enough to hold it.
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": top10,
+                "sf": sf,
             }
         )
     )

@@ -340,6 +340,68 @@ def test_maintenance_cadence_emits_drift_report(spark, tmp_path):
         }
 
 
+def test_maintenance_drift_monitor_flags_planted_voltage_shift(spark, tmp_path):
+    """maintain_drift=True: the first maintenance pass persists the
+    reference-period PSI profile; a later pass scores the stage
+    distribution against it.  Batches 0-1 carry a healthy 4.2 V fleet
+    (bootstrap period); batches 2-3 carry a planted 12.4 V shift — the
+    second maintenance pass must flag battery_voltage as drifted while
+    the unchanged device mix stays quiet."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.fixtures import (
+        soh_data,
+    )
+
+    def envs(batch: int, bv: float) -> list[dict]:
+        rows = []
+        for i in range(4):
+            rid = batch * 10 + i
+            rows.append(
+                {
+                    "recordId": f"rec-{rid:04d}",
+                    "packetId": 2000 + rid,
+                    "deviceType": 1,
+                    "deviceId": 100 + i % 2,
+                    "userApplicationId": 7,
+                    "organizationId": 42,
+                    "len": 64,
+                    "status": 0,
+                    "hiveRxTime": f"2023-11-14 22:{rid:02d}:00",
+                    "data": soh_data(i, bv=bv),
+                }
+            )
+        return rows
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for b in range(2):
+        with open(landing / f"batch-{b:04d}.json", "w") as f:
+            for row in envs(b, bv=4.2):
+                f.write(json.dumps(row) + "\n")
+    for b in range(2, 4):
+        with open(landing / f"batch-{b:04d}.json", "w") as f:
+            for row in envs(b, bv=12.4):
+                f.write(json.dumps(row) + "\n")
+    reports = []
+    q = start_pipeline(
+        spark, str(landing), str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+        available_now=True, max_files_per_trigger=1,
+        maintain_every_n_batches=2, maintenance_reports=reports,
+        maintain_drift=True,
+    )
+    q.awaitTermination(180)
+    assert [r["batch_id"] for r in reports] == [1, 3]
+    # pass 1 froze the healthy-period profile
+    assert reports[0]["drift_psi"] == {"bootstrapped": True, "columns": {}}
+    cols = reports[1]["drift_psi"]["columns"]
+    # half the stage mass moved from the 4 V bin to the 12 V bin
+    assert cols["battery_voltage"]["drifted"]
+    assert cols["battery_voltage"]["psi"] > 0.2
+    assert cols["battery_voltage"]["n_ref"] == 8
+    assert cols["battery_voltage"]["n_cur"] == 16
+    # the device mix is identical in both periods — no false alarm
+    assert not cols["deviceid"]["drifted"]
+
+
 def test_multi_stream_routing_isolated(spark, tmp_path):
     """POST /{stream-name} parity (cdk_datalake_mvp_stack.py:273-279,295):
     two device fleets ingest through one base endpoint but land in fully

@@ -391,6 +391,39 @@ def test_containment_catches_wrapped_doc_jaccard_misses(spark, tmp_path):
     assert [tuple(x) for x in guarded] == [tuple(x) for x in got]
 
 
+def test_containment_min_size_floor_stops_tiny_boilerplate(spark, tmp_path):
+    """A chrome-only snippet (3 distinct shingles) is 'contained' in every
+    doc carrying that chrome — containment's min(|A|,|B|) denominator makes
+    the tiny side score 1.0 against the whole corpus.  min_size drops it
+    before candidate generation; real-sized pairs are untouched."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    chrome = "nav home about contact login"  # 5 tokens -> 3 distinct 3-grams
+    body = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, chrome),  # tiny boilerplate doc
+        (2, f"{chrome} {body}"),
+        (3, f"{chrome} {' '.join(f'x{i}' for i in range(40))}"),
+        (4, body),  # contained whole in doc 2
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unfloored = containment_pairs(corpus, threshold=0.9)
+    # tiny doc 1 pairs with EVERY chrome carrier (containment 1.0 each)
+    assert unfloored.filter("contained_id = 1").count() == 2
+
+    floored = containment_pairs(corpus, threshold=0.9, min_size=10)
+    rowsf = floored.collect()
+    # the tiny doc is gone from candidates entirely...
+    assert all(r["contained_id"] != 1 and r["container_id"] != 1 for r in rowsf)
+    # ...while the real containment catch (body inside doc 2) survives
+    assert any(
+        (r["contained_id"], r["container_id"]) == (4, 2) for r in rowsf
+    )
+
+
 # -- x_drift_psi ------------------------------------------------------------
 
 
