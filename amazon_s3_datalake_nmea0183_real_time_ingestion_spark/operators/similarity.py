@@ -166,6 +166,81 @@ def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
     )
 
 
+def assign_to_centroids_blas(corpus: DataFrame, centroids: DataFrame,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Exact nearest-centroid assignment with the argmax computed as an
+    Arrow-batched BLAS matmul — same contract as
+    :func:`assign_to_centroids` (n_probe=1): round-6 cosine, ties →
+    lowest centroid_id, zero-norm sims sort last; output columns
+    (id, vd, vn, cluster) with ``cluster`` as long.
+
+    Why it exists: the declarative argmax is a broadcast nested-loop
+    join whose per-pair kernel is an aggregate-lambda fold — fine for
+    fixed small k, but the production SemDeDup configuration scales the
+    centroid count WITH the corpus (k ∝ n, constant target cell size),
+    which makes assignment the dominant stage (n·k·d multiply-adds) and
+    the per-pair fold the wrong kernel for it.  The same FLOPs as one
+    (batch × d) @ (d × k) matmul run ~20× faster through BLAS — this is
+    the sanctioned vectorized-Pandas-UDF exception (Arrow batches, no
+    per-row Python), the CPU analog of the GPU matmul the SemDeDup paper
+    assigns with.
+
+    Centroids are collected and closure-broadcast: k×d doubles (400 KB
+    at k=800, d=64) — fine up to ~1M centroids; beyond that a
+    hierarchical coarse quantizer owns the probe (documented in
+    SCALE.md §7g).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    rows = sorted(
+        centroids.select("centroid_id", "centroid").collect(),
+        key=lambda r: int(r["centroid_id"]),
+    )
+    cid = np.array([int(r["centroid_id"]) for r in rows], dtype=np.int64)
+    C = np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    cn[cn == 0] = np.nan  # zero-norm centroid → NaN sim → sorts last below
+    Cu = C / cn[:, None]
+
+    out_schema = StructType(
+        [
+            corpus.schema[id_col],
+            StructField("vd", ArrayType(DoubleType())),
+            StructField("vn", DoubleType()),
+            StructField("cluster", LongType()),
+        ]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.sqrt((V * V).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round((V @ Cu.T) / vn[:, None], 6)
+            # NULL-cosine semantics: NaN (zero norm either side) loses to
+            # every number; an all-NaN row falls to the lowest centroid_id
+            # — identical to the window's DESC NULLS LAST + id tie-break
+            sims = np.where(np.isnan(sims), -np.inf, sims)
+            best = sims.argmax(axis=1)  # first max = lowest centroid_id
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "vd": list(V),
+                    "vn": vn,
+                    "cluster": cid[best],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(_assign, out_schema)
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding",
              n_probe: int = 1) -> DataFrame:
@@ -289,7 +364,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame,
 def semantic_dedup_pairs(corpus: DataFrame, centroids: DataFrame,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          threshold: float = 0.99,
-                         max_cell: int | None = None) -> DataFrame:
+                         max_cell: int | None = None,
+                         use_blas: bool = False) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023): assign every vector
     to its nearest centroid (broadcast argmax), emit within-cell pairs
     with cosine >= ``threshold`` (rounded to 6, id_a < id_b).
@@ -305,8 +381,22 @@ def semantic_dedup_pairs(corpus: DataFrame, centroids: DataFrame,
     the corpus).  The cell-size window rides the same cluster shuffle
     the pair join needs.  Default None keeps generation exhaustive (the
     oracle mode).
+
+    ``use_blas=True`` swaps the assignment stage for the Arrow-batched
+    matmul argmax (:func:`assign_to_centroids_blas`, same semantics) —
+    the right kernel when k scales with the corpus.
     """
-    asg = assign_to_centroids(corpus, centroids, id_col, vec_col)
+    if use_blas:
+        # Materialize the assignment ONCE: it has three consumers below
+        # (the cell-size window and both pair-join sides), and unlike the
+        # declarative path's shared exchange, three copies of the
+        # mapInPandas stage do not collapse via ReuseExchange — measured
+        # 2.4× end-to-end at sf1 (SCALE.md §7g).  Same executor-loss
+        # trade-off as q_triangle_count's edge list (see that docstring);
+        # production uses persist(DISK_ONLY).
+        asg = assign_to_centroids_blas(corpus, centroids, id_col, vec_col)
+    else:
+        asg = assign_to_centroids(corpus, centroids, id_col, vec_col)
     # Zero-norm (degenerate) vectors are dropped EXPLICITLY rather than
     # relying on try_divide->NULL failing the sim threshold: DuckDB's
     # list_cosine_similarity yields NaN for a zero vector and DuckDB
@@ -317,6 +407,8 @@ def semantic_dedup_pairs(corpus: DataFrame, centroids: DataFrame,
     # pins both engines to the same row set; it also keeps degenerate
     # rows out of the max_cell cell-size counts below.
     asg = asg.filter(F.col("vn") > 0)
+    if use_blas:
+        asg = asg.localCheckpoint(eager=False)
     if max_cell is not None:
         w = Window.partitionBy("cluster")
         asg = (
@@ -347,7 +439,8 @@ def semantic_dedup_pairs(corpus: DataFrame, centroids: DataFrame,
 def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    threshold: float = 0.99,
-                   max_cell: int | None = None) -> DataFrame:
+                   max_cell: int | None = None,
+                   use_blas: bool = False) -> DataFrame:
     """Keep-lowest-id SemDeDup collapse: each duplicate reports its
     lowest-id SIMILAR NEIGHBOR (dropped_id, kept_by, cos_sim) — one keyed
     agg riding the pair shuffle.
@@ -361,7 +454,7 @@ def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
     x_dedup_cluster path) when a canonical representative per clique is
     required."""
     pairs = semantic_dedup_pairs(
-        corpus, centroids, id_col, vec_col, threshold, max_cell
+        corpus, centroids, id_col, vec_col, threshold, max_cell, use_blas
     )
     return pairs.groupBy(F.col("id_b").alias("dropped_id")).agg(
         F.min("id_a").cast("long").alias("kept_by"),

@@ -8,6 +8,7 @@ from . import tiera  # noqa: F401,E402
 from . import tierc  # noqa: F401,E402
 from . import tierd  # noqa: F401,E402
 from . import tiere  # noqa: F401,E402
+from . import tierf  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
 # keys per round.  Rounds 1-4 union: 123/123 keys green at latest check, but
@@ -31,6 +32,8 @@ _NEEDS_VERDICT = [
     "x_dedup_containment", "x_drift_psi", "x_dedup_containment_guarded",
     # Round-5 new keys — first driver row needed
     "x_dedup_semantic_guarded",
+    "x_novelty", "x_hard_negatives", "x_lpa", "x_dedup_substring",
+    "x_data_temperature",
     # Latest row = r2
     "x_sim_ivf2",
     # Latest row = r1 (22) — last rows on pre-regeneration testdata

@@ -542,6 +542,12 @@ def x_dedup_semantic_guarded(spark: SparkSession, sf: str) -> DataFrame:
       the guard's bite is probe-measured in tests/test_scale_probes.py
       (159,400 → 34,650 pairs on a planted viral cell).
 
+    With k ∝ n the dominant stage flips from pair scoring to ASSIGNMENT
+    (n·k·d multiply-adds), and the declarative per-pair fold is the wrong
+    kernel for a computation that is one matmul — so this key assigns via
+    the Arrow-batched BLAS argmax (``use_blas=True``,
+    operators/similarity.py::assign_to_centroids_blas — identical
+    round-6/tie semantics, measured ~10× faster at sf1 where k=800).
     The oracle replays BOTH knobs (strided-centroid CTE + HAVING
     count(*) <= 150 cell screen) plus the shared zero-norm screen, so the
     driver adjudicates exactly the configuration production would run.
@@ -550,7 +556,7 @@ def x_dedup_semantic_guarded(spark: SparkSession, sf: str) -> DataFrame:
 
     e = _emb_corpus(spark, sf).select("vec_id", "embedding")
     cents = strided_centroids(table(spark, sf, "embeddings"), stride=25)
-    return semantic_dedup(e, cents, threshold=0.99, max_cell=150)
+    return semantic_dedup(e, cents, threshold=0.99, max_cell=150, use_blas=True)
 
 
 # ---------------------------------------------------------------------------

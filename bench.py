@@ -107,6 +107,12 @@ HEADLINE = [
     "x_dedup_containment_guarded",
     # round-5: production SemDeDup (k ∝ n centroids + max_cell guard)
     "x_dedup_semantic_guarded",
+    # round-5: Tier F training-data curation extensions
+    "x_novelty",
+    "x_hard_negatives",
+    "x_lpa",
+    "x_dedup_substring",
+    "x_data_temperature",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

@@ -244,3 +244,63 @@ def test_viral_embedding_hot_cell_guard(spark):
     # organic cells keep scoring exactly
     organic_pairs = semantic_dedup_pairs(corpus, cents, threshold=0.99, max_cell=150)
     assert organic_pairs.filter(F.col("id_a") >= 1_000_000).count() == 0
+
+
+def test_blas_assignment_matches_declarative_argmax(spark):
+    """assign_to_centroids_blas (Arrow-batched matmul argmax — the kernel
+    the k ∝ n production SemDeDup path uses) must agree with the
+    declarative window argmax on every row, including the tricky edges:
+    round-6 cosine ties (→ lowest centroid_id) and zero-norm vectors
+    (NULL/-inf sims → lowest centroid_id, later filtered by vn > 0)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.similarity import (
+        assign_to_centroids,
+        assign_to_centroids_blas,
+        semantic_dedup,
+    )
+
+    dim, k = 8, 8
+    cents = spark.createDataFrame(
+        [(c, [1.0 if i == c else 0.0 for i in range(dim)]) for c in range(k)],
+        "centroid_id int, centroid array<double>",
+    )
+    base = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                F.when(F.lit(i) == F.col("id") % k, F.lit(10.0))
+                .otherwise(
+                    F.when(
+                        F.lit(i) == (F.col("id") + 3) % k,
+                        (F.col("id") % 7).cast("double"),
+                    ).otherwise(F.lit(0.0))
+                )
+                for i in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    # edge rows: an exact tie between centroids 2 and 5 (must pick 2),
+    # and a zero-norm vector (must fall to centroid 0)
+    edge = spark.createDataFrame(
+        [
+            (9_000_001, [0.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0]),
+            (9_000_002, [0.0] * dim),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = base.unionByName(edge)
+
+    a = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_to_centroids(corpus, cents).collect()
+    }
+    b = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_to_centroids_blas(corpus, cents).collect()
+    }
+    assert a == b
+    assert b[9_000_001] == 2 and b[9_000_002] == 0
+
+    # end-to-end: the collapse output is identical under either kernel
+    slow = semantic_dedup(corpus, cents, threshold=0.9).collect()
+    fast = semantic_dedup(corpus, cents, threshold=0.9, use_blas=True).collect()
+    assert sorted(map(tuple, slow)) == sorted(map(tuple, fast))
