@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.hashing import md5_u32
+from ..functions.text import tokens
 from ..operators.dedup import shingle_set
 from ..operators.similarity import _ranked_topk, pair_cosine, prep_vectors
 from .registry import register, table
@@ -300,6 +302,88 @@ def x_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared_windows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — hashed-feature importance weighting toward a target domain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dsir",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    tb AS (SELECT doc_id,
+                  (('0x' || substr(md5(tok), 1, 8))::BIGINT) % 256 AS bucket,
+                  CASE WHEN source IN ('src0', 'src1', 'src2')
+                       THEN 1 ELSE 0 END AS is_t
+           FROM toks),
+    bs AS (SELECT bucket,
+                  CAST(sum(is_t) AS BIGINT) AS n_t,
+                  CAST(count(*) AS BIGINT) AS n_r
+           FROM tb GROUP BY bucket),
+    tot AS (SELECT sum(n_t) AS t_t, sum(n_r) AS t_r FROM bs),
+    lr AS (SELECT bucket,
+                  ln(((n_t + 0.5) / (t_t + 128.0))
+                     / ((n_r + 0.5) / (t_r + 128.0))) AS logratio
+           FROM bs CROSS JOIN tot)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(l.logratio), 6) AS dsir_score
+    FROM tb t JOIN lr l ON l.bucket = t.bucket
+    GROUP BY t.doc_id
+    """,
+)
+def x_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS'23),
+    hashed-feature formulation: score every raw document by how much its
+    token distribution looks like a TARGET domain (here: sources
+    src0-src2 as the curated stand-in) versus the raw corpus — per-doc
+    mean log(p_target(bucket)/p_raw(bucket)) over 256 hashed unigram
+    buckets with +0.5 Laplace smoothing.  High scorers are what
+    importance resampling keeps when curating pretraining data toward a
+    quality domain; the hashing makes the "language model" a fixed-size
+    count table instead of an open vocabulary.
+
+    Scale: the feature "model" is BUCKET-sized (256 rows) no matter how
+    big either corpus is — one explode + bucket-keyed count builds it,
+    a 1-row broadcast adds the normalizers, and scoring is a broadcast
+    join back to the token stream followed by a doc-keyed mean: two
+    map-side-combinable aggs and zero corpus-sized shuffles beyond the
+    doc rollup.  Raising the bucket count or moving to hashed bigrams
+    (the paper uses 10k buckets) changes only the broadcast size.
+    Deterministic: the md5 bucket hash is the engine-portable hashing
+    used by every fingerprint key (functions/hashing.py).
+    """
+    d = table(spark, sf, "documents")
+    tb = d.select(
+        "doc_id",
+        F.explode(tokens("text")).alias("tok"),
+        F.col("source").isin("src0", "src1", "src2").cast("long").alias("is_t"),
+    ).select(
+        "doc_id", F.pmod(md5_u32(F.col("tok")), F.lit(256)).alias("bucket"), "is_t"
+    )
+    bs = tb.groupBy("bucket").agg(
+        F.sum("is_t").alias("n_t"), F.count("*").alias("n_r")
+    )
+    tot = bs.agg(F.sum("n_t").alias("t_t"), F.sum("n_r").alias("t_r"))
+    logratio = F.log(
+        ((F.col("n_t") + 0.5) / (F.col("t_t") + 128.0))
+        / ((F.col("n_r") + 0.5) / (F.col("t_r") + 128.0))
+    )
+    lr = bs.crossJoin(F.broadcast(tot)).select("bucket", logratio.alias("logratio"))
+    return (
+        tb.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logratio"), 6).alias("dsir_score"),
+        )
     )
 
 

@@ -113,6 +113,7 @@ HEADLINE = [
     "x_lpa",
     "x_dedup_substring",
     "x_data_temperature",
+    "x_dsir",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical
