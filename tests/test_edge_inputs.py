@@ -184,3 +184,75 @@ def test_battery_transitions_survive_tiny_arrow_chunks(spark, tmp_path):
         assert rows == [(t0 + 180, "enter_low"), (t0 + 360, "exit_low")]
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_tierf_operators_survive_weird_docs(weird_docs, spark):
+    """Tier F text operators flow null/empty/unicode/huge docs without
+    ANSI exceptions, with sane edge semantics."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+        shingle_set,
+    )
+
+    # novelty core over weird docs: every doc gets a row unless it has no
+    # shingles (null text tokenizes to null -> no exploded rows)
+    sh = shingle_set(weird_docs, "doc_id", "text", k=3)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"),
+             F.sum((F.col("doc_id") == F.col("first_doc")).cast("long")).alias("nov"))
+        .collect()
+    )
+    by_id = {r["doc_id"]: r for r in per_doc}
+    assert 1 not in by_id                      # null text -> no shingle rows
+    assert by_id[2]["n"] == 1                  # empty -> the "" whole-doc shingle
+    assert by_id[2]["nov"] == 1 and by_id[3]["nov"] == 0  # 3 repeats 2's shingle
+    assert by_id[6]["n"] == 2                  # "a b a b ..." -> "a b a"/"b a b" only
+
+    # substring windows (k=20): the huge repetitive doc collapses to its
+    # few distinct windows; single-token and empty docs yield one window
+    win = shingle_set(weird_docs, "doc_id", "text", k=20)
+    cnt = {r["doc_id"]: r["c"] for r in
+           win.groupBy("doc_id").agg(F.count("*").alias("c")).collect()}
+    assert cnt[5] == 1 and cnt[2] == 1
+    assert cnt[6] == 2                         # alternating bigram -> 2 distinct 20-grams
+
+
+def test_dsir_scoring_handles_empty_and_null_docs(spark):
+    """DSIR: docs with no tokens simply get no score row (nothing to
+    average); token-bearing docs score finitely (Laplace smoothing keeps
+    every bucket probability positive)."""
+    import math
+
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.functions.hashing import (
+        md5_u32,
+    )
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.functions.text import (
+        tokens,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma", "src0"), (2, None, "src5"),
+         (3, "", "src5"), (4, "alpha alpha noise", "src9")],
+        "doc_id long, text string, source string",
+    )
+    tb = d.select(
+        "doc_id",
+        F.explode(tokens("text")).alias("tok"),
+        F.col("source").isin("src0", "src1", "src2").cast("long").alias("is_t"),
+    ).select("doc_id", F.pmod(md5_u32(F.col("tok")), F.lit(256)).alias("bucket"), "is_t")
+    bs = tb.groupBy("bucket").agg(F.sum("is_t").alias("n_t"), F.count("*").alias("n_r"))
+    tot = bs.agg(F.sum("n_t").alias("t_t"), F.sum("n_r").alias("t_r"))
+    lr = bs.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.log(((F.col("n_t") + 0.5) / (F.col("t_t") + 128.0))
+              / ((F.col("n_r") + 0.5) / (F.col("t_r") + 128.0))).alias("logratio"),
+    )
+    out = {r["doc_id"]: r for r in
+           tb.join(F.broadcast(lr), "bucket").groupBy("doc_id")
+           .agg(F.avg("logratio").alias("s")).collect()}
+    assert set(out) == {1, 4}                  # null/empty docs: no row
+    assert all(math.isfinite(out[i]["s"]) for i in (1, 4))
+    # target-only tokens score higher than raw-heavy tokens
+    assert out[1]["s"] > out[4]["s"]
