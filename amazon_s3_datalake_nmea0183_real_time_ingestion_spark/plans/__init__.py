@@ -33,7 +33,7 @@ _NEEDS_VERDICT = [
     # Round-5 new keys — first driver row needed
     "x_dedup_semantic_guarded",
     "x_novelty", "x_hard_negatives", "x_lpa", "x_dedup_substring",
-    "x_data_temperature", "x_dsir",
+    "x_data_temperature", "x_dsir", "x_dedup_substring_guarded",
     # Latest row = r2
     "x_sim_ivf2",
     # Latest row = r1 (22) — last rows on pre-regeneration testdata

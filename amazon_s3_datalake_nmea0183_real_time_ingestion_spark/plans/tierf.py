@@ -305,6 +305,68 @@ def x_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "x_dedup_substring_guarded",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    {_TOKS_SQL},
+    win AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+19], ' ')
+                       for i in range(1, greatest(len(t) - 19, 1) + 1)]) AS shingle
+        FROM toks)),
+    rare AS (SELECT shingle FROM win GROUP BY shingle HAVING count(*) <= 10),
+    rw AS (SELECT w.doc_id, w.shingle
+           FROM win w JOIN rare r ON r.shingle = w.shingle),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+      FROM rw a JOIN rw b
+        ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, CAST(n AS BIGINT) AS n_shared_windows
+    FROM pairs
+    """,
+)
+def x_dedup_substring_guarded(spark: SparkSession, sf: str) -> DataFrame:
+    """x_dedup_substring with the boilerplate guard ON (``max_df=10``) —
+    the PRODUCTION substring-dedup configuration, completing the
+    guarded-twin set (best/cluster/containment/semantic/substring).  A
+    20-token window shared by MORE than max_df documents is license
+    chrome, legal boilerplate, or a templated header — exactly the
+    windows whose inverted-index bucket goes quadratic (df² pairs from a
+    single string) and exactly the overlap substring dedup should NOT
+    act on (dropping every doc that carries a common license header is a
+    recall disaster in the other direction).  Windows over the df cap
+    are excluded BEFORE the self-join, so ``n_shared_windows`` counts
+    rare (distinctive) windows only — a pair whose every shared window
+    is boilerplate disappears, which is the intended screen.  At driver
+    scale no organic window exceeds df=10 (the planted suffix copies
+    share df=2 windows), so the output is IDENTICAL to the exhaustive
+    twin — the same losslessness demonstration as the containment pair.
+
+    Scale: the df tag is one window over the shingle shuffle the
+    self-join needs anyway (the ngram_intersection_pairs trick); the
+    worst bucket is bounded at max_df² pairs.
+    """
+    corpus = _doc_corpus(spark, sf)
+    win = shingle_set(corpus, "doc_id", "text", k=20)
+    w_sh = Window.partitionBy("shingle")
+    rare = (
+        win.withColumn("__df", F.count("*").over(w_sh))
+        .filter(F.col("__df") <= 10)
+        .drop("__df")
+    )
+    wa = rare.select(F.col("doc_id").alias("id_a"), "shingle")
+    wb = rare.select(F.col("doc_id").alias("id_b"), "shingle")
+    return (
+        wa.join(wb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_windows"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR — hashed-feature importance weighting toward a target domain
 # ---------------------------------------------------------------------------

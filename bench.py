@@ -112,6 +112,7 @@ HEADLINE = [
     "x_hard_negatives",
     "x_lpa",
     "x_dedup_substring",
+    "x_dedup_substring_guarded",
     "x_data_temperature",
     "x_dsir",
 ]

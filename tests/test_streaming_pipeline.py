@@ -371,16 +371,24 @@ def test_maintenance_drift_monitor_flags_planted_voltage_shift(spark, tmp_path):
             )
         return rows
 
+    import os as _os
+
     landing = tmp_path / "landing"
     landing.mkdir()
+
+    def write_batch(b: int, bv: float) -> None:
+        p = landing / f"batch-{b:04d}.json"
+        with open(p, "w") as f:
+            for row in envs(b, bv=bv):
+                f.write(json.dumps(row) + "\n")
+        # the file source orders batches by modification time; same-ms
+        # writes would make the healthy/shifted split nondeterministic
+        _os.utime(p, (1_700_000_000 + b, 1_700_000_000 + b))
+
     for b in range(2):
-        with open(landing / f"batch-{b:04d}.json", "w") as f:
-            for row in envs(b, bv=4.2):
-                f.write(json.dumps(row) + "\n")
+        write_batch(b, bv=4.2)
     for b in range(2, 4):
-        with open(landing / f"batch-{b:04d}.json", "w") as f:
-            for row in envs(b, bv=12.4):
-                f.write(json.dumps(row) + "\n")
+        write_batch(b, bv=12.4)
     reports = []
     q = start_pipeline(
         spark, str(landing), str(tmp_path / "lake"), str(tmp_path / "ckpt"),
@@ -400,6 +408,26 @@ def test_maintenance_drift_monitor_flags_planted_voltage_shift(spark, tmp_path):
     assert cols["battery_voltage"]["n_cur"] == 16
     # the device mix is identical in both periods — no false alarm
     assert not cols["deviceid"]["drifted"]
+
+    # the profile is PERSISTED: a restarted stream (same lake + checkpoint)
+    # keeps comparing against the original healthy-period reference, not
+    # re-bootstrapping from the now-polluted stage
+    for b in range(4, 6):
+        write_batch(b, bv=12.4)
+    reports2 = []
+    q2 = start_pipeline(
+        spark, str(landing), str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+        available_now=True, max_files_per_trigger=1,
+        maintain_every_n_batches=2, maintenance_reports=reports2,
+        maintain_drift=True,
+    )
+    q2.awaitTermination(180)
+    assert len(reports2) == 1
+    cols2 = reports2[0]["drift_psi"]["columns"]
+    assert reports2[0]["drift_psi"]["bootstrapped"] is False
+    assert cols2["battery_voltage"]["n_ref"] == 8      # original reference
+    assert cols2["battery_voltage"]["n_cur"] == 24     # 16 + 2 new batches
+    assert cols2["battery_voltage"]["drifted"]
 
 
 def test_multi_stream_routing_isolated(spark, tmp_path):
