@@ -34,6 +34,7 @@ _NEEDS_VERDICT = [
     "x_dedup_semantic_guarded",
     "x_novelty", "x_hard_negatives", "x_lpa", "x_dedup_substring",
     "x_data_temperature", "x_dsir", "x_dedup_substring_guarded",
+    "x_label_noise",
     # Latest row = r2
     "x_sim_ivf2",
     # Latest row = r1 (22) — last rows on pre-regeneration testdata

@@ -450,6 +450,116 @@ def x_dsir(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# label-noise detection — kNN majority vote against the assigned label
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_label_noise",
+    oracle="""
+    WITH ncorpus AS (
+      SELECT vec_id, embedding,
+             CASE WHEN vec_id < 10 THEN (label + 1) % 10 ELSE label END AS label
+      FROM embeddings),
+    knn AS (
+      SELECT query_id, nlab FROM (
+        SELECT q.vec_id AS query_id, c.label AS nlab,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                          c.vec_id ASC) AS rank
+        FROM ncorpus q JOIN ncorpus c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 100) t
+      WHERE rank <= 5),
+    maj AS (
+      SELECT query_id, nlab, cnt FROM (
+        SELECT query_id, nlab, count(*) AS cnt,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY count(*) DESC, nlab ASC) AS rn
+        FROM knn GROUP BY query_id, nlab) t
+      WHERE rn = 1)
+    SELECT n.vec_id, n.label AS own_label, m.nlab AS knn_label,
+           CAST(m.cnt AS INT) AS n_votes,
+           CASE WHEN m.nlab <> n.label THEN 1 ELSE 0 END AS mislabeled
+    FROM ncorpus n JOIN maj m ON m.query_id = n.vec_id
+    """,
+)
+def x_label_noise(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN label-noise detection (the classic Wilson-editing / confident-
+    learning screen): every vector's 5 nearest neighbors vote; a row
+    whose majority neighbor label disagrees with its ASSIGNED label is
+    flagged as probable annotation noise.  The fixture plants 10
+    mislabeled rows (vec_id < 10 get label+1 mod 10) — their neighbors
+    still carry the true cluster label, so the vote flags them while
+    correctly-labeled rows stay quiet.  This is the labeled-data QA
+    operator next to the unlabeled-data screens (dedup, quality,
+    outliers): fine-tuning and classifier corpora die from label noise,
+    not duplication.
+
+    The key audits ONE SLICE (vec_id < 100 — the newly-annotated batch)
+    against the full labeled corpus, which is the production cadence:
+    screening every row every run is the corpus × corpus product, and
+    the first registration did exactly that — 29 s at sf0.1 through the
+    per-pair fold, quadratic beyond.  Batch-vs-corpus keeps the query
+    side broadcast-sized; a full-corpus sweep is cosine_topk_blocked's
+    hash-block loop (one slice per pass, embarrassingly parallel across
+    passes), or IVF-cell votes (ivf_topk) for approximate screening —
+    the identical trade documented on x_hard_negatives.  The vote
+    itself is one (query, label) count plus a rank-1 window riding the
+    same shuffle; the planted-label CASE is map-side.
+    """
+    e = table(spark, sf, "embeddings")
+    nc = e.select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("vec_id") < 10, (F.col("label") + 1) % 10)
+        .otherwise(F.col("label"))
+        .alias("label"),
+    )
+    q = prep_vectors(
+        nc.filter(F.col("vec_id") < 100), "vec_id", "embedding",
+        "query_id", "qd", "qn",
+    )
+    c = prep_vectors(
+        nc, "vec_id", "embedding", "neighbor_id", "cd", "cn",
+        extra=[F.col("label").alias("nlab")],
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "nlab", pair_cosine().alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    knn = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "nlab")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cnt").desc(), F.col("nlab").asc()
+    )
+    maj = (
+        knn.groupBy("query_id", "nlab")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        nc.select("vec_id", F.col("label").alias("own_label"))
+        .join(maj, F.col("vec_id") == F.col("query_id"))
+        .select(
+            "vec_id",
+            "own_label",
+            F.col("nlab").alias("knn_label"),
+            F.col("cnt").cast("int").alias("n_votes"),
+            (F.col("nlab") != F.col("own_label")).cast("int").alias("mislabeled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # temperature-scaled domain mixture
 # ---------------------------------------------------------------------------
 

@@ -115,6 +115,7 @@ HEADLINE = [
     "x_dedup_substring_guarded",
     "x_data_temperature",
     "x_dsir",
+    "x_label_noise",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

@@ -178,3 +178,41 @@ def test_connected_components_matches_union_find(spark, raw_edges):
         for r in connected_components(e_df, n_df).collect()
     }
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(1, 6),
+)
+def test_containment_doc_floor_equals_pair_floor(spark, token_lists, floor):
+    """containment_pairs(min_size=m) (docs dropped BEFORE candidate
+    generation) must equal filtering the exhaustive output to pairs whose
+    smaller shingle set is >= m — the doc-floor == pair-floor equivalence
+    the operator docstring claims, on arbitrary random corpora."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+        containment_pairs,
+        shingle_set,
+    )
+
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(token_lists)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    floored = sorted(
+        map(tuple, containment_pairs(docs, threshold=0.5, min_size=floor).collect())
+    )
+    sz = {
+        r["doc_id"]: r["n"]
+        for r in shingle_set(docs, "doc_id", "text", k=3)
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    exhaustive = containment_pairs(docs, threshold=0.5).collect()
+    expected = sorted(
+        tuple(r) for r in exhaustive
+        if min(sz[r["contained_id"]], sz[r["container_id"]]) >= floor
+    )
+    assert floored == expected
