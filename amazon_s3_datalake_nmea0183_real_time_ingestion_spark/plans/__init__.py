@@ -9,6 +9,7 @@ from . import tierc  # noqa: F401,E402
 from . import tierd  # noqa: F401,E402
 from . import tiere  # noqa: F401,E402
 from . import tierf  # noqa: F401,E402
+from . import tierg  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
 # keys per round.  Rounds 1-4 union: 123/123 keys green at latest check, but
@@ -44,6 +45,11 @@ _NEEDS_VERDICT = [
     "q_join_full", "q_lateral", "q_pivot", "q_recursive_cte",
     "q_trajectory", "q_unpivot", "q_win_firstlast", "q_win_ntile",
     "q_win_range", "src_ingest",
+    # Round-5 second wave (Tier G) — first driver row needed; exactly 6
+    # keys so the 50-slot window closes right here (no r1-era key is
+    # displaced; oldest-r3 re-greens below wait for round 6).
+    "x_embed_quantize", "x_sim_quantized", "x_token_entropy",
+    "x_pmi_collocations", "x_lm_bigram", "x_minhash_calibration",
     # Oldest r3 rows (CORRECTNESS_r03 insertion order) fill the remainder
     "q_scan_prune", "q_project_filter", "q_join_inner", "q_join_left",
     "q_join_semi", "q_join_anti", "q_join_range", "q_join_asof",

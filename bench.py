@@ -116,6 +116,14 @@ HEADLINE = [
     "x_data_temperature",
     "x_dsir",
     "x_label_noise",
+    # round-5 second wave (Tier G): quantized embedding storage/search,
+    # lexical statistics, minhash estimator audit
+    "x_embed_quantize",
+    "x_sim_quantized",
+    "x_token_entropy",
+    "x_pmi_collocations",
+    "x_lm_bigram",
+    "x_minhash_calibration",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

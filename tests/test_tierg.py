@@ -1,0 +1,183 @@
+"""Tier G edge semantics: quantization round-trip invariants on
+constructed vectors, ADC recall bounds, entropy extremes (uniform vs
+single-token docs), PMI on planted collocations, bigram-LM ordering of
+predictable vs shuffled text, and the MinHash estimator's exact-duplicate
+fixed point."""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import functions as F
+
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.quantization import (
+    dim_codebook,
+    quantization_error,
+    quantize,
+)
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierg import (
+    x_lm_bigram,
+    x_minhash_calibration,
+    x_pmi_collocations,
+    x_sim_quantized,
+    x_token_entropy,
+)
+
+from conftest import plan_of
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _write_docs(spark, tmp_path, rows):
+    sf_dir = str(tmp_path)
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, v, lab in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+# -- quantization operator ---------------------------------------------------
+
+
+def test_quantize_codebook_extremes_are_exact(spark):
+    # lo and hi of every dimension map to codes 0 and 255 and dequantize
+    # back to themselves exactly (affine endpoints are fixed points).
+    e = _emb(spark, [(0, [0.0, -1.0], 0), (1, [1.0, 3.0], 0), (2, [0.5, 1.0], 0)])
+    q = quantize(e, dim_codebook(e)).orderBy("vec_id").collect()
+    assert q[0]["qcode"] == [0, 0] and q[1]["qcode"] == [255, 255]
+    assert q[0]["xq"] == [0.0, -1.0] and q[1]["xq"] == [1.0, 3.0]
+    # interior point: code = floor(0.5*255 + 0.5) = 128, xq = 128/255
+    assert q[2]["qcode"][0] == 128
+    assert abs(q[2]["xq"][0] - 128.0 / 255.0) < 1e-12
+
+
+def test_quantize_constant_dimension_is_lossless(spark):
+    # hi == lo dimension: code 0, dequantized value = the constant itself.
+    e = _emb(spark, [(0, [7.5, 1.0], 0), (1, [7.5, 2.0], 0)])
+    q = quantize(e, dim_codebook(e)).orderBy("vec_id").collect()
+    assert [r["xq"][0] for r in q] == [7.5, 7.5]
+    assert [r["qcode"][0] for r in q] == [0, 0]
+    err = quantization_error(e, dim_codebook(e)).orderBy("vec_id").collect()
+    # the non-constant dim is also an endpoint in both rows -> zero error
+    assert all(r["mse"] == 0.0 and r["max_abs_err"] == 0.0 for r in err)
+    assert all(r["cos_fidelity"] == 1.0 for r in err)
+
+
+def test_quantization_error_bounded_by_half_step(spark):
+    # |x - xq| <= (hi - lo) / (2 * 255) per dimension, by construction.
+    err = quantization_error(
+        _emb(spark, [(i, [i / 7.0, math.sin(i)], 0) for i in range(8)]),
+        dim_codebook(_emb(spark, [(i, [i / 7.0, math.sin(i)], 0) for i in range(8)])),
+    ).collect()
+    step = max(1.0, 2.0) / 255.0  # widest dim range here is sin's ~1.98
+    assert all(r["max_abs_err"] <= step / 2 + 1e-9 for r in err)
+
+
+def test_quantize_is_mapside_only(spark):
+    # the corpus side feeds the broadcast-codebook cross join DIRECTLY —
+    # no Exchange between the corpus scan and the join (quantization adds
+    # zero shuffles above the scan; only the 64-row codebook subtree
+    # exchanges, and it lands in one BroadcastExchange).
+    e = _emb(spark, [(i, [float(i), float(-i)], 0) for i in range(10)])
+    plan = plan_of(quantize(e, dim_codebook(e)), "simple")
+    lines = plan.splitlines()
+    (j,) = [i for i, ln in enumerate(lines) if "BroadcastNestedLoopJoin" in ln]
+    assert "Scan" in lines[j + 1] and "Exchange" not in lines[j + 1]
+    assert plan.count("BroadcastExchange") == 1
+
+
+def test_sim_quantized_recall_bounds(spark):
+    out = x_sim_quantized(spark, SF_SMALL).collect()
+    assert len(out) > 0
+    assert all(0.0 <= r["recall_at_3"] <= 1.0 for r in out)
+    assert all(r["n_hits"] == round(r["recall_at_3"] * 3) for r in out)
+
+
+# -- token entropy -----------------------------------------------------------
+
+
+def test_entropy_extremes(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(100, "spam spam spam spam"), (101, "alpha beta gamma delta")],
+    )
+    got = {r["doc_id"]: r for r in x_token_entropy(spark, sf).collect()
+           if r["doc_id"] < 1000}
+    # single repeated token -> H = 0, TTR = 1/4; all-distinct -> H = ln 4
+    assert got[100]["entropy"] == 0.0 and got[100]["ttr"] == 0.25
+    assert abs(got[101]["entropy"] - round(math.log(4), 6)) < 1e-9
+    assert got[101]["ttr"] == 1.0
+
+
+# -- PMI collocations --------------------------------------------------------
+
+
+def test_pmi_planted_collocation_tops_table(spark, tmp_path):
+    # 'zz9 qq8' always adjacent (the corpus-planted suffix); filler tokens
+    # co-occur with everything. 10 docs so c_ab >= 5 passes.
+    sf = _write_docs(
+        spark, tmp_path,
+        [(i, f"tok{i} filler common words here") for i in range(10)],
+    )
+    out = x_pmi_collocations(spark, sf).collect()
+    assert out[0]["w1"] == "zz9" and out[0]["w2"] == "qq8"
+    assert all(out[i]["pmi"] >= out[i + 1]["pmi"] for i in range(len(out) - 1))
+    assert all(r["n_pair"] >= 5 for r in out)
+
+
+def test_pmi_topk_plan_uses_global_limit(spark):
+    plan = plan_of(x_pmi_collocations(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+# -- bigram LM ---------------------------------------------------------------
+
+
+def test_lm_bigram_prefers_predictable_sequences(spark, tmp_path):
+    # doc 0 repeats one bigram pattern 20x; doc 1 is the same vocabulary
+    # in a never-repeating order. The bigram LM must score 0 higher.
+    predictable = "a b " * 20
+    salad = "a a b b a b b a b a a b a b b b a a b a"
+    sf = _write_docs(spark, tmp_path, [(0, predictable.strip()), (1, salad)])
+    got = {r["doc_id"]: r["bigram_logprob"] for r in x_lm_bigram(spark, sf).collect()
+           if r["doc_id"] < 1000}
+    assert got[0] > got[1]
+
+
+def test_lm_bigram_short_docs_drop_out(spark, tmp_path):
+    sf = _write_docs(spark, tmp_path, [(0, "solo"), (1, "two tokens")])
+    ids = {r["doc_id"] for r in x_lm_bigram(spark, sf).collect()}
+    assert 0 not in ids and 1 in ids  # <2 tokens -> no bigrams
+
+
+# -- minhash calibration -----------------------------------------------------
+
+
+def test_minhash_calibration_exact_duplicate_fixed_point(spark, tmp_path):
+    # identical shingle sets -> every permutation minimum equal: est = 1.0
+    # AND exact = 1.0 (the estimator is exact at J=1, Broder '97).
+    text = "one two three four five six seven eight nine ten"
+    sf = _write_docs(spark, tmp_path, [(0, text), (1, text)])
+    out = {(r["id_a"], r["id_b"]): r for r in x_minhash_calibration(spark, sf).collect()}
+    assert out[(0, 1)]["est_jaccard"] == 1.0
+    assert out[(0, 1)]["exact_jaccard"] == 1.0
+    assert out[(0, 1)]["abs_err"] == 0.0
+
+
+def test_minhash_calibration_err_is_consistent(spark):
+    out = x_minhash_calibration(spark, SF_SMALL).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert abs(r["abs_err"] - round(abs(r["est_jaccard"] - r["exact_jaccard"]), 4)) <= 1e-4
