@@ -50,6 +50,12 @@ _NEEDS_VERDICT = [
     # displaced; oldest-r3 re-greens below wait for round 6).
     "x_embed_quantize", "x_sim_quantized", "x_token_entropy",
     "x_pmi_collocations", "x_lm_bigram", "x_minhash_calibration",
+    # --- 50-slot window closes here for round 5 ---
+    # Round-5 batch-2 keys (positions 51-54): no driver row yet; they are
+    # the FIRST keys the round-6 rotation must front-load, ahead of any
+    # re-green (same no-row-ever > stale-row priority VERDICT r4 set).
+    "x_rank_fusion", "x_percentile_norm", "x_dedup_census",
+    "x_split_leakage",
     # Oldest r3 rows (CORRECTNESS_r03 insertion order) fill the remainder
     "q_scan_prune", "q_project_filter", "q_join_inner", "q_join_left",
     "q_join_semi", "q_join_anti", "q_join_range", "q_join_asof",

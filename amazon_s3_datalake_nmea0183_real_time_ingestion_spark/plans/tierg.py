@@ -22,10 +22,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import tokens
+from ..operators.curation import hash_split
 from ..operators.dedup import (
+    connected_components,
     lsh_bands,
     lsh_candidate_pairs,
     minhash_signatures,
+    ngram_jaccard_pairs,
     shingle_set,
 )
 from ..operators.quantization import dim_codebook, quantization_error, quantize
@@ -441,4 +444,293 @@ def x_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
             F.round(exact, 4).alias("exact_jaccard"),
             F.round(F.abs(estf - exact), 4).alias("abs_err"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval — reciprocal rank fusion of BM25 and tf-idf rankers
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard fusion constant (Cormack, Clarke & Buettcher '09)
+
+
+@register(
+    "x_rank_fusion",
+    oracle=f"""
+    WITH q(term) AS (VALUES ('spark'), ('data'), ('fast'), ('big')),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT x.doc_id, x.term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM toks) x
+           JOIN q ON q.term = x.term
+           GROUP BY x.doc_id, x.term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bm AS (SELECT tf.doc_id,
+                  sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                      * tf.tf * 2.2
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                    AS score
+           FROM tf JOIN dfreq d ON d.term = tf.term
+           JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+           GROUP BY tf.doc_id),
+    bmr AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY round(score, 6) DESC,
+                                           doc_id) AS INT) AS r
+            FROM bm QUALIFY r <= 50),
+    ti AS (SELECT tf.doc_id, sum(tf.tf * ln(s.n_docs / d.df)) AS score
+           FROM tf JOIN dfreq d ON d.term = tf.term CROSS JOIN stats s
+           GROUP BY tf.doc_id),
+    tir AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY round(score, 6) DESC,
+                                           doc_id) AS INT) AS r
+            FROM ti QUALIFY r <= 50),
+    fused AS (
+      SELECT coalesce(b.doc_id, t2.doc_id) AS doc_id,
+             b.r AS bm25_rank, t2.r AS tfidf_rank,
+             coalesce(1.0 / ({_RRF_K} + b.r), 0)
+               + coalesce(1.0 / ({_RRF_K} + t2.r), 0) AS rrf
+      FROM bmr b FULL OUTER JOIN tir t2 ON t2.doc_id = b.doc_id)
+    SELECT doc_id, bm25_rank, tfidf_rank, round(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY round(rrf, 6) DESC, doc_id LIMIT 20
+    """,
+)
+def x_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (Cormack, Clarke &
+    Buettcher, SIGIR'09): fuse the BM25 top-50 and the tf-idf top-50 for
+    the same query with score = Σ 1/(60 + rank_i), keep the fused top-20.
+    RRF is THE standard way to combine heterogeneous rankers (lexical +
+    vector, or here two lexical weightings) because it needs no score
+    normalization — only ranks — and a doc ranked well by either list
+    surfaces.  Both input rankings and the fusion are fully rank-based,
+    so the key is deterministic end to end (rounded scores + doc_id
+    tie-breaks at every cut).
+
+    Scale: the term-frequency table is built ONCE (explode restricted to
+    query terms inside the HOF filter — non-query tokens never explode)
+    and feeds both scorers; document frequencies (|q| rows) and corpus
+    stats (1 row) broadcast; each ranker's top-50 is
+    TakeOrderedAndProject; the fusion join touches ≤100 rows.  Swapping
+    the second ranker for x_sim_topk's vector ranks gives lexical+vector
+    hybrid search with the identical fusion plan.
+    """
+    d = table(spark, sf, "documents").select("doc_id", tokens("text").alias("t"))
+    dl = d.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    terms = ["spark", "data", "fast", "big"]
+    tf = (
+        d.select("doc_id",
+                 F.explode(F.filter(F.col("t"), lambda x: x.isin(*terms))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    def _top50(scored: DataFrame, rank_col: str) -> DataFrame:
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        return (
+            scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+            .limit(50)
+            .withColumn(rank_col, F.row_number().over(w).cast("int"))
+            .select("doc_id", rank_col)
+        )
+
+    k1, b = 1.2, 0.75
+    bm_comp = (
+        F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    bm = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(bm_comp), 6).alias("score"))
+    )
+    ti = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))), 6)
+             .alias("score"))
+    )
+    bmr = _top50(bm, "bm25_rank")
+    tir = _top50(ti, "tfidf_rank")
+    rrf = (
+        F.when(F.col("bm25_rank").isNotNull(), 1.0 / (_RRF_K + F.col("bm25_rank")))
+        .otherwise(0.0)
+        + F.when(F.col("tfidf_rank").isNotNull(), 1.0 / (_RRF_K + F.col("tfidf_rank")))
+        .otherwise(0.0)
+    )
+    return (
+        bmr.join(tir, "doc_id", "full_outer")
+        .select("doc_id", "bm25_rank", "tfidf_rank", F.round(rrf, 6).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-domain score normalization — per-source percentile rank
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_percentile_norm",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars),
+                 6) AS pnorm
+    FROM documents
+    """,
+)
+def x_percentile_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-domain score normalization: per-source percentile rank of a
+    quality signal (here n_chars).  Raw quality scores are NOT comparable
+    across domains — legal text scores long, chat scores short — so
+    curation thresholds set on the pooled distribution over- or
+    under-prune whole sources; normalizing to the within-source
+    percentile makes one global threshold mean the same thing everywhere
+    (the standard fix when mixing heterogeneous corpora).  Ties share a
+    rank on both engines (competition rank over the value alone), so the
+    output is deterministic without an id tie-break.
+
+    Scale: ONE window over a source-keyed shuffle — no join, no second
+    pass; at 100 TB a skewed giant source can be switched to the
+    approx-percentile two-pass variant (percentile_approx per source,
+    broadcast, map-side bucket lookup) at the cost of exactness.
+    """
+    d = table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    return d.select(
+        "doc_id", "source", "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("pnorm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup audit — cluster-size census of the near-dup components
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_census",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_TOKS_SQL}, {_SHINGLES_SQL},
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    pairs AS (SELECT id_a, id_b FROM inter
+              JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+              WHERE n / (za.s + zb.s - n) >= 0.6),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.node),
+    lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node),
+    cs AS (SELECT cluster_id, count(*) AS sz FROM lab GROUP BY cluster_id)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM cs GROUP BY sz
+    """,
+)
+def x_dedup_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup audit: the cluster-SIZE histogram of the near-dup connected
+    components (how many singletons, pairs, triples, ... the 0.6-Jaccard
+    graph contains).  This is the monitoring row a production dedup run
+    publishes every batch: a sudden mass at high sizes means boilerplate
+    or a viral template entered the corpus (the guarded twins' max_df/
+    max_bucket knobs exist for exactly that census shape), while the
+    singleton fraction tracks how much of the corpus dedup leaves alone.
+    The planted corpus yields a fixed census (singleton mass + the 50
+    planted pairs + organic near-dup groups), making drift visible.
+
+    Scale: everything up to components is the x_dedup_cluster path
+    (inverted-index candidates, CC on pair-sized edges); the census
+    itself is two keyed counts over the LABEL table (corpus-row-sized,
+    shrinking to ≤ distinct-sizes rows) — negligible next to the dedup
+    it audits, so publishing it per batch is effectively free.
+    """
+    corpus = _doc_corpus(spark, sf)
+    edges = ngram_jaccard_pairs(corpus, threshold=0.6).select("id_a", "id_b")
+    labels = connected_components(edges, corpus.select("doc_id"))
+    cs = labels.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return (
+        cs.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# split-leakage audit — near-dup pairs straddling train/val/test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_split_leakage",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_TOKS_SQL}, {_SHINGLES_SQL},
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    pairs AS (SELECT id_a, id_b, round(n / (za.s + zb.s - n), 4) AS jaccard
+              FROM inter
+              JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+              WHERE n / (za.s + zb.s - n) >= 0.6),
+    sp AS (SELECT doc_id,
+                  CASE WHEN h % 100 < 90 THEN 'train'
+                       WHEN h % 100 < 95 THEN 'val' ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+                 FROM corpus))
+    SELECT p.id_a, p.id_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+    FROM pairs p JOIN sp sa ON sa.doc_id = p.id_a
+                 JOIN sp sb ON sb.doc_id = p.id_b
+    WHERE sa.split <> sb.split
+    """,
+)
+def x_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-leakage audit: near-dup pairs (0.6 n-gram Jaccard) whose two
+    documents landed in DIFFERENT splits of the x_split_hash assignment —
+    eval contamination from within the corpus itself.  Decontamination
+    (x_decontaminate*) screens against EXTERNAL benchmarks; this screens
+    the internal val/test splits, which leak the same way when a
+    document and its near-copy straddle the split boundary (the planted
+    +1000000 copies hash independently of their originals, so ~10% land
+    across; the fixture surfaces 14 leaking pairs at sf0.01).  The fix
+    is group-aware splitting — assign by dedup CLUSTER id, not doc id —
+    and this key is the gate proving whether that's needed.
+
+    Scale: the pair list is the dedup output (inverted-index candidates,
+    never all-pairs); split assignment is a pure per-row hash projection
+    joined onto pair endpoints (pair-sized join, AQE-broadcast at driver
+    scale) — the audit costs one projection + two id-keyed lookups on
+    top of dedup the pipeline already runs.
+    """
+    corpus = _doc_corpus(spark, sf)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.6)
+    sp = hash_split(corpus, "doc_id").select("doc_id", "split")
+    return (
+        pairs.join(sp.select(F.col("doc_id").alias("id_a"),
+                             F.col("split").alias("split_a")), "id_a")
+        .join(sp.select(F.col("doc_id").alias("id_b"),
+                        F.col("split").alias("split_b")), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
     )

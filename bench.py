@@ -124,6 +124,12 @@ HEADLINE = [
     "x_pmi_collocations",
     "x_lm_bigram",
     "x_minhash_calibration",
+    # round-5 batch 2: hybrid retrieval fusion, cross-domain score
+    # normalization, dedup census + split-leakage audits
+    "x_rank_fusion",
+    "x_percentile_norm",
+    "x_dedup_census",
+    "x_split_leakage",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

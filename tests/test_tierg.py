@@ -181,3 +181,74 @@ def test_minhash_calibration_err_is_consistent(spark):
     for r in out:
         assert 0.0 <= r["est_jaccard"] <= 1.0
         assert abs(r["abs_err"] - round(abs(r["est_jaccard"] - r["exact_jaccard"]), 4)) <= 1e-4
+
+
+# -- rank fusion --------------------------------------------------------------
+
+
+def test_rank_fusion_rrf_arithmetic(spark):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierg import (
+        x_rank_fusion,
+    )
+    out = x_rank_fusion(spark, SF_SMALL).collect()
+    assert 0 < len(out) <= 20
+    for r in out:
+        expect = (1.0 / (60 + r["bm25_rank"]) if r["bm25_rank"] else 0.0) + (
+            1.0 / (60 + r["tfidf_rank"]) if r["tfidf_rank"] else 0.0
+        )
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
+    # fused list is sorted by rrf desc
+    assert all(out[i]["rrf_score"] >= out[i + 1]["rrf_score"]
+               for i in range(len(out) - 1))
+
+
+# -- percentile normalization -------------------------------------------------
+
+
+def test_percentile_norm_bounds_and_ties(spark, tmp_path):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierg import (
+        x_percentile_norm,
+    )
+    rows = [(0, "a", "en", "s1", 10), (1, "b", "en", "s1", 10),
+            (2, "c", "en", "s1", 20), (3, "d", "en", "s2", 99)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    got = {r["doc_id"]: r["pnorm"] for r in x_percentile_norm(spark, sf).collect()}
+    # ties share competition rank: both 10-char docs in s1 get 0.0; the
+    # 20-char doc gets (3-1)/(3-1)=1.0; singleton source s2 gets 0.0.
+    assert got[0] == 0.0 and got[1] == 0.0 and got[2] == 1.0 and got[3] == 0.0
+
+
+# -- dedup census -------------------------------------------------------------
+
+
+def test_dedup_census_counts_planted_pairs(spark):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierg import (
+        x_dedup_census,
+    )
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierc import (
+        _doc_corpus,
+    )
+    out = {r["cluster_size"]: r for r in x_dedup_census(spark, SF_SMALL).collect()}
+    # doc-count identity: sum over sizes of size*n_clusters = corpus size
+    # (every doc is in exactly one component, singletons included)
+    assert sum(r["n_docs"] for r in out.values()) == _doc_corpus(spark, SF_SMALL).count()
+    assert all(r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+               for r in out.values())
+    # the 50 planted near-copies guarantee multi-doc clusters exist
+    assert any(s >= 2 for s in out)
+
+
+# -- split leakage ------------------------------------------------------------
+
+
+def test_split_leakage_pairs_straddle_splits(spark):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierg import (
+        x_split_leakage,
+    )
+    out = x_split_leakage(spark, SF_SMALL).collect()
+    assert len(out) > 0  # planted copies hash independently of originals
+    assert all(r["split_a"] != r["split_b"] for r in out)
+    assert all(r["jaccard"] >= 0.6 for r in out)
