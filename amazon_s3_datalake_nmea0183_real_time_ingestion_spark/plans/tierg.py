@@ -225,18 +225,25 @@ _BIGRAMS_SQL = """
 
 def _doc_bigrams(corpus: DataFrame) -> DataFrame:
     """(doc_id, w1, w2) adjacent-pair stream — explode of a map-side
-    transform over the token array (no per-doc window/sort shuffle)."""
-    t = tokens("text")
+    transform over the token array (no per-doc window/sort shuffle).
+
+    The token array is materialized as a COLUMN in its own select before
+    the transform references it: a non-attribute expression inside a HOF
+    lambda is re-evaluated PER ELEMENT (tokenize inside the bigram
+    transform = O(n²)/doc — measured 17 s → 1.5 s on x_lm_bigram at
+    sf0.1 when this was inlined)."""
+    toks = corpus.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    t = F.col("t")
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(t) - 1),
         lambda i: F.struct(
             F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
         ),
     )
-    return (
-        corpus.filter(F.size(t) >= 2)
-        .select("doc_id", F.explode(pairs).alias("b"))
-        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    return toks.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
 
 
@@ -624,9 +631,17 @@ def x_percentile_norm(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {_CORPUS_SQL}, {_TOKS_SQL}, {_SHINGLES_SQL},
     sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
-    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10),
+    csh AS (SELECT s.doc_id, s.shingle
+            FROM sh s JOIN rare r ON r.shingle = s.shingle),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM csh a JOIN csh b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b),
     pairs AS (SELECT id_a, id_b FROM inter
               JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
               WHERE n / (za.s + zb.s - n) >= 0.6),
@@ -655,14 +670,20 @@ def x_dedup_census(spark: SparkSession, sf: str) -> DataFrame:
     The planted corpus yields a fixed census (singleton mass + the 50
     planted pairs + organic near-dup groups), making drift visible.
 
-    Scale: everything up to components is the x_dedup_cluster path
-    (inverted-index candidates, CC on pair-sized edges); the census
-    itself is two keyed counts over the LABEL table (corpus-row-sized,
-    shrinking to ≤ distinct-sizes rows) — negligible next to the dedup
-    it audits, so publishing it per batch is effectively free.
+    Scale: everything up to components is the GUARDED x_dedup path —
+    the registered configuration runs ``max_df=10`` (the production
+    boilerplate guard; candidates from the rare-shingle inverted index,
+    scores exact on full sets — measured 9.6× growth on 10× data in
+    exhaustive mode vs bounded buckets guarded, SCALE.md §7e); CC runs
+    on pair-sized edges; the census itself is two keyed counts over the
+    LABEL table (corpus-row-sized, shrinking to ≤ distinct-sizes rows) —
+    negligible next to the dedup it audits, so publishing it per batch
+    is effectively free.
     """
     corpus = _doc_corpus(spark, sf)
-    edges = ngram_jaccard_pairs(corpus, threshold=0.6).select("id_a", "id_b")
+    edges = ngram_jaccard_pairs(corpus, threshold=0.6, max_df=10).select(
+        "id_a", "id_b"
+    )
     labels = connected_components(edges, corpus.select("doc_id"))
     cs = labels.groupBy("cluster_id").agg(F.count("*").alias("sz"))
     return (
@@ -686,9 +707,17 @@ def x_dedup_census(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
     WITH {_CORPUS_SQL}, {_TOKS_SQL}, {_SHINGLES_SQL},
     sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
-    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10),
+    csh AS (SELECT s.doc_id, s.shingle
+            FROM sh s JOIN rare r ON r.shingle = s.shingle),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM csh a JOIN csh b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b),
     pairs AS (SELECT id_a, id_b, round(n / (za.s + zb.s - n), 4) AS jaccard
               FROM inter
               JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
@@ -717,14 +746,16 @@ def x_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     is group-aware splitting — assign by dedup CLUSTER id, not doc id —
     and this key is the gate proving whether that's needed.
 
-    Scale: the pair list is the dedup output (inverted-index candidates,
-    never all-pairs); split assignment is a pure per-row hash projection
-    joined onto pair endpoints (pair-sized join, AQE-broadcast at driver
-    scale) — the audit costs one projection + two id-keyed lookups on
-    top of dedup the pipeline already runs.
+    Scale: the pair list is the GUARDED dedup output (``max_df=10`` —
+    rare-shingle inverted index, exact scores on full sets; the
+    exhaustive mode measured 7.5× on 10× data, the guard bounds the
+    worst bucket at max_df²); split assignment is a pure per-row hash
+    projection joined onto pair endpoints (pair-sized join,
+    AQE-broadcast at driver scale) — the audit costs one projection +
+    two id-keyed lookups on top of dedup the pipeline already runs.
     """
     corpus = _doc_corpus(spark, sf)
-    pairs = ngram_jaccard_pairs(corpus, threshold=0.6)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.6, max_df=10)
     sp = hash_split(corpus, "doc_id").select("doc_id", "split")
     return (
         pairs.join(sp.select(F.col("doc_id").alias("id_a"),
