@@ -765,3 +765,289 @@ def x_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "jaccard", "split_a", "split_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster-aware splitting — the FIX x_split_leakage's audit calls for
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_split_cluster_safe",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_TOKS_SQL}, {_SHINGLES_SQL},
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10),
+    csh AS (SELECT s.doc_id, s.shingle
+            FROM sh s JOIN rare r ON r.shingle = s.shingle),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM csh a JOIN csh b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n
+              FROM cand c JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b),
+    pairs AS (SELECT id_a, id_b FROM inter
+              JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+              WHERE n / (za.s + zb.s - n) >= 0.6),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.node),
+    lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node),
+    sp AS (SELECT doc_id, cluster_id,
+                  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT doc_id, cluster_id,
+                        ('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+                 FROM lab)),
+    leaks AS (SELECT count(*) AS n_leaking_pairs
+              FROM pairs p JOIN sp sa ON sa.doc_id = p.id_a
+                           JOIN sp sb ON sb.doc_id = p.id_b
+              WHERE sa.split <> sb.split)
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(l.n_leaking_pairs AS BIGINT) AS n_leaking_pairs
+    FROM sp CROSS JOIN leaks l
+    GROUP BY split, l.n_leaking_pairs
+    """,
+)
+def x_split_cluster_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-aware train/val/test splitting — the FIX for what
+    x_split_leakage measures: hash-split by the near-dup CLUSTER id
+    (connected-component canonical) instead of the document id, so a
+    document and all its near-copies land in the SAME split by
+    construction.  Output is the per-split census (docs, clusters) with
+    the cross-split near-dup pair count carried on every row — zero, by
+    construction, and driver-adjudicated as such (the doc-id split
+    leaks 14 pairs on the same corpus).  This is the standard leakage
+    remedy (group-aware splitting; GroupKFold in the sklearn idiom),
+    expressed on the dedup components the pipeline already computes.
+
+    Scale: dedup + CC is the guarded x_dedup_cluster path (max_df=10);
+    the split itself is one md5 projection on the cluster id and the
+    leak count is a pair-sized join — both free next to the dedup.
+    Stability caveat (docstring'd on purpose): unlike doc-id hashing,
+    cluster ids can MERGE as new documents connect two old clusters, so
+    a cluster's split can change across corpus versions — production
+    freezes the split at release cut, which is when this census runs.
+    """
+    corpus = _doc_corpus(spark, sf)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.6, max_df=10).select(
+        "id_a", "id_b"
+    )
+    labels = connected_components(pairs, corpus.select("doc_id"))
+    sp = hash_split(labels, "cluster_id").select("doc_id", "cluster_id", "split")
+    leaks = (
+        pairs.join(sp.select(F.col("doc_id").alias("id_a"),
+                             F.col("split").alias("sa")), "id_a")
+        .join(sp.select(F.col("doc_id").alias("id_b"),
+                        F.col("split").alias("sb")), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count("*").alias("n_leaking_pairs"))
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select("split", "n_docs", "n_clusters", "n_leaking_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-document keyword extraction — tf-idf top-3
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_keywords_tfidf",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_TOKS_SQL},
+    ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(*) AS n_docs FROM toks)
+    SELECT doc_id, term, CAST(rank AS INT) AS rank, tfidf FROM (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(nd.n_docs / dfreq.df), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * ln(nd.n_docs / dfreq.df), 6) DESC,
+                        tf.term ASC) AS rank
+      FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN nd) z
+    WHERE rank <= 3
+    """,
+)
+def x_keywords_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document keyword extraction: each document's top-3 terms by
+    tf·idf (idf = ln(N/df)) — the tagging/metadata op next to the
+    corpus-level x_pmi_collocations (multi-word units) and the retrieval
+    x_text_tfidf (query-term scoring).  Keywords are what a curation UI
+    or topic-routing rule consumes per document.
+
+    Scale: the same two map-side-combinable counts as every tf-idf key
+    (doc×term, then term df); the per-doc top-3 is a WindowGroupLimit
+    rank over the doc-keyed shuffle the tf count already made —
+    no global sort, no second corpus pass.  Ordered on the ROUNDED
+    score so libm ln ulps can't flip rank boundaries.
+    """
+    corpus = _doc_corpus(spark, sf)
+    ex = corpus.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = corpus.select("doc_id").agg(F.count("*").alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "term", tfidf.alias("tfidf"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# metadata QA — declared-vs-detected language confusion census
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_lang_mismatch",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS s_en,
+             len(list_filter(t, x -> list_contains(['der','die','und','ist','das'], x))) AS s_de,
+             len(list_filter(t, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+             len(list_filter(t, x -> list_contains(['el','que','y','los','una'], x))) AS s_es
+      FROM toks),
+    pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+                  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                  WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
+      FROM scored)
+    SELECT lang AS declared, pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pred_lang <> lang AND pred_lang <> 'und'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hard_mismatch
+    FROM pred GROUP BY lang, pred_lang
+    """,
+)
+def x_lang_mismatch(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-QA confusion census: the declared ``lang`` column against
+    the engine's own detector (x_text_langid's stopword argmax),
+    aggregated to a (declared, predicted) matrix with a hard-mismatch
+    count (predicted a DIFFERENT language with evidence — 'und' rows are
+    soft, no evidence either way).  Declared language labels in crawled
+    corpora are routinely wrong (inherited HTTP headers, site-level
+    defaults); multilingual sampling weights (x_data_temperature) built
+    on bad labels misallocate the whole budget, so this census is the
+    gate between ingestion and mixture planning.
+
+    Scale: the detector is a map-side HOF projection (zero joins); the
+    census is ONE (declared, predicted)-keyed count — languages² rows
+    out.  Cheapest audit in the family.
+    """
+    from .tierc import _LANG_SETS
+
+    d = table(spark, sf, "documents")
+    t = tokens("text")
+
+    def _hits(words):
+        return F.size(F.filter(t, lambda x: x.isin(*words)))
+
+    s_en, s_de, s_fr, s_es = (
+        _hits(_LANG_SETS["en"]), _hits(_LANG_SETS["de"]),
+        _hits(_LANG_SETS["fr"]), _hits(_LANG_SETS["es"]),
+    )
+    pred = (
+        F.when((s_en == 0) & (s_de == 0) & (s_fr == 0) & (s_es == 0), F.lit("und"))
+        .when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), F.lit("en"))
+        .when((s_de >= s_fr) & (s_de >= s_es), F.lit("de"))
+        .when(s_fr >= s_es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    hard = (F.col("pred_lang") != F.col("declared")) & (F.col("pred_lang") != "und")
+    return (
+        d.select(F.col("lang").alias("declared"), pred.alias("pred_lang"))
+        .groupBy("declared", "pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(hard.cast("long")).alias("n_hard_mismatch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-store QA — per-label norm envelope + shape consistency
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_embed_norms",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label,
+             len(embedding) AS n_dims,
+             sqrt(list_sum([x * x for x in embedding::DOUBLE[]])) AS nrm
+      FROM embeddings)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(n_dims) AS INT) AS dims_min,
+           CAST(max(n_dims) AS INT) AS dims_max,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           round(avg(nrm), 6) AS mean_norm,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+    FROM n GROUP BY label
+    """,
+)
+def x_embed_norms(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-store QA envelope: per label, vector count, dimension
+    min/max (catches ragged arrays from a bad writer), L2-norm envelope
+    (catches un-normalized batches mixed into a unit-norm store — cosine
+    vs dot-product search silently disagree then), and the zero-norm
+    count (the degenerate vectors every cosine operator here guards with
+    try_divide).  Run before index builds (x_sim_*), quantization
+    (x_embed_quantize), and SemDeDup — all assume a sane norm envelope.
+
+    Scale: one map-side projection (norm + size per row) and one
+    label-keyed agg, all map-side combinable — the cheapest pass over a
+    vector corpus; at 100 TB this is the scan you piggyback on ingest.
+    """
+    e = table(spark, sf, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(F.transform(dv, lambda x: x * x), F.lit(0.0),
+                    lambda a, x: a + x)
+    )
+    n = e.select(
+        "label", F.size("embedding").alias("n_dims"), nrm.alias("nrm")
+    )
+    return n.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("n_dims").cast("int").alias("dims_min"),
+        F.max("n_dims").cast("int").alias("dims_max"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.sum((F.col("nrm") == 0).cast("long")).alias("n_zero"),
+    )

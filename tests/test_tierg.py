@@ -252,3 +252,80 @@ def test_split_leakage_pairs_straddle_splits(spark):
     assert len(out) > 0  # planted copies hash independently of originals
     assert all(r["split_a"] != r["split_b"] for r in out)
     assert all(r["jaccard"] >= 0.6 for r in out)
+
+
+# -- cluster-safe split -------------------------------------------------------
+
+
+def test_cluster_safe_split_has_zero_leakage(spark):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierg import (
+        x_split_cluster_safe,
+        x_split_leakage,
+    )
+    safe = x_split_cluster_safe(spark, SF_SMALL).collect()
+    assert len(safe) >= 2  # at least two splits materialize
+    assert all(r["n_leaking_pairs"] == 0 for r in safe)
+    # ... on the same corpus where doc-id splitting DOES leak
+    assert len(x_split_leakage(spark, SF_SMALL).collect()) > 0
+
+
+# -- keyword extraction -------------------------------------------------------
+
+
+def test_keywords_tfidf_per_doc_topk(spark, tmp_path):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierg import (
+        x_keywords_tfidf,
+    )
+    # 'rare' appears once in one doc; 'common' in all docs -> idf 0
+    sf = _write_docs(
+        spark, tmp_path,
+        [(0, "common rare common"), (1, "common common"), (2, "common common")],
+    )
+    out = [r for r in x_keywords_tfidf(spark, sf).collect() if r["doc_id"] == 0]
+    assert out[0]["term"] == "rare" and out[0]["rank"] == 1
+    by_doc = {}
+    for r in x_keywords_tfidf(spark, SF_SMALL).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
+               for v in by_doc.values())
+
+
+# -- language mismatch QA -----------------------------------------------------
+
+
+def test_lang_mismatch_flags_wrong_declared_label(spark, tmp_path):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierg import (
+        x_lang_mismatch,
+    )
+    sf_dir = str(tmp_path)
+    rows = [
+        (0, "the cat and the dog of a house", "de"),   # english text, declared de
+        (1, "the fish and the bird to a tree", "en"),  # consistent
+        (2, "xq zz yy ww", "fr"),                      # no evidence -> und, soft
+    ]
+    spark.createDataFrame(
+        [(i, t, lang, "s", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = {(r["declared"], r["pred_lang"]): r for r in x_lang_mismatch(spark, sf_dir).collect()}
+    assert out[("de", "en")]["n_hard_mismatch"] == 1
+    assert out[("en", "en")]["n_hard_mismatch"] == 0
+    assert out[("fr", "und")]["n_hard_mismatch"] == 0  # und = soft
+
+
+# -- embedding norm QA --------------------------------------------------------
+
+
+def test_embed_norms_catches_ragged_and_zero(spark, tmp_path):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierg import (
+        x_embed_norms,
+    )
+    sf_dir = str(tmp_path)
+    rows = [(0, [3.0, 4.0], 0), (1, [0.0, 0.0], 0), (2, [1.0], 1)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = {r["label"]: r for r in x_embed_norms(spark, sf_dir).collect()}
+    assert out[0]["max_norm"] == 5.0 and out[0]["n_zero"] == 1
+    assert out[0]["dims_min"] == out[0]["dims_max"] == 2
+    assert out[1]["dims_min"] == 1  # the ragged writer is visible per label
