@@ -130,6 +130,12 @@ HEADLINE = [
     "x_percentile_norm",
     "x_dedup_census",
     "x_split_leakage",
+    # round-5 batch 3: cluster-aware splitting (the leakage fix),
+    # keyword extraction, metadata QA, embedding-store QA
+    "x_split_cluster_safe",
+    "x_keywords_tfidf",
+    "x_lang_mismatch",
+    "x_embed_norms",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical
