@@ -73,7 +73,10 @@ _QUANT_SQL = """
                  9) AS mse,
            round(list_max([ abs(xv[i] - xq[i])
                             for i in range(1, len(xv) + 1) ]), 6) AS max_abs_err,
-           round(list_cosine_similarity(xv, xq), 6) AS cos_fidelity
+           CASE WHEN list_sum([x * x for x in xv]) = 0
+                  OR list_sum([x * x for x in xq]) = 0 THEN NULL
+                ELSE round(list_cosine_similarity(xv, xq), 6)
+           END AS cos_fidelity
     FROM qv
     """,
 )
@@ -89,6 +92,12 @@ def x_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
     combinable) broadcast back as a 1-row frame; quantize + error stats
     are pure map-side zip_with folds inside codegen — zero extra
     shuffles, no Python (operators/quantization.py).
+
+    Zero-norm vectors: the engine's try_divide yields NULL fidelity and
+    the oracle CASEs the same rows to NULL explicitly (DuckDB's
+    list_cosine_similarity would emit NaN/-1 there — the cross-engine
+    boundary ADVICE r4 #3 flagged on semantic dedup, aligned here from
+    the start).
     """
     e = table(spark, sf, "embeddings")
     return quantization_error(e, dim_codebook(e))

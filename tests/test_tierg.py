@@ -329,3 +329,19 @@ def test_embed_norms_catches_ragged_and_zero(spark, tmp_path):
     assert out[0]["max_norm"] == 5.0 and out[0]["n_zero"] == 1
     assert out[0]["dims_min"] == out[0]["dims_max"] == 2
     assert out[1]["dims_min"] == 1  # the ragged writer is visible per label
+
+
+def test_quantize_is_idempotent(spark):
+    # re-quantizing the dequantized corpus under the SAME codebook returns
+    # identical codes — re-ingestion of a quantized store is stable (lo/hi
+    # are affine fixed points, and floor(c ± eps + 0.5) = c for integral c).
+    e = _emb(spark, [(i, [i / 7.0, math.sin(i), 2.5], 0) for i in range(8)])
+    cb = dim_codebook(e)
+    q1 = quantize(e, cb).select("vec_id", "qcode", F.col("xq").alias("embedding"))
+    q2 = quantize(q1.select("vec_id", "embedding"), cb)
+    joined = (
+        q1.select("vec_id", F.col("qcode").alias("c1"))
+        .join(q2.select("vec_id", F.col("qcode").alias("c2")), "vec_id")
+        .collect()
+    )
+    assert all(r["c1"] == r["c2"] for r in joined)
