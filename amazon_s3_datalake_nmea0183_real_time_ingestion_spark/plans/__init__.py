@@ -57,7 +57,7 @@ _NEEDS_VERDICT = [
     "x_rank_fusion", "x_percentile_norm", "x_dedup_census",
     "x_split_leakage",
     "x_split_cluster_safe", "x_keywords_tfidf", "x_lang_mismatch",
-    "x_embed_norms",
+    "x_embed_norms", "x_dataset_diff", "x_source_kl",
     # Oldest r3 rows (CORRECTNESS_r03 insertion order) fill the remainder
     "q_scan_prune", "q_project_filter", "q_join_inner", "q_join_left",
     "q_join_semi", "q_join_anti", "q_join_range", "q_join_asof",

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.hashing import md5_u32
 from ..functions.text import tokens
 from ..operators.curation import hash_split
 from ..operators.dedup import (
@@ -1066,4 +1067,160 @@ def x_embed_norms(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.max("nrm"), 6).alias("max_norm"),
         F.round(F.avg("nrm"), 6).alias("mean_norm"),
         F.sum((F.col("nrm") == 0).cast("long")).alias("n_zero"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-version diff — snapshot-to-snapshot change audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dataset_diff",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    v2 AS (
+      SELECT doc_id, md5(concat(text, ' rev2')) AS fp
+      FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 50
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             md5(concat('new doc ', CAST(doc_id AS VARCHAR))) AS fp
+      FROM documents WHERE doc_id < 3)
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                ELSE 'modified' END AS change
+    FROM v1 a FULL OUTER JOIN v2 b ON b.doc_id = a.doc_id
+    WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp <> b.fp
+    """,
+)
+def x_dataset_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-version diff: fingerprint-level added / removed / modified
+    rows between two dataset snapshots — the release audit a training-
+    data pipeline publishes with every corpus version (what changed
+    since the release the last model trained on; unchanged rows are
+    suppressed because at 100 TB they're ~everything).  The fixture
+    derives v2 deterministically from v1 (25 edited, 25 dropped, 3
+    added) so both engines diff the identical snapshot pair; in
+    production the two sides are two dated parquet roots.
+
+    Scale: two md5 projections + ONE doc_id-keyed full-outer join — no
+    text shipped through the shuffle (fingerprints only, the
+    x_dedup_exact trick); the change census is a follow-up keyed count.
+    Sort-merge on the id key; at 100 TB both sides bucket by doc_id at
+    rest and the join is co-partitioned.
+    """
+    d = table(spark, sf, "documents")
+    v1 = d.select("doc_id", F.md5("text").alias("fp"))
+    v2 = (
+        d.filter(F.col("doc_id") < 25)
+        .select("doc_id", F.md5(F.concat(F.col("text"), F.lit(" rev2"))).alias("fp"))
+        .unionByName(
+            d.filter(F.col("doc_id") >= 50).select("doc_id", F.md5("text").alias("fp"))
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") < 3).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5(F.concat(F.lit("new doc "), F.col("doc_id").cast("string"))).alias("fp"),
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    change = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .otherwise(F.lit("modified"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+        .filter(
+            F.col("a.doc_id").isNull()
+            | F.col("b.doc_id").isNull()
+            | (F.col("a.fp") != F.col("b.fp"))
+        )
+        .select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            change.alias("change"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source domain divergence — KL(source || corpus) over hashed buckets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_source_kl",
+    oracle="""
+    WITH tb AS (
+      SELECT source,
+             (('0x' || substr(md5(tok), 1, 8))::BIGINT) % 256 AS bucket
+      FROM (SELECT source,
+                   unnest(list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                                      x -> x <> '')) AS tok
+            FROM documents)),
+    sb AS (SELECT source, bucket, count(*) AS c FROM tb GROUP BY source, bucket),
+    allb AS (SELECT s.source, r.range AS bucket
+             FROM (SELECT DISTINCT source FROM tb) s CROSS JOIN range(256) r),
+    f AS (SELECT a.source, a.bucket, coalesce(sb.c, 0) + 0.5 AS cs
+          FROM allb a LEFT JOIN sb ON sb.source = a.source AND sb.bucket = a.bucket),
+    cb AS (SELECT bucket, sum(cs) AS cc FROM f GROUP BY bucket),
+    tot AS (SELECT source, sum(cs) AS ts FROM f GROUP BY source),
+    ct AS (SELECT sum(cc) AS tc FROM cb)
+    SELECT f.source,
+           round(sum((f.cs / t.ts) * ln((f.cs / t.ts) / (cb.cc / ct.tc))), 6)
+             AS kl_nats
+    FROM f JOIN tot t ON t.source = f.source
+    JOIN cb ON cb.bucket = f.bucket CROSS JOIN ct
+    GROUP BY f.source
+    """,
+)
+def x_source_kl(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source domain divergence: KL(p_source ‖ p_corpus) in nats over
+    256 hashed unigram buckets with +0.5 Laplace smoothing (the smoothed
+    count table INCLUDES empty buckets, so KL is finite by construction).
+    High-KL sources are lexically distinctive domains — the signal that
+    decides which sources deserve their own mixture cell
+    (x_data_temperature) or their own DSIR target (x_dsir); near-zero
+    KL sources are interchangeable with the pool.  Same hashed-feature
+    trick as x_dsir: the "language model" is bucket-count-sized no
+    matter the corpus.
+
+    Scale: one explode + (source, bucket) count (map-side combinable) —
+    the only corpus-sized pass; densification joins a sources×256
+    scaffold (domain-cardinality-sized) and every aggregate after it is
+    bucket-table-sized; normalizers are 1-row/bucket-sized broadcasts.
+    """
+    d = table(spark, sf, "documents")
+    tb = d.select("source", F.explode(tokens("text")).alias("tok")).select(
+        "source", F.pmod(md5_u32(F.col("tok")), F.lit(256)).alias("bucket")
+    )
+    sb = tb.groupBy("source", "bucket").agg(F.count("*").alias("c"))
+    allb = (
+        tb.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(
+            spark.range(256).select(F.col("id").cast("bigint").alias("bucket"))
+        ))
+    )
+    f = (
+        allb.join(sb, ["source", "bucket"], "left")
+        .select("source", "bucket",
+                (F.coalesce(F.col("c"), F.lit(0)) + 0.5).alias("cs"))
+    )
+    cb = f.groupBy("bucket").agg(F.sum("cs").alias("cc"))
+    tot = f.groupBy("source").agg(F.sum("cs").alias("ts"))
+    ct = cb.agg(F.sum("cc").alias("tc"))
+    term = (F.col("cs") / F.col("ts")) * F.log(
+        (F.col("cs") / F.col("ts")) / (F.col("cc") / F.col("tc"))
+    )
+    return (
+        f.join(F.broadcast(tot), "source")
+        .join(F.broadcast(cb), "bucket")
+        .crossJoin(F.broadcast(ct))
+        .groupBy("source")
+        .agg(F.round(F.sum(term), 6).alias("kl_nats"))
     )

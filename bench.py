@@ -136,6 +136,9 @@ HEADLINE = [
     "x_keywords_tfidf",
     "x_lang_mismatch",
     "x_embed_norms",
+    # round-5 batch 4: corpus-version diff audit, per-source KL divergence
+    "x_dataset_diff",
+    "x_source_kl",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

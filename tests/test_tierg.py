@@ -345,3 +345,41 @@ def test_quantize_is_idempotent(spark):
         .collect()
     )
     assert all(r["c1"] == r["c2"] for r in joined)
+
+
+# -- dataset diff -------------------------------------------------------------
+
+
+def test_dataset_diff_census(spark):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierg import (
+        x_dataset_diff,
+    )
+    out = x_dataset_diff(spark, SF_SMALL).collect()
+    census = {}
+    for r in out:
+        census[r["change"]] = census.get(r["change"], 0) + 1
+    # fixture derivation: 25 edited, 25 dropped, 3 added (doc_id < 3)
+    assert census == {"modified": 25, "removed": 25, "added": 3}
+    added = {r["doc_id"] for r in out if r["change"] == "added"}
+    assert added == {1000000, 1000001, 1000002}
+
+
+# -- per-source KL divergence -------------------------------------------------
+
+
+def test_source_kl_flags_distinct_domain(spark, tmp_path):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierg import (
+        x_source_kl,
+    )
+    sf_dir = str(tmp_path)
+    # src_pool: common vocabulary; src_weird: disjoint vocabulary -> high KL
+    rows = [(i, "alpha beta gamma delta epsilon", "src_pool") for i in range(8)]
+    rows += [(100 + i, "zorp quux flib wibble snark", "src_weird") for i in range(2)]
+    import os as _os
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(_os.path.join(sf_dir, "documents.parquet"))
+    got = {r["source"]: r["kl_nats"] for r in x_source_kl(spark, sf_dir).collect()}
+    assert got["src_weird"] > got["src_pool"]
+    assert all(v >= 0 or abs(v) < 1e-6 for v in got.values())  # KL >= 0 up to rounding
