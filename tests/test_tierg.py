@@ -383,3 +383,40 @@ def test_source_kl_flags_distinct_domain(spark, tmp_path):
     got = {r["source"]: r["kl_nats"] for r in x_source_kl(spark, sf_dir).collect()}
     assert got["src_weird"] > got["src_pool"]
     assert all(v >= 0 or abs(v) < 1e-6 for v in got.values())  # KL >= 0 up to rounding
+
+
+# -- codebook persistence + streaming application -----------------------------
+
+
+def test_codebook_roundtrip_and_streaming_quantize(spark, tmp_path):
+    # batch-fit the codebook, persist it, apply it MAP-SIDE to a stream:
+    # streamed codes must equal the batch path bit for bit (re-deriving
+    # min/max per batch would drift the code space; the persisted book
+    # is the contract).
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.quantization import (
+        read_codebook,
+        write_codebook,
+    )
+    e = _emb(spark, [(i, [i / 9.0, 1.0 - i / 9.0, 0.25], 0) for i in range(10)])
+    src = os.path.join(str(tmp_path), "vecs")
+    cb_path = os.path.join(str(tmp_path), "codebook")
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    e.write.parquet(src)
+    write_codebook(dim_codebook(e), cb_path)
+    cb = read_codebook(spark, cb_path)
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    q = (
+        quantize(stream, cb)
+        .select("vec_id", "qcode")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {r["vec_id"]: r["qcode"] for r in spark.read.parquet(out).collect()}
+    batch = {r["vec_id"]: r["qcode"]
+             for r in quantize(e, cb).select("vec_id", "qcode").collect()}
+    assert streamed == batch and len(streamed) == 10
