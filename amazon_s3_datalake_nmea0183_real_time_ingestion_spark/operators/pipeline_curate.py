@@ -1,0 +1,121 @@
+"""End-to-end corpus curation pipeline — the composed workflow the
+individual operator keys exist for, in the canonical order a pretraining
+data pipeline runs them:
+
+    quality gate → exact dedup → near-dup collapse (guarded MinHash-LSH
+    + connected components) → benchmark decontamination → cluster-aware
+    train/val/test split → temperature mixture table
+
+One function, DataFrames in / DataFrames out, fully lazy: callers get
+the curated corpus (with split labels), the mixture-rate table, and a
+stage-by-stage funnel report, and trigger execution with their own
+actions (write_training_shards, counts, ...).
+
+Stage order matters and is deliberate:
+
+- exact BEFORE near-dup: verbatim copies are exact dedup's job; feeding
+  them to LSH just makes hot buckets (the max_bucket guard's own doc
+  says so).
+- near-dup collapse BEFORE split: the split hashes the CLUSTER id, so a
+  surviving canonical and any future re-ingested near-copy land in the
+  same split (x_split_leakage is the audit; x_split_cluster_safe the
+  single-key demonstration).
+- decontamination LAST among the drops: it must see the kept canonicals
+  (dropping a contaminated duplicate while keeping its twin would
+  defeat the point).
+
+Scale: every stage is an operator this package already ships with its
+own 100 TB notes — the composition adds NO new shuffle beyond the
+stages' own (quality gate and split are map-side; the near-dup label
+table is localCheckpoint'd because BOTH the collapse join and the split
+consume it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, quality_logit, tokens
+from .curation import hash_split
+from .dedup import connected_components, exact_dedup, minhash_near_dup
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    quality_threshold: float = 0.0,
+    near_threshold: float = 0.8,
+    max_bucket: int | None = 100,
+    temperature: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> dict[str, DataFrame]:
+    """Run the full curation chain; returns lazy DataFrames:
+
+    - ``curated``: surviving documents + ``quality`` + ``cluster_id`` +
+      ``split`` columns (input columns preserved);
+    - ``mixture``: per-source temperature-mixture weights over the
+      CURATED corpus (n^α / Σ n^α — compute rates AFTER dropping, or
+      the weights re-inflate exactly the boilerplate you removed);
+    - ``funnel``: (stage, n_docs) report, one row per stage in order.
+
+    ``benchmark`` (optional): a frame with ``text_col`` whose 3-gram
+    shingles must not appear in training data — dropped via the exact
+    n-gram screen (decontaminate); pass None to skip.
+    """
+    toked = docs.withColumn("__t", tokens(text_col))
+    gated = (
+        toked.withColumn("quality", quality_logit(F.col("__t"), F.col(text_col)))
+        .filter(F.col("quality") > quality_threshold)
+        .drop("__t")
+    )
+
+    # exact: keep the lowest id per normalized-text fingerprint
+    exact = exact_dedup(
+        gated.withColumn("__fp", doc_fingerprint(text_col)),
+        ["__fp"], [F.col(id_col).asc()],
+    ).drop("__fp")
+
+    # near-dup: guarded MinHash-LSH pairs -> components -> keep canonical
+    pairs = minhash_near_dup(
+        exact, id_col, text_col, threshold=near_threshold, max_bucket=max_bucket
+    ).select("id_a", "id_b")
+    labels = connected_components(
+        pairs, exact.select(id_col)
+    ).localCheckpoint(eager=False)  # consumed by the collapse AND the split
+    collapsed = exact.join(labels, id_col).filter(
+        F.col(id_col) == F.col("cluster_id")
+    )
+
+    if benchmark is not None:
+        from .curation import decontaminate
+
+        contaminated = decontaminate(
+            collapsed, benchmark, id_col=id_col, text_col=text_col
+        ).select(id_col)
+        clean = collapsed.join(contaminated, id_col, "left_anti")
+    else:
+        clean = collapsed
+
+    # cluster-aware split: hash the CLUSTER id (x_split_cluster_safe)
+    curated = hash_split(clean, "cluster_id").drop("bucket")
+
+    cnt = F.count("*").cast("bigint").alias("n_docs")
+    funnel = (
+        docs.agg(cnt).select(F.lit("input").alias("stage"), "n_docs")
+        .unionByName(gated.agg(cnt).select(F.lit("quality_gate").alias("stage"), "n_docs"))
+        .unionByName(exact.agg(cnt).select(F.lit("exact_dedup").alias("stage"), "n_docs"))
+        .unionByName(collapsed.agg(cnt).select(F.lit("near_dedup").alias("stage"), "n_docs"))
+        .unionByName(clean.agg(cnt).select(F.lit("decontaminated").alias("stage"), "n_docs"))
+    )
+
+    ncnt = curated.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    z = ncnt.agg(F.sum(F.pow(F.col("n_docs"), F.lit(temperature))).alias("z"))
+    w = F.pow(F.col("n_docs"), F.lit(temperature)) / F.col("z")
+    mixture = ncnt.crossJoin(F.broadcast(z)).select(
+        source_col, "n_docs", F.round(w, 6).alias("weight")
+    )
+
+    return {"curated": curated, "mixture": mixture, "funnel": funnel}
