@@ -538,3 +538,18 @@ def test_bloom_bitset_side_broadcasts(spark, queries):
     the corpus side must never shuffle for membership."""
     plan = plan_of(queries["x_decontaminate_bloom"](spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_curate_pipeline_plan_stays_jvm_side(spark):
+    # the composed curation chain adds no Python-eval nodes and the
+    # decontamination benchmark side broadcasts (never shuffles the
+    # corpus against it).
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.pipeline_curate import (
+        curate_corpus,
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 3).select("text")
+    out = curate_corpus(docs, benchmark=bench)
+    plan = plan_of(out["curated"])
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # the benchmark-shingle anti-join side
