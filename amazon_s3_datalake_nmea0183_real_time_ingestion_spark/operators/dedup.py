@@ -126,9 +126,13 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id",
     )
 
 
-def jaccard_verify(shingles: DataFrame, candidates: DataFrame,
-                   id_col: str = "doc_id", threshold: float = 0.8) -> DataFrame:
-    """Exact Jaccard over distinct shingle sets, restricted to candidates."""
+def candidate_jaccard_parts(shingles: DataFrame, candidates: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """(id_a, id_b, n_inter, sz_a, sz_b) for every candidate pair — the
+    shared exact-set-overlap scaffold under candidate VERIFICATION
+    (jaccard_verify's threshold cut, the calibration audit's raw
+    estimator-vs-truth comparison).  One definition so a future guard or
+    formula fix can't land in one consumer and not the other."""
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -140,11 +144,16 @@ def jaccard_verify(shingles: DataFrame, candidates: DataFrame,
     )
     za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return inter.join(za, "id_a").join(zb, "id_b")
+
+
+def jaccard_verify(shingles: DataFrame, candidates: DataFrame,
+                   id_col: str = "doc_id", threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets, restricted to candidates."""
+    parts = candidate_jaccard_parts(shingles, candidates, id_col)
     jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
     return (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
-        .withColumn("jaccard", F.round(jac, 4))
+        parts.withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -6,10 +6,13 @@ data pipeline runs them:
     + connected components) → benchmark decontamination → cluster-aware
     train/val/test split → temperature mixture table
 
-One function, DataFrames in / DataFrames out, fully lazy: callers get
-the curated corpus (with split labels), the mixture-rate table, and a
-stage-by-stage funnel report, and trigger execution with their own
-actions (write_training_shards, counts, ...).
+One function, DataFrames in / DataFrames out.  Laziness caveat: every
+returned frame is lazy EXCEPT that component labeling runs eagerly at
+call time — ``connected_components`` iterates to convergence with a
+driver-side probe per round (the same control-plane collect its own
+docstring documents), so calling ``curate_corpus`` executes the chain
+up through the near-dup pair join.  Callers then trigger the remaining
+(cheap) work with their own actions (write_training_shards, counts).
 
 Stage order matters and is deliberate:
 
@@ -72,18 +75,22 @@ def curate_corpus(
         .drop("__t")
     )
 
-    # exact: keep the lowest id per normalized-text fingerprint
+    # exact: keep the lowest id per normalized-text fingerprint.
+    # localCheckpoint (lazy): this frame feeds the LSH pair join, the
+    # collapse join, AND two funnel counts — without it each consumer
+    # re-runs tokenize + quality_logit + the dedup window over the full
+    # corpus (several redundant 100 TB passes for a 5-row report).
     exact = exact_dedup(
         gated.withColumn("__fp", doc_fingerprint(text_col)),
         ["__fp"], [F.col(id_col).asc()],
-    ).drop("__fp")
+    ).drop("__fp").localCheckpoint(eager=False)
 
     # near-dup: guarded MinHash-LSH pairs -> components -> keep canonical
     pairs = minhash_near_dup(
         exact, id_col, text_col, threshold=near_threshold, max_bucket=max_bucket
     ).select("id_a", "id_b")
     labels = connected_components(
-        pairs, exact.select(id_col)
+        pairs, exact.select(id_col), id_col=id_col
     ).localCheckpoint(eager=False)  # consumed by the collapse AND the split
     collapsed = exact.join(labels, id_col).filter(
         F.col(id_col) == F.col("cluster_id")

@@ -69,8 +69,20 @@ def _zip3(x: Column, lo: Column, hi: Column, f) -> Column:
 
 def _code(x: Column, lo: Column, hi: Column, levels: int) -> Column:
     # floor(double) is exact on both engines; constant-range dims get 0.
+    # CLAMP to [0, levels]: the production cadence applies a PERSISTED
+    # codebook to later batches, where components outside the trained
+    # [lo, hi] would otherwise emit codes outside one byte (x=2.0 on a
+    # [0,1] dim -> 510) and extrapolated dequant values poisoning ADC
+    # distances.  In-range inputs (every registered oracle key derives
+    # the codebook from the same corpus) are unaffected.
     return F.when(hi == lo, F.lit(0).cast("bigint")).otherwise(
-        F.floor((x - lo) * float(levels) / (hi - lo) + 0.5)
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(
+                F.lit(levels).cast("bigint"),
+                F.floor((x - lo) * float(levels) / (hi - lo) + 0.5),
+            ),
+        )
     )
 
 

@@ -429,6 +429,31 @@ _LANG_SETS = {
 }
 
 
+def lang_pred(text_col: str = "text"):
+    """The detector expression behind x_text_langid AND the
+    x_lang_mismatch audit (tierg) — ONE definition so tuning the
+    priority order or the stopword sets can never make the langid key
+    and the mismatch census silently disagree."""
+    t = tokens(text_col)
+
+    def _hits(words: list[str]):
+        return F.size(F.filter(t, lambda x: x.isin(*words)))
+
+    s_en, s_de, s_fr, s_es = (
+        _hits(_LANG_SETS["en"]),
+        _hits(_LANG_SETS["de"]),
+        _hits(_LANG_SETS["fr"]),
+        _hits(_LANG_SETS["es"]),
+    )
+    return (
+        F.when((s_en == 0) & (s_de == 0) & (s_fr == 0) & (s_es == 0), F.lit("und"))
+        .when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), F.lit("en"))
+        .when((s_de >= s_fr) & (s_de >= s_es), F.lit("de"))
+        .when(s_fr >= s_es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
 @register(
     "x_text_langid",
     oracle=r"""
@@ -456,25 +481,7 @@ def x_text_langid(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic language ID: stopword-set hit counts, fixed-priority
     argmax (en>de>fr>es), 'und' when no evidence."""
     d = table(spark, sf, "documents")
-    t = tokens("text")
-
-    def _hits(words: list[str]):
-        return F.size(F.filter(t, lambda x: x.isin(*words)))
-
-    s_en, s_de, s_fr, s_es = (
-        _hits(_LANG_SETS["en"]),
-        _hits(_LANG_SETS["de"]),
-        _hits(_LANG_SETS["fr"]),
-        _hits(_LANG_SETS["es"]),
-    )
-    pred = (
-        F.when((s_en == 0) & (s_de == 0) & (s_fr == 0) & (s_es == 0), F.lit("und"))
-        .when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), F.lit("en"))
-        .when((s_de >= s_fr) & (s_de >= s_es), F.lit("de"))
-        .when(s_fr >= s_es, F.lit("fr"))
-        .otherwise(F.lit("es"))
-    )
-    return d.select("doc_id", pred.alias("pred_lang"))
+    return d.select("doc_id", lang_pred("text").alias("pred_lang"))
 
 
 @register(

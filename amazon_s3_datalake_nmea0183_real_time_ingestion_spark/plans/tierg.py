@@ -25,6 +25,7 @@ from ..functions.hashing import md5_u32
 from ..functions.text import tokens
 from ..operators.curation import hash_split
 from ..operators.dedup import (
+    candidate_jaccard_parts,
     connected_components,
     lsh_bands,
     lsh_candidate_pairs,
@@ -114,7 +115,11 @@ def x_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
       WHERE q.vec_id < 10
       QUALIFY row_number() OVER (
         PARTITION BY q.vec_id
-        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.xq), 6) DESC,
+        ORDER BY CASE WHEN list_sum([x * x for x in c.xq]) = 0
+                        OR list_sum([x * x for x in q.embedding::DOUBLE[]]) = 0
+                      THEN NULL
+                      ELSE round(list_cosine_similarity(q.embedding::DOUBLE[], c.xq), 6)
+                 END DESC NULLS LAST,
                  c.vec_id ASC) <= 3),
     exact AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -122,7 +127,11 @@ def x_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
       WHERE q.vec_id < 10
       QUALIFY row_number() OVER (
         PARTITION BY q.vec_id
-        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        ORDER BY CASE WHEN list_sum([x * x for x in c.embedding::DOUBLE[]]) = 0
+                        OR list_sum([x * x for x in q.embedding::DOUBLE[]]) = 0
+                      THEN NULL
+                      ELSE round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                 END DESC NULLS LAST,
                  c.vec_id ASC) <= 3)
     SELECT e.query_id AS query_id, CAST(count(a.neighbor_id) AS INT) AS n_hits,
            round(count(a.neighbor_id) / 3.0, 4) AS recall_at_3
@@ -440,21 +449,13 @@ def x_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
         .join(sigs.alias("b"), F.col("id_b") == F.col("b.doc_id"))
         .select("id_a", "id_b", n_eq.alias("n_eq"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("s"))
-    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n"))
-    )
-    exact = F.col("n") / (F.col("sa_s") + F.col("sb_s") - F.col("n"))
+    # exact side: the shared verification scaffold (same code path as
+    # jaccard_verify — review round-5 deduplicated it).
+    parts = candidate_jaccard_parts(sh, cand, "doc_id")
+    exact = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
     estf = F.col("n_eq") / 16.0
     return (
-        est.join(inter, ["id_a", "id_b"])
-        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa_s")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb_s")), "id_b")
+        est.join(parts, ["id_a", "id_b"])
         .select(
             "id_a", "id_b",
             F.round(estf, 4).alias("est_jaccard"),
@@ -983,28 +984,16 @@ def x_lang_mismatch(spark: SparkSession, sf: str) -> DataFrame:
     census is ONE (declared, predicted)-keyed count — languages² rows
     out.  Cheapest audit in the family.
     """
-    from .tierc import _LANG_SETS
+    # the SAME detector expression x_text_langid registers (tierc
+    # lang_pred) — one definition, so detector tuning can never make the
+    # langid key and this census silently disagree.
+    from .tierc import lang_pred
 
     d = table(spark, sf, "documents")
-    t = tokens("text")
-
-    def _hits(words):
-        return F.size(F.filter(t, lambda x: x.isin(*words)))
-
-    s_en, s_de, s_fr, s_es = (
-        _hits(_LANG_SETS["en"]), _hits(_LANG_SETS["de"]),
-        _hits(_LANG_SETS["fr"]), _hits(_LANG_SETS["es"]),
-    )
-    pred = (
-        F.when((s_en == 0) & (s_de == 0) & (s_fr == 0) & (s_es == 0), F.lit("und"))
-        .when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), F.lit("en"))
-        .when((s_de >= s_fr) & (s_de >= s_es), F.lit("de"))
-        .when(s_fr >= s_es, F.lit("fr"))
-        .otherwise(F.lit("es"))
-    )
     hard = (F.col("pred_lang") != F.col("declared")) & (F.col("pred_lang") != "und")
     return (
-        d.select(F.col("lang").alias("declared"), pred.alias("pred_lang"))
+        d.select(F.col("lang").alias("declared"),
+                 lang_pred("text").alias("pred_lang"))
         .groupBy("declared", "pred_lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1050,14 +1039,12 @@ def x_embed_norms(spark: SparkSession, sf: str) -> DataFrame:
     label-keyed agg, all map-side combinable — the cheapest pass over a
     vector corpus; at 100 TB this is the scan you piggyback on ingest.
     """
+    from ..functions.vectors import l2_norm
+
     e = table(spark, sf, "embeddings")
-    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    nrm = F.sqrt(
-        F.aggregate(F.transform(dv, lambda x: x * x), F.lit(0.0),
-                    lambda a, x: a + x)
-    )
     n = e.select(
-        "label", F.size("embedding").alias("n_dims"), nrm.alias("nrm")
+        "label", F.size("embedding").alias("n_dims"),
+        l2_norm(F.col("embedding")).alias("nrm"),
     )
     return n.groupBy("label").agg(
         F.count("*").alias("n_vectors"),

@@ -420,3 +420,16 @@ def test_codebook_roundtrip_and_streaming_quantize(spark, tmp_path):
     batch = {r["vec_id"]: r["qcode"]
              for r in quantize(e, cb).select("vec_id", "qcode").collect()}
     assert streamed == batch and len(streamed) == 10
+
+
+def test_quantize_clamps_out_of_range_batch(spark):
+    # production cadence: a PERSISTED codebook applied to a later batch
+    # whose components exceed the trained [lo, hi] — codes must clamp to
+    # [0, 255] (one byte) and dequant must stay inside the trained range
+    # instead of extrapolating.
+    train = _emb(spark, [(0, [0.0, 0.0], 0), (1, [1.0, 1.0], 0)])
+    cb = dim_codebook(train)
+    newbatch = _emb(spark, [(2, [2.0, -1.0], 0)])
+    r = quantize(newbatch, cb).collect()[0]
+    assert r["qcode"] == [255, 0]
+    assert r["xq"] == [1.0, 0.0]
