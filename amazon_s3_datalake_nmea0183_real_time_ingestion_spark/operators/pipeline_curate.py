@@ -23,9 +23,13 @@ Stage order matters and is deliberate:
   surviving canonical and any future re-ingested near-copy land in the
   same split (x_split_leakage is the audit; x_split_cluster_safe the
   single-key demonstration).
-- decontamination LAST among the drops: it must see the kept canonicals
-  (dropping a contaminated duplicate while keeping its twin would
-  defeat the point).
+- decontamination screens the PRE-collapse frame and drops whole
+  CLUSTERS: a benchmark hit on any cluster member — including a
+  near-dup variant the collapse discards — removes the surviving
+  canonical too.  Screening only the kept canonicals would let a
+  lightly-edited twin of the contaminated text stay in training
+  (benchmark n-grams can overlap the variant's edits without touching
+  the canonical's own text).
 
 Scale: every stage is an operator this package already ships with its
 own 100 TB notes — the composition adds NO new shuffle beyond the
@@ -99,10 +103,18 @@ def curate_corpus(
     if benchmark is not None:
         from .curation import decontaminate
 
+        # screen the PRE-collapse frame (every exact-dedup survivor, not
+        # just kept canonicals) and drop whole clusters: benchmark n-grams
+        # that overlap only a discarded near-dup variant's text must still
+        # remove the surviving canonical — the canonical is a near-copy of
+        # the contaminated text by construction.  The benchmark side
+        # broadcasts (eval sets are MBs), so widening the corpus side from
+        # canonicals to all exact survivors adds no shuffle.
         contaminated = decontaminate(
-            collapsed, benchmark, id_col=id_col, text_col=text_col
+            exact, benchmark, id_col=id_col, text_col=text_col
         ).select(id_col)
-        clean = collapsed.join(contaminated, id_col, "left_anti")
+        bad_clusters = labels.join(contaminated, id_col).select("cluster_id").distinct()
+        clean = collapsed.join(bad_clusters, "cluster_id", "left_anti")
     else:
         clean = collapsed
 

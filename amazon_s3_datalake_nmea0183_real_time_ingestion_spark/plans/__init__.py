@@ -10,6 +10,7 @@ from . import tierd  # noqa: F401,E402
 from . import tiere  # noqa: F401,E402
 from . import tierf  # noqa: F401,E402
 from . import tierg  # noqa: F401,E402
+from . import tierh  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
 # keys per round.  After round 5: 150/160 keys driver-green at their latest

@@ -89,3 +89,25 @@ def test_curate_corpus_decontaminates_kept_canonicals(spark):
     assert 60 not in ids
     funnel = {r["stage"]: r["n_docs"] for r in out["funnel"].collect()}
     assert funnel["decontaminated"] < funnel["near_dedup"]
+
+
+def test_curate_corpus_drops_cluster_of_contaminated_variant(spark):
+    """A benchmark 3-gram overlapping ONLY a discarded near-dup variant's
+    edited text must still remove the surviving canonical (the canonical
+    is a near-copy of the contaminated text by construction)."""
+    corpus = _corpus(spark)
+    # find a planted pair that actually collapses (>= 0.8 jaccard) so the
+    # canonical survives while its +1000000 variant is dropped
+    out_plain = curate_corpus(corpus, quality_threshold=-1e9)
+    kept = {r["doc_id"] for r in out_plain["curated"].select("doc_id").collect()}
+    canon = next(i for i in range(50) if i in kept and (i + 1000000) not in kept)
+    # benchmark shares a shingle only with the VARIANT's appended suffix:
+    # its single 3-gram is "<last original token> zz9 qq8"
+    text = corpus.filter(F.col("doc_id") == canon).select("text").collect()[0][0]
+    last_tok = text.lower().split()[-1]
+    bench = spark.createDataFrame([(f"{last_tok} zz9 qq8",)], ["text"])
+    # sanity: the canonical's own text has no overlap with the benchmark
+    assert "zz9" not in text
+    out = curate_corpus(corpus, benchmark=bench, quality_threshold=-1e9)
+    ids = {r["doc_id"] for r in out["curated"].select("doc_id").collect()}
+    assert canon not in ids
