@@ -21,6 +21,58 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def copurchase_pairs(li: DataFrame, key_col: str = "l_orderkey",
+                     item_col: str = "l_partkey",
+                     max_basket: int | None = None,
+                     directed: bool = False) -> DataFrame:
+    """Distinct item co-occurrence pairs from a (basket, item) relation —
+    the edge derivation shared by the co-purchase graph keys
+    (q_triangle_count / x_pagerank / x_lpa): items sharing a basket are
+    linked.  Undirected mode emits (u < v) once; ``directed=True`` emits
+    both orientations as (src, dst) (the PageRank input shape).
+
+    ``max_basket`` is the 100 TB hub guard, the basket-width twin of
+    ``lsh_candidate_pairs(max_bucket=...)`` / ``ngram_jaccard_pairs
+    (max_df=...)``: a basket holding w items emits w² pairs, so ONE
+    power-law hub key (a catalog-wide "order", a crawl page linking half
+    the web) turns the self-join quadratic on a single key.  Baskets
+    wider than ``max_basket`` are dropped from pair generation, bounding
+    the worst key at max_basket² pairs; treat over-wide baskets as
+    list-page/boilerplate signal, the same judgement call as the dedup
+    guards.  The width count is a window riding the same ``key_col``
+    exchange the self-join needs, so the guard adds no extra shuffle on
+    the big side.  Default None keeps derivation exhaustive (the oracle
+    mode — TPC-H baskets are bounded at 7 lineitems, so the registered
+    exhaustive keys are safe on the driver data; the guarded twins are
+    the production registration).
+    """
+    li = li.select(key_col, item_col).distinct()
+    if max_basket is not None:
+        w = Window.partitionBy(key_col)
+        li = (
+            li.withColumn("__bw", F.count("*").over(w))
+            .filter(F.col("__bw") <= max_basket)
+            .drop("__bw")
+        )
+    a, b = li.alias("a"), li.alias("b")
+    same_key = F.col(f"a.{key_col}") == F.col(f"b.{key_col}")
+    if directed:
+        rel = F.col(f"a.{item_col}") != F.col(f"b.{item_col}")
+        out = ("src", "dst")
+    else:
+        rel = F.col(f"a.{item_col}") < F.col(f"b.{item_col}")
+        out = ("u", "v")
+    return (
+        a.join(b, same_key & rel)
+        .select(
+            F.col(f"a.{item_col}").alias(out[0]),
+            F.col(f"b.{item_col}").alias(out[1]),
+        )
+        .distinct()
+    )
 
 
 def pagerank(

@@ -590,12 +590,27 @@ def x_zorder(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pagerank_oracle(n_iter: int = 3) -> str:
+def _basket_screen_sql(max_basket: int | None) -> str:
+    """The co-purchase derivation's source CTEs, optionally hub-guarded:
+    with ``max_basket`` set, baskets wider than it are dropped before pair
+    generation (operators.graph.copurchase_pairs's guard, replayed as a
+    HAVING screen).  Shared by the pagerank / triangle / LPA oracles."""
+    if max_basket is None:
+        return "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)"
+    return f"""li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    keep AS (SELECT l_orderkey FROM li0 GROUP BY l_orderkey
+             HAVING count(*) <= {max_basket}),
+    li AS (SELECT li0.l_orderkey, li0.l_partkey FROM li0 JOIN keep USING (l_orderkey))"""
+
+
+def _pagerank_oracle(n_iter: int = 3, max_basket: int | None = None) -> str:
     """Unrolled-CTE replica of operators.graph.pagerank — generated from
-    the same iteration count so engine and oracle cannot drift."""
+    the same iteration count (and optional basket screen) so engine and
+    oracle cannot drift.  ``max_basket`` guards PAIR GENERATION only;
+    nodes stay corpus-wide (isolated parts keep the teleport term)."""
     parts = [
-        """
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        f"""
+    WITH {_basket_screen_sql(max_basket)},
     pairs AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
               FROM li a JOIN li b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
@@ -640,29 +655,26 @@ def x_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     docstring covers the many-round checkpoint variant).  round(,6)
     absorbs sum-order and teleport-constant ulps.
     """
+    from ..operators.graph import copurchase_pairs
+
+    li = table(spark, sf, "lineitem")
+    return pagerank_report(
+        copurchase_pairs(li, directed=True),
+        li.select(F.col("l_partkey").alias("node")).distinct(),
+    )
+
+
+def pagerank_report(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """3-round damped PageRank report body over a directed (src, dst)
+    edge list + node frame (algorithm notes on x_pagerank) — shared by
+    the exhaustive key and the max_basket-guarded twin (tierh)."""
     from ..operators.graph import pagerank
 
-    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
     # materialize the derived graph once (lazy localCheckpoint): the pair
     # self-join and node distinct otherwise replan inside every unrolled
     # iteration AND the degree/output branches below
     pairs = pairs.localCheckpoint(eager=False)
-    nodes = (
-        li.select(F.col("l_partkey").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    nodes = nodes.localCheckpoint(eager=False)
     ranks = pagerank(pairs, nodes, n_iter=3, damping=0.85, materialize=False)
     nn = nodes.agg(F.count("*").cast("double").alias("__n"))
     deg = pairs.groupBy("src").agg(F.count("*").alias("deg"))

@@ -30,16 +30,18 @@ from ..operators.dedup import (
 )
 from .registry import register, table
 from .tierc import _CORPUS_SQL, _doc_corpus, _emb_corpus
+from .tierd import _basket_screen_sql
 
 # ---------------------------------------------------------------------------
 # graph — triangle counting (degree-ordered orientation)
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q_triangle_count",
-    oracle="""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+def _triangle_oracle(max_basket: int | None = None) -> str:
+    """Degree-ordered triangle-count oracle, generated from the same
+    basket screen as the engine path so guard and oracle cannot drift."""
+    return f"""
+    WITH {_basket_screen_sql(max_basket)},
     und AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
             FROM li a JOIN li b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
@@ -66,8 +68,10 @@ from .tierc import _CORPUS_SQL, _doc_corpus, _emb_corpus
     FROM pernode
     ORDER BY n_triangles DESC, part_id ASC
     LIMIT 50
-    """,
-)
+    """
+
+
+@register("q_triangle_count", oracle=_triangle_oracle())
 def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     """Per-node triangle counts over the part co-purchase graph, top-50 —
     the local-clustering signal (community density / spam-farm detection)
@@ -83,17 +87,16 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     bounded by order width (same derivation as x_pagerank); no driver
     loop, no cartesian.
     """
-    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    from ..operators.graph import copurchase_pairs
+
+    li = table(spark, sf, "lineitem")
+    return triangle_top50(copurchase_pairs(li))
+
+
+def triangle_top50(und: DataFrame) -> DataFrame:
+    """Degree-ordered triangle enumeration body over an undirected (u, v)
+    edge list (algorithm notes on q_triangle_count) — shared by the
+    exhaustive key and the max_basket-guarded production twin (tierh)."""
     # reuse the undirected edge list across degree/orientation/wedge/probe
     # branches instead of replanning the order self-join four times.
     # Fault-tolerance trade-off: localCheckpoint TRUNCATES lineage to

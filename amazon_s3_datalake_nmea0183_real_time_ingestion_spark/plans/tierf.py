@@ -30,6 +30,7 @@ from ..operators.dedup import shingle_set
 from ..operators.similarity import _ranked_topk, pair_cosine, prep_vectors
 from .registry import register, table
 from .tierc import _CORPUS_SQL, _SHINGLES_SQL, _TOKS_SQL, _doc_corpus
+from .tierd import _basket_screen_sql
 
 # ---------------------------------------------------------------------------
 # corpus novelty — first-occurrence n-gram fraction
@@ -155,10 +156,11 @@ def x_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "x_lpa",
-    oracle="""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+def _lpa_oracle(max_basket: int | None = None) -> str:
+    """2-iteration LPA census oracle, generated from the same basket
+    screen as the engine path so guard and oracle cannot drift."""
+    return f"""
+    WITH {_basket_screen_sql(max_basket)},
     und AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
             FROM li a JOIN li b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
@@ -179,8 +181,10 @@ def x_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     FROM l2 GROUP BY lbl
     ORDER BY n_nodes DESC, community ASC
     LIMIT 50
-    """,
-)
+    """
+
+
+@register("x_lpa", oracle=_lpa_oracle())
 def x_lpa(spark: SparkSession, sf: str) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007), 2 unrolled
     iterations over the part co-purchase graph: every node starts as its
@@ -203,17 +207,16 @@ def x_lpa(spark: SparkSession, sf: str) -> DataFrame:
     polling; the final community census is one keyed count + global
     top-50 via TakeOrderedAndProject.
     """
-    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    from ..operators.graph import copurchase_pairs
+
+    li = table(spark, sf, "lineitem")
+    return lpa_top50(copurchase_pairs(li))
+
+
+def lpa_top50(und: DataFrame) -> DataFrame:
+    """2-iteration synchronous LPA community census body over an
+    undirected (u, v) edge list (algorithm notes on x_lpa) — shared by
+    the exhaustive key and the max_basket-guarded twin (tierh)."""
     edges = (
         und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint(eager=False)

@@ -109,6 +109,43 @@ def test_boilerplate_max_df_guard(spark):
     assert all(b - a == 500_000 for a, b in rows)
 
 
+def test_hub_basket_max_basket_guard(spark):
+    """ONE power-law hub basket of 2 000 items would alone emit ~2M
+    undirected pairs (w²/2 — quadratic in basket width, the co-purchase
+    derivation's hub failure mode VERDICT r5 flagged for
+    triangle/pagerank/lpa). ``max_basket`` drops over-wide baskets from
+    pair generation while edges from organic (narrow) baskets survive
+    exactly."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.graph import (
+        copurchase_pairs,
+    )
+
+    hub_w = 2_000
+    # 400 organic baskets of 4 items each (disjoint item ranges)
+    organic = spark.range(400).select(
+        F.col("id").alias("l_orderkey"),
+        F.explode(
+            F.array(*[(F.col("id") * 10 + j).cast("long") for j in range(4)])
+        ).alias("l_partkey"),
+    )
+    hub = spark.range(hub_w).select(
+        F.lit(999_999).cast("long").alias("l_orderkey"),
+        (F.col("id") + 1_000_000).alias("l_partkey"),
+    )
+    li = organic.unionByName(hub)
+
+    unguarded = copurchase_pairs(li).count()
+    guarded = copurchase_pairs(li, max_basket=10)
+    n_guarded = guarded.count()
+    # the hub basket alone contributes C(2000, 2) pairs
+    assert unguarded >= hub_w * (hub_w - 1) // 2
+    # guard: exactly the organic pairs remain (400 baskets × C(4,2))
+    assert n_guarded == 400 * 6
+    assert guarded.filter(F.col("u") >= 1_000_000).count() == 0
+    # directed mode under the same guard: both orientations, same bound
+    assert copurchase_pairs(li, max_basket=10, directed=True).count() == 400 * 12
+
+
 def test_long_chain_star_cc_converges_in_log_rounds(spark):
     """Duplicate-chain graph (A≈B≈C≈…, each hop a near-dup pair) of
     diameter 48: plain min-label propagation needs ~diameter rounds —
