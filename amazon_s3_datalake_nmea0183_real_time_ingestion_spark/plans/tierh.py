@@ -239,3 +239,79 @@ def x_lpa_guarded(spark: SparkSession, sf: str) -> DataFrame:
     semantics for a guard that treats super-wide baskets as noise."""
     li = table(spark, sf, "lineitem")
     return lpa_top50(copurchase_pairs(li, max_basket=MAX_BASKET))
+
+
+# ---------------------------------------------------------------------------
+# two-level IVF search — the k ∝ n distribution fix as a registered key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_sim_ivf_2level",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id % 25 = 0),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) t
+      WHERE rn = 1)
+    SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) DESC,
+                      a.vec_id ASC) AS INT) AS rank,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS sim
+    FROM assign q JOIN assign a ON a.cluster = q.cluster AND a.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+    QUALIFY rank <= 3
+    """,
+)
+def x_sim_ivf_2level(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF probe-1 ANN over k ∝ n strided centroids (stride-25 — the
+    constant-cell-size production seeding), with BOTH assignment stages
+    computed through the two-level shuffle-join path
+    (operators.similarity.assign_to_centroids_2level, probe-all = exact):
+    only the n_super-row seed table is ever broadcast; the
+    corpus-proportional centroid table is joined BY KEY.  Results are
+    identical to a flat-argmax IVF (probe-all is exact, proven rowwise in
+    test_scale_probes), so the oracle replays the flat formulation — the
+    key adjudicates that the scale-path plan computes the same answer.
+
+    Scale: the flat paths ship k ∝ n centroids to every task (broadcast
+    NLJ or collected matmul) — dead at 100 TB; here broadcast cost is
+    O(√k) seeds, centroid lookup is an AQE-skew-handled keyed join, and
+    the probe knob (n_probe_super < n_super) dials scoring work down by
+    probe/n_super when approximate assignment is acceptable.
+    """
+    from ..operators.similarity import (
+        _ranked_topk,
+        assign_to_centroids_2level,
+        pair_cosine,
+        strided_centroids,
+    )
+
+    e = table(spark, sf, "embeddings")
+    cents = strided_centroids(e, stride=25)
+    assigned = assign_to_centroids_2level(e, cents, n_super=4).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vd").alias("cd"),
+        F.col("vn").alias("cn"), "cluster",
+    )
+    q_assigned = assign_to_centroids_2level(
+        e.filter(F.col("vec_id") < 10), cents, n_super=4
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("vd").alias("qd"),
+        F.col("vn").alias("qn"), "cluster",
+    )
+    scored = (
+        assigned.join(q_assigned, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", pair_cosine().alias("sim"))
+    )
+    out = _ranked_topk(scored, 3)
+    return out.withColumn("rank", F.col("rank").cast("int"))

@@ -343,6 +343,73 @@ def test_blas_assignment_matches_declarative_argmax(spark):
     assert sorted(map(tuple, slow)) == sorted(map(tuple, fast))
 
 
+def test_2level_assignment_matches_flat_argmax(spark):
+    """assign_to_centroids_2level in probe-all mode (the exact
+    shuffle-join path — nothing corpus-proportional broadcast) must agree
+    with the flat broadcast argmax on every row, including round-6 ties
+    (→ lowest centroid_id) and zero-norm vectors (all-NULL sims → lowest
+    centroid_id globally).  The centroid join must be a keyed shuffle
+    join in the plan — the whole point is that the k ∝ n centroid table
+    never rides a broadcast."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.similarity import (
+        assign_to_centroids,
+        assign_to_centroids_2level,
+    )
+    from conftest import plan_of
+
+    dim, k = 8, 8
+    cents = spark.createDataFrame(
+        [(c, [1.0 if i == c else 0.0 for i in range(dim)]) for c in range(k)],
+        "centroid_id int, centroid array<double>",
+    )
+    base = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                F.when(F.lit(i) == F.col("id") % k, F.lit(10.0))
+                .otherwise(
+                    F.when(
+                        F.lit(i) == (F.col("id") + 3) % k,
+                        (F.col("id") % 7).cast("double"),
+                    ).otherwise(F.lit(0.0))
+                )
+                for i in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    edge = spark.createDataFrame(
+        [
+            (9_000_001, [0.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0]),
+            (9_000_002, [0.0] * dim),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = base.unionByName(edge)
+
+    flat = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_to_centroids(corpus, cents).collect()
+    }
+    two = assign_to_centroids_2level(corpus, cents, n_super=3)
+    got = {r["vec_id"]: r["cluster"] for r in two.collect()}
+    assert got == flat
+    assert got[9_000_001] == 2 and got[9_000_002] == 0
+    # scale shape: the centroid-side join is keyed, never broadcast
+    plan = plan_of(two)
+    assert "ShuffledHashJoin" in plan
+    # small probe: a unit-basis fixture is perfectly separable, so even
+    # probe-1 through spread seeds keeps most assignments — the recall
+    # knob degrades gracefully, it doesn't collapse
+    p1 = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_to_centroids_2level(
+            corpus, cents, n_super=3, n_probe_super=2
+        ).collect()
+    }
+    agree = sum(1 for v, c in p1.items() if flat[v] == c)
+    assert agree / len(flat) > 0.6
+
+
 def test_semantic_cell_report_flags_only_overfull_cells(spark):
     """The cell census (the guard's production monitor) reports every
     cell's size and marks exactly the cells the max_cell cap excludes —
