@@ -92,15 +92,22 @@ def quantize(df: DataFrame, codebook: DataFrame, vec_col: str = "embedding",
     ``xq`` (array<double>, the dequantized view searches use) — map-side
     only once the 1-row codebook is broadcast."""
     dv = as_double(F.col(vec_col))
-    out = df.crossJoin(F.broadcast(codebook))
+    # reserved aliases: an input frame that itself carries a 'lo' or 'hi'
+    # column would otherwise make the zip_with references ambiguous and
+    # fail analysis (same __-prefix convention as the pipeline scratch
+    # columns)
+    cb = codebook.select(
+        F.col("lo").alias("__cb_lo"), F.col("hi").alias("__cb_hi")
+    )
+    out = df.crossJoin(F.broadcast(cb))
     code = lambda x, lo, hi: _code(x, lo, hi, levels)  # noqa: E731
     deq = lambda x, lo, hi: F.when(hi == lo, lo).otherwise(  # noqa: E731
         lo + _code(x, lo, hi, levels) * (hi - lo) / float(levels)
     )
     return out.select(
         *df.columns,
-        _zip3(dv, F.col("lo"), F.col("hi"), code).cast("array<int>").alias("qcode"),
-        _zip3(dv, F.col("lo"), F.col("hi"), deq).alias("xq"),
+        _zip3(dv, F.col("__cb_lo"), F.col("__cb_hi"), code).cast("array<int>").alias("qcode"),
+        _zip3(dv, F.col("__cb_lo"), F.col("__cb_hi"), deq).alias("xq"),
     )
 
 
