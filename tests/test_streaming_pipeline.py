@@ -282,6 +282,87 @@ def test_ingest_to_queryable_within_two_triggers(spark, tmp_path):
         q.stop()
 
 
+def test_late_event_lands_in_old_event_date_partition(spark, tmp_path):
+    """Late-data drill under the real processing-time trigger cadence
+    (reference fidelity: stage partitions derive from the EVENT epoch
+    ``d`` — cdk_datalake_mvp_stack.py:214,232-234 — never from arrival
+    time): a record arriving in a LATER trigger with a 30-day-old event
+    timestamp must land in its old event-date partition directory, while
+    its raw-zone tee partitions by processing date (today) — the two
+    partition schemes must diverge on exactly this row."""
+    import datetime
+    import glob
+    import time
+
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.fixtures import (
+        soh_data,
+    )
+
+    def envelope(rid: str, data: str) -> dict:
+        return {
+            "recordId": rid, "packetId": 1, "deviceType": 1, "deviceId": 101,
+            "userApplicationId": 7, "organizationId": 42, "len": 64,
+            "status": 0, "hiveRxTime": "2023-11-14 22:00:00", "data": data,
+        }
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    lake = tmp_path / "lake"
+    trigger = 5
+    q = start_pipeline(
+        spark, str(landing), str(lake), str(tmp_path / "ckpt"),
+        trigger_seconds=trigger,
+    )
+
+    def stage_count() -> int:
+        try:
+            return spark.read.parquet(str(lake / "stage")).count()
+        except Exception:
+            return 0
+
+    try:
+        # trigger 1: an on-time record (event epoch 1700000000 → 2023-11-14)
+        with open(landing / "ontime.json", "w") as f:
+            f.write(json.dumps(envelope("rec-ontime", soh_data(0))) + "\n")
+        deadline = time.monotonic() + 120
+        while stage_count() < 1 and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert stage_count() >= 1, "on-time record never reached stage"
+
+        # trigger 2+: a LATE record — event epoch 30 days older
+        late_epoch = 1_700_000_000 - 30 * 86_400  # 2023-10-15 UTC
+        with open(landing / "late.json", "w") as f:
+            f.write(json.dumps(envelope("rec-late", soh_data(0, d=late_epoch))) + "\n")
+        t0 = time.monotonic()
+        while stage_count() < 2 and time.monotonic() - t0 < 2 * trigger + 30:
+            time.sleep(0.25)
+        assert stage_count() >= 2, "late record never reached stage"
+    finally:
+        q.stop()
+
+    stage = spark.read.parquet(str(lake / "stage"))
+    # the late row is the only one in its 30-day-old event-date partition
+    # (stage's 30-col schema drops recordId — raw zones keep it); partition
+    # values read back as ints
+    late = stage.filter(
+        (F.col("year") == 2023) & (F.col("month") == 10) & (F.col("day") == 15)
+    ).collect()
+    assert len(late) == 1
+    on_time = stage.filter(F.col("month") == 11)
+    assert on_time.count() == 1  # the trigger-1 row stayed in 2023-11-14
+    # the physical partition directory exists — late data appended to an
+    # OLD event-date prefix, exactly the Firehose dynamic-partitioning shape
+    assert glob.glob(str(lake / "stage" / "year=2023" / "month=10" / "day=15" / "*.parquet"))
+    # raw tee for the same record partitions by PROCESSING date = today
+    today = datetime.date.today()
+    raw = spark.read.json(str(lake / "raw" / "soh"))
+    raw_late = raw.filter(F.col("recordId") == "rec-late").collect()
+    assert len(raw_late) == 1
+    assert (raw_late[0]["year"], raw_late[0]["month"], raw_late[0]["day"]) == (
+        today.year, today.month, today.day,
+    )
+
+
 def test_max_bytes_per_trigger_splits_batches(spark, tmp_path):
     """maxBytesPerTrigger (Firehose's 64 MB size buffer,
     cdk_datalake_mvp_stack.py:167) must reach the file source: a byte cap
