@@ -244,7 +244,7 @@ def assign_to_centroids_blas(corpus: DataFrame, centroids: DataFrame,
 def assign_to_centroids_2level(corpus: DataFrame, centroids: DataFrame,
                                id_col: str = "vec_id",
                                vec_col: str = "embedding",
-                               n_super: int = 16,
+                               n_super: int | None = None,
                                n_probe_super: int | None = None) -> DataFrame:
     """Two-level IVF assignment — the distribution fix for k ∝ n centroid
     tables (VERDICT r5 "What's wrong" #3): when the centroid count grows
@@ -267,12 +267,19 @@ def assign_to_centroids_2level(corpus: DataFrame, centroids: DataFrame,
        argmax picks the cluster with the flat tie-break (sim DESC,
        centroid_id ASC, NULLs last).
 
-    ``n_probe_super=None`` (default) probes ALL super-cells: every
-    (vector, centroid) pair is scored, so assignments are IDENTICAL to
-    the flat argmax — including zero-norm vectors (all-NULL sims fall to
-    the globally lowest centroid_id) — while the plan is the pure
+    ``n_super=None`` (default) derives ⌈√k⌉ from one count of the
+    centroid table (a k-row action, nothing corpus-sized) — the balance
+    point where per-vector work is O(√k + probe·√k) instead of O(k).
+    ``n_probe_super=None`` probes ALL super-cells: every (vector,
+    centroid) pair is scored, so assignments are IDENTICAL to the flat
+    argmax — including zero-norm vectors (all-NULL sims fall to the
+    globally lowest centroid_id) — while the plan is the pure
     shuffle-join path.  Smaller probes trade recall for a
-    probe/n_super-fraction of the scoring work, the standard IVF knob.
+    probe/n_super-fraction of the scoring work, the standard IVF knob —
+    and at k ∝ n they are the point: probe-all re-scores all k
+    centroids per vector through the per-pair kernel (measured 43 s at
+    sf1/k=800 vs 4.4 s with √k seeds + probe-2, SCALE.md §7h), so the
+    production registration is dynamic √k + small probe.
 
     Skew: a dense region puts many centroids AND many vectors in one
     super-cell; the join keys on super_id, so AQE skew-join splitting
@@ -281,6 +288,10 @@ def assign_to_centroids_2level(corpus: DataFrame, centroids: DataFrame,
     Output contract matches :func:`assign_to_centroids`:
     (id_col, vd, vn, cluster).
     """
+    if n_super is None:
+        import math
+
+        n_super = math.ceil(math.sqrt(centroids.count()))
     if n_probe_super is None:
         n_probe_super = n_super
     # 1. seeds: every ⌈k/n_super⌉-th centroid by id — deterministic, one

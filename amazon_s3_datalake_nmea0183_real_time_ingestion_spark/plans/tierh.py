@@ -250,17 +250,42 @@ def x_lpa_guarded(spark: SparkSession, sf: str) -> DataFrame:
     "x_sim_ivf_2level",
     oracle="""
     WITH cent AS (
-      SELECT vec_id AS centroid_id, embedding AS centroid
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centroid
       FROM embeddings WHERE vec_id % 25 = 0),
-    assign AS (
-      SELECT vec_id, embedding, centroid_id AS cluster FROM (
-        SELECT e.vec_id, e.embedding, c.centroid_id,
+    ns AS (
+      SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n_super,
+             CAST(ceil(count(*) / ceil(sqrt(count(*)))) AS BIGINT) AS step
+      FROM cent),
+    seeds AS (
+      SELECT centroid_id AS super_id, centroid AS sv FROM (
+        SELECT centroid_id, centroid,
+               row_number() OVER (ORDER BY centroid_id) - 1 AS rn0
+        FROM cent), ns
+      WHERE rn0 % ns.step = 0),
+    tagged AS (
+      SELECT centroid_id, centroid, super_id FROM (
+        SELECT c.centroid_id, c.centroid, s.super_id,
+               row_number() OVER (
+                 PARTITION BY c.centroid_id
+                 ORDER BY round(list_cosine_similarity(c.centroid, s.sv), 6) DESC,
+                          s.super_id ASC) AS rn
+        FROM cent c CROSS JOIN seeds s) t WHERE rn = 1),
+    probed AS (
+      SELECT vec_id, embedding, super_id FROM (
+        SELECT e.vec_id, e.embedding, s.super_id,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]), 6) DESC,
-                          c.centroid_id ASC) AS rn
-        FROM embeddings e CROSS JOIN cent c) t
-      WHERE rn = 1)
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], s.sv), 6) DESC,
+                          s.super_id ASC) AS rn
+        FROM embeddings e CROSS JOIN seeds s) t WHERE rn <= 2),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT p.vec_id, p.embedding, t.centroid_id,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY round(list_cosine_similarity(p.embedding::DOUBLE[], t.centroid), 6) DESC,
+                          t.centroid_id ASC) AS rn
+        FROM probed p JOIN tagged t USING (super_id)) t WHERE rn = 1)
     SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
            CAST(row_number() OVER (
              PARTITION BY q.vec_id
@@ -275,19 +300,23 @@ def x_lpa_guarded(spark: SparkSession, sf: str) -> DataFrame:
 def x_sim_ivf_2level(spark: SparkSession, sf: str) -> DataFrame:
     """IVF probe-1 ANN over k ∝ n strided centroids (stride-25 — the
     constant-cell-size production seeding), with BOTH assignment stages
-    computed through the two-level shuffle-join path
-    (operators.similarity.assign_to_centroids_2level, probe-all = exact):
-    only the n_super-row seed table is ever broadcast; the
-    corpus-proportional centroid table is joined BY KEY.  Results are
-    identical to a flat-argmax IVF (probe-all is exact, proven rowwise in
-    test_scale_probes), so the oracle replays the flat formulation — the
-    key adjudicates that the scale-path plan computes the same answer.
+    computed through the two-level path
+    (operators.similarity.assign_to_centroids_2level): dynamic ⌈√k⌉
+    seed centroids are the only broadcast; each vector probes its 2
+    nearest super-cells and the corpus-proportional centroid table is
+    joined BY KEY.  The oracle replays the identical two-level
+    algorithm (seed selection, centroid tagging, probe-2, final argmax
+    — every layer round-6 + id tie-broken), so the approximate
+    assignment is itself adjudicated, not just the exact limit (the
+    probe-all = flat-argmax equivalence is proven rowwise in
+    test_scale_probes).
 
     Scale: the flat paths ship k ∝ n centroids to every task (broadcast
-    NLJ or collected matmul) — dead at 100 TB; here broadcast cost is
-    O(√k) seeds, centroid lookup is an AQE-skew-handled keyed join, and
-    the probe knob (n_probe_super < n_super) dials scoring work down by
-    probe/n_super when approximate assignment is acceptable.
+    NLJ or collected matmul) — dead at 100 TB; probe-all through the
+    per-pair kernel re-scores all k per vector (measured 43 s at
+    sf1/k=800).  √k seeds + probe-2 bound per-vector work at
+    O(√k + 2·k/√k) = O(√k): measured 4.4 s at sf1 — 10× over probe-all,
+    ratio 1.4× vs sf0.1's 3.2 s (SCALE.md §7h).
     """
     from ..operators.similarity import (
         _ranked_topk,
@@ -298,12 +327,12 @@ def x_sim_ivf_2level(spark: SparkSession, sf: str) -> DataFrame:
 
     e = table(spark, sf, "embeddings")
     cents = strided_centroids(e, stride=25)
-    assigned = assign_to_centroids_2level(e, cents, n_super=4).select(
+    assigned = assign_to_centroids_2level(e, cents, n_probe_super=2).select(
         F.col("vec_id").alias("neighbor_id"), F.col("vd").alias("cd"),
         F.col("vn").alias("cn"), "cluster",
     )
     q_assigned = assign_to_centroids_2level(
-        e.filter(F.col("vec_id") < 10), cents, n_super=4
+        e.filter(F.col("vec_id") < 10), cents, n_probe_super=2
     ).select(
         F.col("vec_id").alias("query_id"), F.col("vd").alias("qd"),
         F.col("vn").alias("qn"), "cluster",

@@ -136,6 +136,13 @@ HEADLINE = [
     "x_keywords_tfidf",
     "x_lang_mismatch",
     "x_embed_norms",
+    # round-6: composed curation pipeline, hub-guarded graph twins,
+    # two-level IVF (shuffle-join centroid path)
+    "x_curate_corpus",
+    "q_triangle_count_guarded",
+    "x_pagerank_guarded",
+    "x_lpa_guarded",
+    "x_sim_ivf_2level",
     # round-5 batch 4: corpus-version diff audit, per-source KL divergence
     "x_dataset_diff",
     "x_source_kl",
