@@ -241,6 +241,64 @@ def assign_to_centroids_blas(corpus: DataFrame, centroids: DataFrame,
     return corpus.select(id_col, vec_col).mapInPandas(_assign, out_schema)
 
 
+def _two_level_probe(corpus: DataFrame, centroids: DataFrame,
+                     id_col: str, vec_col: str,
+                     n_super: int | None,
+                     n_probe_super: int | None) -> tuple[DataFrame, DataFrame]:
+    """Stages 1-3 of the two-level assignment, shared by the declarative
+    and BLAS final-argmax variants: seed selection, centroid→super-cell
+    tagging, vector→top-probe super-cell routing.  Returns
+    (probed (id, vd, vn, super_id), tagged (centroid_id, ctd, ctn,
+    super_id)); see :func:`assign_to_centroids_2level` for semantics."""
+    if n_super is None:
+        import math
+
+        n_super = math.ceil(math.sqrt(centroids.count()))
+    if n_probe_super is None:
+        n_probe_super = n_super
+    # 1. seeds: every ⌈k/n_super⌉-th centroid by id — deterministic, one
+    # centroid-table-sized window, no collect of anything corpus-sized
+    wseed = Window.orderBy("centroid_id")
+    seeds = (
+        centroids.withColumn("__rn", F.row_number().over(wseed) - 1)
+        .withColumn("__k", F.count("*").over(Window.partitionBy()))
+        .filter(
+            F.col("__rn") % F.ceil(F.col("__k") / F.lit(n_super)).cast("int") == 0
+        )
+        .select(
+            F.col("centroid_id").alias("super_id"), F.col("centroid").alias("sv")
+        )
+    )
+    sp = prep_vectors(seeds, "super_id", "sv", "super_id", "sd", "sn")
+
+    def _nearest_super(df: DataFrame, idc: str, vcol: str, ncol: str,
+                       n_keep: int) -> DataFrame:
+        ssim = F.round(
+            F.try_divide(dot_double(F.col(vcol), F.col("sd")),
+                         F.col(ncol) * F.col("sn")), 6
+        )
+        scored = df.crossJoin(F.broadcast(sp)).select(
+            df["*"], F.col("super_id"), ssim.alias("__ssim")
+        )
+        w = Window.partitionBy(idc).orderBy(
+            F.col("__ssim").desc(), F.col("super_id").asc()
+        )
+        return (
+            scored.withColumn("__srn", F.row_number().over(w))
+            .filter(F.col("__srn") <= n_keep)
+            .drop("__ssim", "__srn")
+        )
+
+    # 2. tag centroids with their super-cell (nearest seed, probe-1)
+    cents = prep_vectors(centroids, "centroid_id", "centroid",
+                         "centroid_id", "ctd", "ctn")
+    tagged = _nearest_super(cents, "centroid_id", "ctd", "ctn", 1)
+    # 3. vectors probe their n_probe_super nearest super-cells
+    c = prep_vectors(corpus, id_col, vec_col, id_col, "vd", "vn")
+    probed = _nearest_super(c, id_col, "vd", "vn", n_probe_super)
+    return probed, tagged
+
+
 def assign_to_centroids_2level(corpus: DataFrame, centroids: DataFrame,
                                id_col: str = "vec_id",
                                vec_col: str = "embedding",
@@ -288,52 +346,9 @@ def assign_to_centroids_2level(corpus: DataFrame, centroids: DataFrame,
     Output contract matches :func:`assign_to_centroids`:
     (id_col, vd, vn, cluster).
     """
-    if n_super is None:
-        import math
-
-        n_super = math.ceil(math.sqrt(centroids.count()))
-    if n_probe_super is None:
-        n_probe_super = n_super
-    # 1. seeds: every ⌈k/n_super⌉-th centroid by id — deterministic, one
-    # centroid-table-sized window, no collect of anything corpus-sized
-    wseed = Window.orderBy("centroid_id")
-    seeds = (
-        centroids.withColumn("__rn", F.row_number().over(wseed) - 1)
-        .withColumn("__k", F.count("*").over(Window.partitionBy()))
-        .filter(
-            F.col("__rn") % F.ceil(F.col("__k") / F.lit(n_super)).cast("int") == 0
-        )
-        .select(
-            F.col("centroid_id").alias("super_id"), F.col("centroid").alias("sv")
-        )
+    probed, tagged = _two_level_probe(
+        corpus, centroids, id_col, vec_col, n_super, n_probe_super
     )
-    sp = prep_vectors(seeds, "super_id", "sv", "super_id", "sd", "sn")
-
-    def _nearest_super(df: DataFrame, idc: str, vcol: str, ncol: str,
-                       n_keep: int) -> DataFrame:
-        ssim = F.round(
-            F.try_divide(dot_double(F.col(vcol), F.col("sd")),
-                         F.col(ncol) * F.col("sn")), 6
-        )
-        scored = df.crossJoin(F.broadcast(sp)).select(
-            df["*"], F.col("super_id"), ssim.alias("__ssim")
-        )
-        w = Window.partitionBy(idc).orderBy(
-            F.col("__ssim").desc(), F.col("super_id").asc()
-        )
-        return (
-            scored.withColumn("__srn", F.row_number().over(w))
-            .filter(F.col("__srn") <= n_keep)
-            .drop("__ssim", "__srn")
-        )
-
-    # 2. tag centroids with their super-cell (nearest seed, probe-1)
-    cents = prep_vectors(centroids, "centroid_id", "centroid",
-                         "centroid_id", "ctd", "ctn")
-    tagged = _nearest_super(cents, "centroid_id", "ctd", "ctn", 1)
-    # 3. vectors probe their n_probe_super nearest super-cells
-    c = prep_vectors(corpus, id_col, vec_col, id_col, "vd", "vn")
-    probed = _nearest_super(c, id_col, "vd", "vn", n_probe_super)
     # 4. keyed shuffle join on super_id + exact argmax; the hint pins the
     # scale-path plan (without it the optimizer happily broadcasts a
     # "small" centroid frame on test data — the exact shape this
@@ -352,6 +367,101 @@ def assign_to_centroids_2level(corpus: DataFrame, centroids: DataFrame,
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(id_col, "vd", "vn", F.col("centroid_id").alias("cluster"))
+    )
+
+
+def assign_to_centroids_2level_blas(corpus: DataFrame, centroids: DataFrame,
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding",
+                                    n_super: int | None = None,
+                                    n_probe_super: int | None = None) -> DataFrame:
+    """Two-level assignment with the per-cell argmax computed as an
+    Arrow-batched BLAS matmul via COGROUPED ``applyInPandas`` — the fully
+    distributed exact k ∝ n kernel: unlike
+    :func:`assign_to_centroids_blas` (which collects the whole centroid
+    table driver-side), nothing corpus-proportional is broadcast OR
+    collected — vectors and centroids meet per super-cell through the
+    cogroup's keyed shuffle, and the inner loop is one
+    (cell_vectors × d) @ (d × cell_centroids) dgemm per cell instead of
+    the per-pair HOF fold.  This is the "route by super-cell first,
+    matmul within" composition SCALE.md §7h names: √k routing bounds
+    what any one task holds at one cell's centroids, BLAS absorbs the
+    n·(k/√k)·d multiply-adds.
+
+    Same contract and semantics as :func:`assign_to_centroids_2level`
+    (round-6 cosine, ties → lowest centroid_id, zero-norm → NULL-sim →
+    lowest id; output (id, vd, vn, cluster)), proven rowwise in
+    test_scale_probes.  Cross-cell resolution after the per-cell argmax
+    is a window over ≤ n_probe candidate rows per vector — negligible.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    probed, tagged = _two_level_probe(
+        corpus, centroids, id_col, vec_col, n_super, n_probe_super
+    )
+    out_schema = StructType(
+        [
+            StructField(id_col, probed.schema[id_col].dataType),
+            StructField("vd", ArrayType(DoubleType())),
+            StructField("vn", DoubleType()),
+            StructField("cluster", LongType()),
+            StructField("csim", DoubleType()),
+        ]
+    )
+
+    def _cell_argmax(vdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        if vdf.empty or cdf.empty:
+            return pd.DataFrame(
+                {c.name: pd.Series(dtype="object") for c in out_schema}
+            )
+        cdf = cdf.sort_values("centroid_id")  # first max = lowest id
+        C = np.array(cdf["ctd"].tolist(), dtype=np.float64)
+        cn = cdf["ctn"].to_numpy(dtype=np.float64)
+        cid = cdf["centroid_id"].to_numpy(dtype=np.int64)
+        V = np.array(vdf["vd"].tolist(), dtype=np.float64)
+        vn = vdf["vn"].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round((V @ C.T) / (vn[:, None] * cn[None, :]), 6)
+        # NULL-cosine semantics: zero norm either side → -inf, loses to
+        # every number; an all--inf row falls to the cell's lowest id —
+        # matching the window's DESC NULLS LAST + id tie-break
+        sims = np.where(np.isnan(sims), -np.inf, sims)
+        best = sims.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: vdf[id_col].values,
+                "vd": list(V),
+                "vn": vn,
+                "cluster": cid[best],
+                "csim": sims[np.arange(len(best)), best],
+            }
+        )
+
+    # both sides descend from the same seed frame; rename the centroid
+    # side's key so the cogroup's group expressions resolve by distinct
+    # NAMES (bare "super_id" on both sides trips the ambiguous-self-join
+    # analyzer check — the two attributes share lineage)
+    t = tagged.withColumnRenamed("super_id", "__c_super_id")
+    per_cell = (
+        probed.groupBy("super_id")
+        .cogroup(t.groupBy("__c_super_id"))
+        .applyInPandas(lambda v, c: _cell_argmax(v, c), out_schema)
+    )
+    # cross-cell pick: ≤ n_probe candidates per vector.  -inf (NULL-sim)
+    # candidates sort LAST under desc in both engines' float order — the
+    # only NaN source was mapped to -inf above, so Spark's NaN-greatest
+    # ordering quirk never applies.
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("csim").desc(), F.col("cluster").asc()
+    )
+    return (
+        per_cell.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "vd", "vn", "cluster")
     )
 
 

@@ -408,6 +408,26 @@ def test_2level_assignment_matches_flat_argmax(spark):
     }
     agree = sum(1 for v, c in p1.items() if flat[v] == c)
     assert agree / len(flat) > 0.6
+    # cogrouped-BLAS variant ("route by super-cell, matmul within"):
+    # rowwise-identical to the declarative path at BOTH probe settings —
+    # probe-all (= flat argmax, incl. ties + zero-norm) and probe-2
+    # (= the same approximation, candidate for candidate)
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.similarity import (
+        assign_to_centroids_2level_blas,
+    )
+
+    blas_all = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_to_centroids_2level_blas(corpus, cents, n_super=3).collect()
+    }
+    assert blas_all == flat
+    blas_p2 = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_to_centroids_2level_blas(
+            corpus, cents, n_super=3, n_probe_super=2
+        ).collect()
+    }
+    assert blas_p2 == p1
 
 
 def test_semantic_cell_report_flags_only_overfull_cells(spark):
