@@ -31,6 +31,21 @@ from ..functions.text import shingles_from_tokens, tokens
 SIMHASH_BITS = 60  # md5_i64 yields 60-bit non-negative hashes
 
 
+def cap_group_width(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop every row of groups wider than ``cap`` rows — the shared
+    hot-group guard under ``lsh_candidate_pairs(max_bucket=...)`` and
+    ``operators.graph.copurchase_pairs(max_basket=...)`` (one definition
+    so the guards stay in lockstep).  The width count is a window that
+    rides the same keyed exchange the caller's self-join needs, so the
+    guard adds no extra shuffle on the big side."""
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__gw", F.count("*").over(w))
+        .filter(F.col("__gw") <= cap)
+        .drop("__gw")
+    )
+
+
 def exact_dedup(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
     """Deterministic exact dedup: keep the first row per key group under
     ``order_by`` (C1 — duplicate heartbeats from retried downlinks)."""
@@ -110,12 +125,7 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id",
     the guard adds no extra exchange on the big side.
     """
     if max_bucket is not None:
-        w = Window.partitionBy("band_id", "band_sig")
-        bands = (
-            bands.withColumn("__bsz", F.count("*").over(w))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
+        bands = cap_group_width(bands, ["band_id", "band_sig"], max_bucket)
     a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_sig")
     b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_sig")
     return (

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def copurchase_pairs(li: DataFrame, key_col: str = "l_orderkey",
@@ -49,14 +48,11 @@ def copurchase_pairs(li: DataFrame, key_col: str = "l_orderkey",
     exhaustive keys are safe on the driver data; the guarded twins are
     the production registration).
     """
+    from .dedup import cap_group_width
+
     li = li.select(key_col, item_col).distinct()
     if max_basket is not None:
-        w = Window.partitionBy(key_col)
-        li = (
-            li.withColumn("__bw", F.count("*").over(w))
-            .filter(F.col("__bw") <= max_basket)
-            .drop("__bw")
-        )
+        li = cap_group_width(li, [key_col], max_basket)
     a, b = li.alias("a"), li.alias("b")
     same_key = F.col(f"a.{key_col}") == F.col(f"b.{key_col}")
     if directed:

@@ -250,24 +250,37 @@ def _two_level_probe(corpus: DataFrame, centroids: DataFrame,
     tagging, vector→top-probe super-cell routing.  Returns
     (probed (id, vd, vn, super_id), tagged (centroid_id, ctd, ctn,
     super_id)); see :func:`assign_to_centroids_2level` for semantics."""
-    if n_super is None:
-        import math
+    import math
 
-        n_super = math.ceil(math.sqrt(centroids.count()))
+    from ..functions.hashing import md5_u32
+
+    k = centroids.count()  # ONE k-row action; k folds into the plan as literals
+    if n_super is None:
+        n_super = math.ceil(math.sqrt(k))
     if n_probe_super is None:
         n_probe_super = n_super
-    # 1. seeds: every ⌈k/n_super⌉-th centroid by id — deterministic, one
-    # centroid-table-sized window, no collect of anything corpus-sized
-    wseed = Window.orderBy("centroid_id")
+    step = max(1, math.ceil(k / n_super))
+    # 1. seeds: hash-sampled centroids at rate 1/step — a map-side filter
+    # (NO global sort: a rank-based stride would need an unpartitioned
+    # row_number window, i.e. a single-task sort of the k ∝ n centroid
+    # table — the exact corpus-proportional bottleneck this function
+    # exists to avoid).  The component-wise min-id centroid is unioned in
+    # so the seed set is never empty regardless of hash luck (an aggregate,
+    # map-side combinable, not a sort).
+    sample = md5_u32(
+        F.concat(F.lit("seed:"), F.col("centroid_id").cast("string"))
+    ) % step == 0
+    first = centroids.join(
+        F.broadcast(centroids.agg(F.min("centroid_id").alias("centroid_id"))),
+        "centroid_id",
+    )
     seeds = (
-        centroids.withColumn("__rn", F.row_number().over(wseed) - 1)
-        .withColumn("__k", F.count("*").over(Window.partitionBy()))
-        .filter(
-            F.col("__rn") % F.ceil(F.col("__k") / F.lit(n_super)).cast("int") == 0
-        )
+        centroids.filter(sample)
+        .unionByName(first)
         .select(
             F.col("centroid_id").alias("super_id"), F.col("centroid").alias("sv")
         )
+        .dropDuplicates(["super_id"])
     )
     sp = prep_vectors(seeds, "super_id", "sv", "super_id", "sd", "sn")
 
@@ -289,10 +302,29 @@ def _two_level_probe(corpus: DataFrame, centroids: DataFrame,
             .drop("__ssim", "__srn")
         )
 
-    # 2. tag centroids with their super-cell (nearest seed, probe-1)
+    # 2. tag centroids with their super-cell (nearest seed, probe-1).
+    # Seeds always tag to THEMSELVES: under round-6 ties a seed with an
+    # identical twin would otherwise tag to the lower-id twin, leaving
+    # its own cell EMPTY — and a vector whose every probed cell is empty
+    # would silently vanish from the assignment (inner join).  Self-
+    # tagging guarantees each probed cell holds at least its seed, so no
+    # vector is ever dropped at any probe setting.
     cents = prep_vectors(centroids, "centroid_id", "centroid",
                          "centroid_id", "ctd", "ctn")
     tagged = _nearest_super(cents, "centroid_id", "ctd", "ctn", 1)
+    seed_ids = seeds.select(
+        F.col("super_id").alias("centroid_id"), F.lit(True).alias("__is_seed")
+    )
+    tagged = (
+        tagged.join(F.broadcast(seed_ids), "centroid_id", "left")
+        .withColumn(
+            "super_id",
+            F.when(F.col("__is_seed"), F.col("centroid_id")).otherwise(
+                F.col("super_id")
+            ),
+        )
+        .drop("__is_seed")
+    )
     # 3. vectors probe their n_probe_super nearest super-cells
     c = prep_vectors(corpus, id_col, vec_col, id_col, "vd", "vn")
     probed = _nearest_super(c, id_col, "vd", "vn", n_probe_super)
@@ -313,10 +345,12 @@ def assign_to_centroids_2level(corpus: DataFrame, centroids: DataFrame,
     long before 100 TB.  Here NOTHING corpus-proportional is ever
     broadcast or collected:
 
-    1. ``n_super`` SEED centroids (every ⌈k/n_super⌉-th centroid by id —
-       one window over the centroid-sized table) are the only broadcast;
+    1. ~``n_super`` SEED centroids — hash-sampled at rate ⌈k/n_super⌉⁻¹
+       by a map-side md5 filter (plus the min-id centroid so the set is
+       never empty; NO global-sort window) — are the only broadcast;
     2. each centroid is tagged with its nearest seed's super-cell
-       (map-side over the centroid table, broadcast seeds);
+       (map-side over the centroid table, broadcast seeds; seeds tag to
+       themselves so no cell is ever empty and no vector is dropped);
     3. each corpus vector probes its ``n_probe_super`` nearest super-cells
        (map-side, same broadcast seeds);
     4. vectors join their probed cells' centroids ON super_id — a keyed
@@ -335,9 +369,12 @@ def assign_to_centroids_2level(corpus: DataFrame, centroids: DataFrame,
     shuffle-join path.  Smaller probes trade recall for a
     probe/n_super-fraction of the scoring work, the standard IVF knob —
     and at k ∝ n they are the point: probe-all re-scores all k
-    centroids per vector through the per-pair kernel (measured 43 s at
-    sf1/k=800 vs 4.4 s with √k seeds + probe-2, SCALE.md §7h), so the
-    production registration is dynamic √k + small probe.
+    centroids per vector through the per-pair kernel (measured 21 s
+    assignment-only at sf1/k=800 vs 5.4 s with ~√k seeds + probe-2,
+    SCALE.md §7h), so the production registration is dynamic √k + small
+    probe — or the cogrouped BLAS kernel
+    (:func:`assign_to_centroids_2level_blas`) when exact probe-all
+    assignment is required.
 
     Skew: a dense region puts many centroids AND many vectors in one
     super-cell; the join keys on super_id, so AQE skew-join splitting
@@ -393,6 +430,15 @@ def assign_to_centroids_2level_blas(corpus: DataFrame, centroids: DataFrame,
     lowest id; output (id, vd, vn, cluster)), proven rowwise in
     test_scale_probes.  Cross-cell resolution after the per-cell argmax
     is a window over ≤ n_probe candidate rows per vector — negligible.
+
+    Known boundary (shared with :func:`assign_to_centroids_blas` and
+    documented in registry.py): ``np.round`` is ties-to-even on the
+    binary value while Spark's ``round`` is HALF_UP on the shortest
+    decimal repr, so a cosine landing EXACTLY on a 6th-decimal half-tie
+    (a dyadic like 1/128) can round one ulp apart and, if two centroids
+    then swap rank, pick a different cluster than the declarative path.
+    The driver's data never hits this knife edge; bit-parity would need
+    a per-element decimal round-trip in the kernel.
     """
     import numpy as np
     import pandas as pd

@@ -54,8 +54,9 @@ _NEEDS_VERDICT = [
 
 
 # Redundant probe-knob variants that should never displace a distinct
-# operator: none currently — x_sim_ivf2 is ordered explicitly above (51st,
-# behind every distinct-operator re-green but ahead of the r1 batch).
+# operator: none currently.  (x_sim_ivf2 got its fresh driver row in r5
+# and now sits in the unordered middle of the registry with the other
+# current keys — no explicit ordering needed.)
 _BACK: list[str] = []
 
 

@@ -253,17 +253,19 @@ def x_lpa_guarded(spark: SparkSession, sf: str) -> DataFrame:
       SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centroid
       FROM embeddings WHERE vec_id % 25 = 0),
     ns AS (
-      SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS n_super,
-             CAST(ceil(count(*) / ceil(sqrt(count(*)))) AS BIGINT) AS step
+      SELECT greatest(CAST(ceil(count(*) / ceil(sqrt(count(*)))) AS BIGINT), 1) AS step
       FROM cent),
     seeds AS (
-      SELECT centroid_id AS super_id, centroid AS sv FROM (
-        SELECT centroid_id, centroid,
-               row_number() OVER (ORDER BY centroid_id) - 1 AS rn0
-        FROM cent), ns
-      WHERE rn0 % ns.step = 0),
+      SELECT DISTINCT centroid_id AS super_id, centroid AS sv
+      FROM cent, ns
+      WHERE ('0x' || substr(md5('seed:' || CAST(centroid_id AS VARCHAR)), 1, 8))::BIGINT
+              % ns.step = 0
+         OR centroid_id = (SELECT min(centroid_id) FROM cent)),
     tagged AS (
-      SELECT centroid_id, centroid, super_id FROM (
+      SELECT centroid_id, centroid,
+             CASE WHEN EXISTS (SELECT 1 FROM seeds s2 WHERE s2.super_id = t.centroid_id)
+                  THEN centroid_id ELSE super_id END AS super_id
+      FROM (
         SELECT c.centroid_id, c.centroid, s.super_id,
                row_number() OVER (
                  PARTITION BY c.centroid_id
@@ -301,22 +303,23 @@ def x_sim_ivf_2level(spark: SparkSession, sf: str) -> DataFrame:
     """IVF probe-1 ANN over k ∝ n strided centroids (stride-25 — the
     constant-cell-size production seeding), with BOTH assignment stages
     computed through the two-level path
-    (operators.similarity.assign_to_centroids_2level): dynamic ⌈√k⌉
-    seed centroids are the only broadcast; each vector probes its 2
-    nearest super-cells and the corpus-proportional centroid table is
+    (operators.similarity.assign_to_centroids_2level): ~⌈√k⌉ seed
+    centroids (md5 hash-sampled map-side — no global-sort window — plus
+    the min-id centroid) are the only broadcast; each vector probes its
+    2 nearest super-cells and the corpus-proportional centroid table is
     joined BY KEY.  The oracle replays the identical two-level
-    algorithm (seed selection, centroid tagging, probe-2, final argmax
-    — every layer round-6 + id tie-broken), so the approximate
-    assignment is itself adjudicated, not just the exact limit (the
-    probe-all = flat-argmax equivalence is proven rowwise in
-    test_scale_probes).
+    algorithm (hash-sampled seeds, self-tagging centroid assignment,
+    probe-2, final argmax — every layer round-6 + id tie-broken), so
+    the approximate assignment is itself adjudicated, not just the
+    exact limit (the probe-all = flat-argmax equivalence is proven
+    rowwise in test_scale_probes).
 
     Scale: the flat paths ship k ∝ n centroids to every task (broadcast
     NLJ or collected matmul) — dead at 100 TB; probe-all through the
     per-pair kernel re-scores all k per vector (measured 43 s at
-    sf1/k=800).  √k seeds + probe-2 bound per-vector work at
-    O(√k + 2·k/√k) = O(√k): measured 4.4 s at sf1 — 10× over probe-all,
-    ratio 1.4× vs sf0.1's 3.2 s (SCALE.md §7h).
+    sf1/k=800).  ~√k seeds + probe-2 bound per-vector work at
+    O(√k + 2·k/√k) = O(√k): measured 5.9 s at sf1 — 7× over probe-all,
+    ratio 1.5× vs sf0.1's 3.9 s (SCALE.md §7h).
     """
     from ..operators.similarity import (
         _ranked_topk,
@@ -327,13 +330,16 @@ def x_sim_ivf_2level(spark: SparkSession, sf: str) -> DataFrame:
 
     e = table(spark, sf, "embeddings")
     cents = strided_centroids(e, stride=25)
-    assigned = assign_to_centroids_2level(e, cents, n_probe_super=2).select(
+    # per-vector assignment depends only on the centroid table, so the
+    # query side is a FILTER of the corpus-wide assignment — re-running
+    # the two-level chain for 10 queries would duplicate seed selection,
+    # tagging, and the probe join for nothing
+    asg = assign_to_centroids_2level(e, cents, n_probe_super=2)
+    assigned = asg.select(
         F.col("vec_id").alias("neighbor_id"), F.col("vd").alias("cd"),
         F.col("vn").alias("cn"), "cluster",
     )
-    q_assigned = assign_to_centroids_2level(
-        e.filter(F.col("vec_id") < 10), cents, n_probe_super=2
-    ).select(
+    q_assigned = asg.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("vd").alias("qd"),
         F.col("vn").alias("qn"), "cluster",
     )

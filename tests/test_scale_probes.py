@@ -430,6 +430,37 @@ def test_2level_assignment_matches_flat_argmax(spark):
     assert blas_p2 == p1
 
 
+def test_2level_no_vector_dropped_with_duplicate_centroids(spark):
+    """Duplicate centroid vectors create exact round-6 ties in seed
+    tagging; without the self-tagging rule a seed could tag to its
+    lower-id twin, leaving its own cell empty — and a probe-1 vector
+    routed there would silently vanish from the assignment.  Every input
+    vector must come out exactly once, in both kernels."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.similarity import (
+        assign_to_centroids_2level,
+        assign_to_centroids_2level_blas,
+    )
+
+    dim = 4
+    # 12 centroid ids over only 4 distinct vectors -> many exact ties
+    cents = spark.createDataFrame(
+        [(c, [1.0 if i == c % dim else 0.0 for i in range(dim)]) for c in range(12)],
+        "centroid_id int, centroid array<double>",
+    )
+    corpus = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                F.when(F.lit(i) == F.col("id") % dim, F.lit(5.0)).otherwise(F.lit(0.1))
+                for i in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    for fn in (assign_to_centroids_2level, assign_to_centroids_2level_blas):
+        out = fn(corpus, cents, n_super=6, n_probe_super=1)
+        assert out.count() == 200, fn.__name__
+
+
 def test_semantic_cell_report_flags_only_overfull_cells(spark):
     """The cell census (the guard's production monitor) reports every
     cell's size and marks exactly the cells the max_cell cap excludes —

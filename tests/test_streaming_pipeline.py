@@ -353,8 +353,12 @@ def test_late_event_lands_in_old_event_date_partition(spark, tmp_path):
     # the physical partition directory exists — late data appended to an
     # OLD event-date prefix, exactly the Firehose dynamic-partitioning shape
     assert glob.glob(str(lake / "stage" / "year=2023" / "month=10" / "day=15" / "*.parquet"))
-    # raw tee for the same record partitions by PROCESSING date = today
-    today = datetime.date.today()
+    # raw tee for the same record partitions by PROCESSING date = today —
+    # in UTC: the session pins spark.sql.session.timeZone=UTC, so
+    # current_timestamp-derived partitions are UTC dates (local
+    # date.today() would be a day behind for hours on any host west of
+    # UTC)
+    today = datetime.datetime.now(datetime.timezone.utc).date()
     raw = spark.read.json(str(lake / "raw" / "soh"))
     raw_late = raw.filter(F.col("recordId") == "rec-late").collect()
     assert len(raw_late) == 1
