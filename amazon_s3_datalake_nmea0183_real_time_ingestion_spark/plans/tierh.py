@@ -16,9 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
+from ..operators.dedup import connected_components_star, ngram_jaccard_pairs
 from ..operators.graph import copurchase_pairs
 from ..operators.pipeline_curate import curate_corpus
 from .registry import register, table
+from .tierc import _CORPUS3_SQL, _SHINGLES_SQL, _TOKS_SQL, _doc_corpus3
 from .tierd import _pagerank_oracle, pagerank_report
 from .tiere import _triangle_oracle, triangle_top50
 from .tierf import _lpa_oracle, lpa_top50
@@ -350,3 +354,74 @@ def x_sim_ivf_2level(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = _ranked_topk(scored, 3)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# alternating large-star/small-star CC as an adjudicated key — the
+# O(log n)-round long-diameter scale path under the same label contract
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_cluster_star",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS3_SQL}, {_TOKS_SQL}, {_SHINGLES_SQL},
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10),
+    csh AS (SELECT s.doc_id, s.shingle
+            FROM sh s JOIN rare r ON r.shingle = s.shingle),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM csh a JOIN csh b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b),
+    pairs AS (SELECT id_a, id_b FROM inter
+              JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+              WHERE n / (za.s + zb.s - n) >= 0.6),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.node),
+    lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           CAST(doc_id = cluster_id AS INT) AS is_canonical
+    FROM lab
+    """,
+)
+def x_dedup_cluster_star(spark: SparkSession, sf: str) -> DataFrame:
+    """x_dedup_cluster's long-diameter twin: the SAME cluster contract
+    (per-doc component id = component min, cluster size, canonical flag)
+    over the chain-planted corpus, but labels computed by the
+    ALTERNATING large-star/small-star scheme
+    (operators.dedup.connected_components_star — Kiveris et al.
+    SoCC'14), the O(log n)-round path a general 100 TB graph needs where
+    plain min-label propagation pays diameter-many rounds.  The oracle
+    is algorithm-independent (the relational reachability closure), so
+    the driver adjudicates that the star fixpoint lands on exactly the
+    min-label components.  Edge derivation is the GUARDED production
+    mode (``max_df=10`` rare-shingle inverted index, scores exact).
+
+    Scale: one star round = 2 window shuffles over the (shrinking) edge
+    list; convergence detection is the (count, bit_xor) signature
+    aggregate with the exact symmetric-difference check only at the
+    detected fixpoint (SCALE.md §7h); the chain fixture's planted
+    2-hop groups converge in ≤ 3 rounds, the 64-chain probe in ~6.
+    """
+    corpus = _doc_corpus3(spark, sf)
+    edges = ngram_jaccard_pairs(corpus, threshold=0.6, max_df=10).select(
+        "id_a", "id_b"
+    )
+    labels = connected_components_star(edges, corpus.select("doc_id"))
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
