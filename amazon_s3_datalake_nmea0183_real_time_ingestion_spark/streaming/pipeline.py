@@ -143,9 +143,20 @@ def process_batch(
     reference_compat_raw_tee: bool = True,
     tee_single_file: bool = False,
     maintain_rollup: bool = False,
+    stage_files_per_day: int = 1,
 ) -> PipelineBatchResult:
     """The foreachBatch body — the Lambda's records-in/records-out contract
-    re-expressed as declarative multi-sink writes."""
+    re-expressed as declarative multi-sink writes.
+
+    ``stage_files_per_day`` fans the stage write out to N writer tasks
+    (and so ≤ N files) per event-day partition per micro-batch.  The
+    default 1 mirrors Firehose's one-object-per-buffer-flush at
+    Lambda-scale volumes; at 100 TB/day a micro-batch concentrating on
+    one or two event days would funnel the whole batch through one task
+    per day — raise N so the day's volume spreads over N writers while
+    file count stays bounded (N per day per batch, not files × tasks).
+    The salt keys the repartition only; the directory layout (partitionBy
+    year/month/day) is unchanged."""
     classified = classify_records(batch)
     classified.persist()
     try:
@@ -166,12 +177,20 @@ def process_batch(
         stage, errors = build_stage_rows(soh, geo_dim)
         stage.persist()
         try:
+            # one shuffle on the event-date keys (+ a bounded salt when
+            # stage_files_per_day > 1) so each partition dir gets at most
+            # stage_files_per_day files per micro-batch — avoids both the
+            # files×tasks small-file explosion AND the one-task-per-day
+            # writer bottleneck at scale
+            if stage_files_per_day > 1:
+                to_write = stage.repartition(
+                    "year", "month", "day",
+                    F.pmod(F.xxhash64("deviceid"), F.lit(stage_files_per_day)),
+                )
+            else:
+                to_write = stage.repartition("year", "month", "day")
             (
-                # one shuffle on the event-date keys so each partition dir gets
-                # one file per micro-batch (matches Firehose's 64 MB buffering
-                # intent; avoids the files×tasks small-file explosion at scale)
-                stage.repartition("year", "month", "day")
-                .write.mode("append")
+                to_write.write.mode("append")
                 .partitionBy("year", "month", "day")
                 .parquet(os.path.join(lake_dir, "stage"))
             )
@@ -215,6 +234,7 @@ def start_pipeline(
     results: list[PipelineBatchResult] | None = None,
     tee_single_file: bool = False,
     maintain_rollup: bool = False,
+    stage_files_per_day: int = 1,
     maintain_every_n_batches: int | None = None,
     maintenance_catalog_tables: list[str] | None = None,
     maintenance_reports: list[dict] | None = None,
@@ -253,7 +273,8 @@ def start_pipeline(
     def _on_batch(batch: DataFrame, batch_id: int) -> None:
         res = process_batch(batch, batch_id, lake_dir, geo_dim,
                             tee_single_file=tee_single_file,
-                            maintain_rollup=maintain_rollup)
+                            maintain_rollup=maintain_rollup,
+                            stage_files_per_day=stage_files_per_day)
         if results is not None:
             results.append(res)
         if maintain_every_n_batches and (batch_id + 1) % maintain_every_n_batches == 0:

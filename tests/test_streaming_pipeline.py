@@ -367,6 +367,60 @@ def test_late_event_lands_in_old_event_date_partition(spark, tmp_path):
     )
 
 
+def test_stage_files_per_day_fans_out_bounded(spark, tmp_path):
+    """stage_files_per_day=N spreads one event-day's stage write over up
+    to N writer tasks (and so ≤ N files) instead of funneling the whole
+    day through one task — the 100 TB writer-bottleneck knob.  Directory
+    layout and rows are unchanged; file count per day partition is
+    bounded by N and > 1 (the fan-out actually happened)."""
+    import glob
+    import os
+
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.geocode import (
+        build_geo_dim,
+    )
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.fixtures import (
+        envelope_df,
+    )
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.streaming.pipeline import (
+        process_batch,
+    )
+
+    lake = tmp_path / "lake"
+    env = envelope_df(spark, n_soh=24, n_sensor=0, n_unknown=0)
+    # at test scale AQE would coalesce the tiny salted shuffle partitions
+    # back together (at production volumes they're large and stay split) —
+    # pin it off so file count == salt-group count deterministically
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        res = process_batch(env, 0, str(lake), build_geo_dim(spark),
+                            reference_compat_raw_tee=False,
+                            stage_files_per_day=4)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert res.counts == {"soh": 24}
+    stage = spark.read.parquet(str(lake / "stage"))
+    assert stage.count() == 24
+    # per day dir: exactly one file per (salt-group present that day),
+    # bounded by stage_files_per_day (fixture has 3 distinct devices)
+    expected = {
+        (r["year"], r["month"], r["day"]): r["n"]
+        for r in stage.groupBy("year", "month", "day")
+        .agg(F.count_distinct(F.pmod(F.xxhash64("deviceid"), F.lit(4))).alias("n"))
+        .collect()
+    }
+    day_dirs = glob.glob(str(lake / "stage" / "year=*" / "month=*" / "day=*"))
+    assert day_dirs
+    fanned = 0
+    for d in day_dirs:
+        parts = dict(p.split("=") for p in d.split("/")[-3:])
+        key = (int(parts["year"]), int(parts["month"]), int(parts["day"]))
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == expected[key] <= 4, (d, len(files), expected[key])
+        fanned = max(fanned, len(files))
+    assert fanned >= 2  # the fan-out actually happened somewhere
+
+
 def test_max_bytes_per_trigger_splits_batches(spark, tmp_path):
     """maxBytesPerTrigger (Firehose's 64 MB size buffer,
     cdk_datalake_mvp_stack.py:167) must reach the file source: a byte cap
