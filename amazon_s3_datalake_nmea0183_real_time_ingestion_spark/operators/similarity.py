@@ -258,7 +258,12 @@ def _two_level_probe(corpus: DataFrame, centroids: DataFrame,
     if n_super is None:
         n_super = math.ceil(math.sqrt(k))
     if n_probe_super is None:
-        n_probe_super = n_super
+        # probe-ALL means all ACTUAL cells: hash sampling yields ~n_super
+        # seeds but can overshoot it, and capping the probe at n_super
+        # would silently skip the surplus cells — "exact" mode would be
+        # approximate exactly when hash luck runs high.  k bounds the
+        # seed count for any sampling outcome.
+        n_probe_super = k
     step = max(1, math.ceil(k / n_super))
     # 1. seeds: hash-sampled centroids at rate 1/step — a map-side filter
     # (NO global sort: a rank-based stride would need an unpartitioned

@@ -33,7 +33,7 @@ _NEEDS_VERDICT = [
     # registration; _front_load skips any not yet in REGISTRY)
     "x_curate_corpus",
     "q_triangle_count_guarded", "x_pagerank_guarded", "x_lpa_guarded",
-    "x_sim_ivf_2level", "x_dedup_cluster_star",
+    "x_sim_ivf_2level", "x_dedup_cluster_star", "x_sim_ivf_2level_exact",
     # Oldest rows (latest = r3; CORRECTNESS_r03 insertion order) fill the
     # remaining 35 slots
     "x_dataset_card", "x_decontaminate_near", "x_chunk_documents",

@@ -356,6 +356,77 @@ def x_sim_ivf_2level(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register(
+    "x_sim_ivf_2level_exact",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centroid
+      FROM embeddings WHERE vec_id % 25 = 0),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) t
+      WHERE rn = 1)
+    SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) DESC,
+                      a.vec_id ASC) AS INT) AS rank,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS sim
+    FROM assign q JOIN assign a ON a.cluster = q.cluster AND a.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+    QUALIFY rank <= 3
+    """,
+)
+def x_sim_ivf_2level_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """x_sim_ivf_2level's EXACT twin: the same IVF probe-1 search over
+    k ∝ n strided centroids, with assignment computed by the cogrouped
+    BLAS kernel in probe-ALL mode
+    (operators.similarity.assign_to_centroids_2level_blas) — every
+    (vector, centroid) pair scored through a per-super-cell dgemm, so
+    assignments equal the flat argmax and the oracle is the flat
+    formulation.  This key puts the third sanctioned Python-eval
+    contract (cogrouped applyInPandas matmul) under driver
+    adjudication, not just pytest.
+
+    Scale: the exact k ∝ n assignment the flat paths can't distribute —
+    nothing corpus-proportional broadcast or collected; measured 4.6 s
+    at sf1/k=800 vs 21.4 s through the declarative per-pair fold
+    (SCALE.md §7h).  np.round's ties-to-even vs Spark HALF_UP on exact
+    6th-decimal dyadic half-ties is the documented knife edge
+    (registry.py; the driver's data never lands on it).
+    """
+    from ..operators.similarity import (
+        _ranked_topk,
+        assign_to_centroids_2level_blas,
+        pair_cosine,
+        strided_centroids,
+    )
+
+    e = table(spark, sf, "embeddings")
+    cents = strided_centroids(e, stride=25)
+    asg = assign_to_centroids_2level_blas(e, cents)  # probe-all = exact
+    assigned = asg.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vd").alias("cd"),
+        F.col("vn").alias("cn"), "cluster",
+    )
+    q_assigned = asg.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("vd").alias("qd"),
+        F.col("vn").alias("qn"), "cluster",
+    )
+    scored = (
+        assigned.join(q_assigned, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", pair_cosine().alias("sim"))
+    )
+    out = _ranked_topk(scored, 3)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # alternating large-star/small-star CC as an adjudicated key — the
 # O(log n)-round long-diameter scale path under the same label contract
