@@ -21,7 +21,7 @@ from . import tierh  # noqa: F401,E402
 #   2. round-6 new keys (curate_corpus pipeline, guarded graph twins,
 #      2-level IVF) — first driver row;
 #   3. the oldest r3-era rows (CORRECTNESS_r03 insertion order) fill the
-#      remaining slots.
+#      remaining slots (33 with the 7 Tier H keys registered).
 # The 100 keys adjudicated in r4/r5 are green on current data and pay no
 # window rent.
 _NEEDS_VERDICT = [
