@@ -225,6 +225,37 @@ def token_budget_select(df: DataFrame, score_col: str, token_col: str = "n_token
     )
 
 
+def curriculum_order(df: DataFrame, score_col: str, id_col: str = "doc_id",
+                     n_shards: int = 8, salt: str = "curr") -> DataFrame:
+    """Curriculum data ordering, the distributed way: shard assignment is
+    a HASH (content-agnostic, stable under appends — same md5 scheme as
+    :func:`hash_split`), and the curriculum lives WITHIN each shard as a
+    rank over ``(score_col, id_col)`` — ascending score, so a training
+    loop reading each shard in ``curriculum_pos`` order sees easy/low
+    items first (sequence-level curriculum / quality warmup).
+
+    Adds ``shard`` (int) and ``curriculum_pos`` (1-based within shard).
+
+    Scale: the naive formulation — a GLOBAL ntile over score — needs a
+    corpus-wide total order (one-task sort in any engine).  Hashed
+    shards + per-shard windows keep every step at shard granularity: one
+    keyed shuffle, n_shards-way parallel sorts, no global ordering
+    anywhere.  Each shard is an unbiased corpus sample (hash
+    assignment), so per-shard curricula are statistically equivalent to
+    the global one — the same argument as hash-split's.
+    """
+    shard = (
+        md5_u32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+        % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    return df.withColumn("shard", shard).withColumn(
+        "curriculum_pos", F.row_number().over(w)
+    )
+
+
 def write_training_shards(df: DataFrame, path: str, order_col: str = "doc_id",
                           n_shards: int = 8,
                           max_records_per_file: int | None = None) -> None:

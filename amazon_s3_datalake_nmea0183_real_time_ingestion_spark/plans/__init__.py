@@ -21,7 +21,7 @@ from . import tierh  # noqa: F401,E402
 #   2. round-6 new keys (curate_corpus pipeline, guarded graph twins,
 #      2-level IVF) — first driver row;
 #   3. the oldest r3-era rows (CORRECTNESS_r03 insertion order) fill the
-#      remaining slots (33 with the 7 Tier H keys registered).
+#      remaining slots (32 with the 8 Tier H keys registered).
 # The 100 keys adjudicated in r4/r5 are green on current data and pay no
 # window rent.
 _NEEDS_VERDICT = [
@@ -34,6 +34,7 @@ _NEEDS_VERDICT = [
     "x_curate_corpus",
     "q_triangle_count_guarded", "x_pagerank_guarded", "x_lpa_guarded",
     "x_sim_ivf_2level", "x_dedup_cluster_star", "x_sim_ivf_2level_exact",
+    "x_curriculum_shards",
     # Oldest rows (latest = r3; CORRECTNESS_r03 insertion order) fill the
     # remaining 35 slots
     "x_dataset_card", "x_decontaminate_near", "x_chunk_documents",

@@ -427,6 +427,94 @@ def x_sim_ivf_2level_exact(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register(
+    "x_curriculum_shards",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
+      FROM documents),
+    q AS (
+      SELECT doc_id, len(t) AS n_tok,
+             -0.4::DOUBLE
+               + 2.5::DOUBLE * (len(list_filter(t, x -> list_contains(
+                   ['the','a','of','and','to','in','is','it','that','for'], x)))
+                  / greatest(len(t), 1))
+               + 0.15::DOUBLE * (length(text) / greatest(len(t), 1))
+               + (0.6::DOUBLE * len(list_filter(t, x -> x = 'fast'))
+                  + -0.7::DOUBLE * len(list_filter(t, x -> x = 'slow'))
+                  + 0.4::DOUBLE * len(list_filter(t, x -> x = 'spark'))
+                  + 0.2::DOUBLE * len(list_filter(t, x -> x = 'data'))
+                  + -0.1::DOUBLE * len(list_filter(t, x -> x = 'big')))
+                 / greatest(len(t), 1) AS quality,
+             ('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+      FROM toks),
+    agg AS (
+      SELECT shard, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+             round(min(quality), 6) AS q_min, round(max(quality), 6) AS q_max
+      FROM q GROUP BY shard),
+    fr AS (SELECT shard, doc_id AS first_doc FROM (
+             SELECT shard, doc_id, row_number() OVER (
+               PARTITION BY shard ORDER BY quality ASC, doc_id ASC) AS rn
+             FROM q) t WHERE rn = 1),
+    la AS (SELECT shard, doc_id AS last_doc FROM (
+             SELECT shard, doc_id, row_number() OVER (
+               PARTITION BY shard ORDER BY quality DESC, doc_id DESC) AS rn
+             FROM q) t WHERE rn = 1)
+    SELECT CAST(a.shard AS INT) AS shard,
+           CAST(a.n_docs AS BIGINT) AS n_docs,
+           CAST(a.n_tokens AS BIGINT) AS n_tokens,
+           CAST(fr.first_doc AS BIGINT) AS first_doc,
+           CAST(la.last_doc AS BIGINT) AS last_doc,
+           a.q_min, a.q_max
+    FROM agg a JOIN fr USING (shard) JOIN la USING (shard)
+    """,
+)
+def x_curriculum_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum data ordering (operators.curation.curriculum_order):
+    hashed shard assignment + within-shard ascending-quality rank — the
+    distributed formulation of "order training data easy→hard" (a global
+    score ntile would need a corpus-wide one-task sort; hashed shards
+    make each shard an unbiased sample with its own n_shards-way
+    parallel curriculum).  Reported per shard: doc/token counts, the
+    first and last documents in curriculum order (min/max by
+    (quality, doc_id) — the rows a training loop reads first/last), and
+    the quality envelope.
+
+    Scale: one keyed shuffle on shard + per-shard window; the report is
+    a shard-keyed agg with min_by/max_by riding the same exchange.
+    Quality is the raw libm-free logit (functions/text.py) — comparisons
+    are bit-identical cross-engine, only the reported envelope rounds.
+    """
+    from ..functions.text import quality_logit, tokens
+    from ..operators.curation import curriculum_order
+
+    d = table(spark, sf, "documents")
+    # token array materialized as an attribute FIRST — quality_logit's
+    # filter lambdas would otherwise re-tokenize per element (the HOF
+    # re-evaluation trap in the verify-skill gotcha list)
+    toked = d.select("doc_id", "text", tokens("text").alias("__t"))
+    scored = toked.select(
+        "doc_id",
+        F.size("__t").alias("n_tok"),
+        quality_logit(F.col("__t"), F.col("text")).alias("quality"),
+    )
+    ordered = curriculum_order(scored, "quality", n_shards=8)
+    return (
+        ordered.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.expr("min_by(doc_id, struct(quality, doc_id))").alias("first_doc"),
+            F.expr("max_by(doc_id, struct(quality, doc_id))").alias("last_doc"),
+            F.round(F.min("quality"), 6).alias("q_min"),
+            F.round(F.max("quality"), 6).alias("q_max"),
+        )
+        .select("shard", "n_docs", "n_tokens", "first_doc", "last_doc",
+                "q_min", "q_max")
+    )
+
+
 # ---------------------------------------------------------------------------
 # alternating large-star/small-star CC as an adjudicated key — the
 # O(log n)-round long-diameter scale path under the same label contract

@@ -145,6 +145,7 @@ HEADLINE = [
     "x_sim_ivf_2level",
     "x_dedup_cluster_star",
     "x_sim_ivf_2level_exact",
+    "x_curriculum_shards",
     # round-5 batch 4: corpus-version diff audit, per-source KL divergence
     "x_dataset_diff",
     "x_source_kl",

@@ -299,3 +299,36 @@ def test_chunk_documents_covers_every_token_once(spark):
         assert sum(c["chunk_len"] for c in chunks) == n       # full coverage
         for a, b in zip(chunks, chunks[1:]):
             assert b["chunk_start"] == a["chunk_start"] + a["chunk_len"]
+
+
+def test_curriculum_order_within_shard_monotone_and_stable(spark):
+    """curriculum_order: positions are 1..n within every shard, score is
+    non-decreasing along curriculum_pos, shard assignment matches the
+    hash contract, and the ordering is invariant to input row order
+    (hash + rank, no nondeterminism)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.curation import (
+        curriculum_order,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        # scores with deliberate TIES (id % 7) so the doc_id tiebreak matters
+        (F.col("id") % 7).cast("double").alias("score"),
+    )
+    out = curriculum_order(df, "score", n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4)) and len(out) == 200
+    for shard, rows in by_shard.items():
+        rows = sorted(rows, key=lambda r: r["curriculum_pos"])
+        assert [r["curriculum_pos"] for r in rows] == list(range(1, len(rows) + 1))
+        key = [(r["score"], r["doc_id"]) for r in rows]
+        assert key == sorted(key)  # ascending (score, id) curriculum
+    # stability: a reshuffled input yields the identical assignment
+    reshuffled = curriculum_order(
+        df.orderBy(F.col("doc_id").desc()).repartition(7), "score", n_shards=4
+    ).collect()
+    assert {(r["doc_id"], r["shard"], r["curriculum_pos"]) for r in out} == {
+        (r["doc_id"], r["shard"], r["curriculum_pos"]) for r in reshuffled
+    }
