@@ -332,7 +332,13 @@ def _two_level_probe(corpus: DataFrame, centroids: DataFrame,
     )
     # 3. vectors probe their n_probe_super nearest super-cells
     c = prep_vectors(corpus, id_col, vec_col, id_col, "vd", "vn")
-    probed = _nearest_super(c, id_col, "vd", "vn", n_probe_super)
+    if n_probe_super >= k:
+        # probe-ALL: every vector visits every cell by definition — skip
+        # the seed scoring AND the per-vector row_number window (which
+        # would shuffle+sort corpus × seeds rows only to keep them all)
+        probed = c.crossJoin(F.broadcast(seeds.select("super_id")))
+    else:
+        probed = _nearest_super(c, id_col, "vd", "vn", n_probe_super)
     return probed, tagged
 
 

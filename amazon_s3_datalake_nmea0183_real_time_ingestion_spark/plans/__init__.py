@@ -36,7 +36,7 @@ _NEEDS_VERDICT = [
     "x_sim_ivf_2level", "x_dedup_cluster_star", "x_sim_ivf_2level_exact",
     "x_curriculum_shards",
     # Oldest rows (latest = r3; CORRECTNESS_r03 insertion order) fill the
-    # remaining 35 slots
+    # remaining 32 slots
     "x_dataset_card", "x_decontaminate_near", "x_chunk_documents",
     "x_multimodal_decode", "x_dedup_ledger_near", "q_funnel", "q_retention",
     "q_gapfill", "x_scd2", "x_bm25", "x_surprisal", "x_dedup_best",
@@ -45,8 +45,9 @@ _NEEDS_VERDICT = [
     "x_dedup_url", "q_histogram", "q_join_asof_near",
     "q_scan_prune", "q_project_filter", "q_join_inner", "q_join_left",
     "q_join_semi", "q_join_anti", "q_join_range", "q_join_asof",
-    "q_agg_basic", "q_agg_distinct", "q_agg_approx", "q_agg_rollup",
-    # --- 50-slot window closes here for round 6 ---
+    "q_agg_basic",
+    # --- 50-slot window closes here for round 6 (18 priority + 32 r3) ---
+    "q_agg_distinct", "q_agg_approx", "q_agg_rollup",
     "q_agg_cube", "q_win_rank", "q_win_lag", "q_win_rolling",
     "q_topk", "q_union", "q_intersect", "q_except",
     "q_fn_string", "q_fn_datetime", "q_fn_math", "q_fn_haversine",

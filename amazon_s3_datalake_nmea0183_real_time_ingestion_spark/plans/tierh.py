@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 from ..operators.dedup import connected_components_star, ngram_jaccard_pairs
 from ..operators.graph import copurchase_pairs
 from ..operators.pipeline_curate import curate_corpus
+from ..operators.similarity import _ranked_topk, pair_cosine
 from .registry import register, table
 from .tierc import _CORPUS3_SQL, _SHINGLES_SQL, _TOKS_SQL, _doc_corpus3
 from .tierd import _pagerank_oracle, pagerank_report
@@ -32,23 +33,31 @@ from .tierf import _lpa_oracle, lpa_top50
 # cluster-wise decontaminate → cluster-safe split, reported as the funnel
 # ---------------------------------------------------------------------------
 
+# DuckDB expression replaying functions.text.quality_logit over a token
+# list `t` and raw `text` — ONE definition for every tierh oracle that
+# gates or scores on the logit, so a QUALITY_LEXICON weight change edits
+# one SQL block.  (tierc's x_quality_model and tierd's collapse oracle
+# predate this fragment and decompose the same arithmetic through their
+# own CTE shapes — same constants, structurally different SQL.)
+_QUALITY_LOGIT_SQL = """-0.4::DOUBLE
+               + 2.5::DOUBLE * (len(list_filter(t, x -> list_contains(
+                   ['the','a','of','and','to','in','is','it','that','for'], x)))
+                  / greatest(len(t), 1))
+               + 0.15::DOUBLE * (length(text) / greatest(len(t), 1))
+               + (0.6::DOUBLE * len(list_filter(t, x -> x = 'fast'))
+                  + -0.7::DOUBLE * len(list_filter(t, x -> x = 'slow'))
+                  + 0.4::DOUBLE * len(list_filter(t, x -> x = 'spark'))
+                  + 0.2::DOUBLE * len(list_filter(t, x -> x = 'data'))
+                  + -0.1::DOUBLE * len(list_filter(t, x -> x = 'big')))
+                 / greatest(len(t), 1)"""
+
 # quality gate: keep logit > 0 (functions/text.py::quality_logit — fixed
 # IEEE evaluation order, identical bits in both engines)
-_GATE_SQL = """
+_GATE_SQL = f"""
     gated AS (
       SELECT doc_id, text, t FROM (
         SELECT doc_id, text, t,
-               -0.4::DOUBLE
-                 + 2.5::DOUBLE * (len(list_filter(t, x -> list_contains(
-                     ['the','a','of','and','to','in','is','it','that','for'], x)))
-                    / greatest(len(t), 1))
-                 + 0.15::DOUBLE * (length(text) / greatest(len(t), 1))
-                 + (0.6::DOUBLE * len(list_filter(t, x -> x = 'fast'))
-                    + -0.7::DOUBLE * len(list_filter(t, x -> x = 'slow'))
-                    + 0.4::DOUBLE * len(list_filter(t, x -> x = 'spark'))
-                    + 0.2::DOUBLE * len(list_filter(t, x -> x = 'data'))
-                    + -0.1::DOUBLE * len(list_filter(t, x -> x = 'big')))
-                   / greatest(len(t), 1) AS logit
+               {_QUALITY_LOGIT_SQL} AS logit
         FROM toks) WHERE logit > 0.0)
 """
 
@@ -326,19 +335,32 @@ def x_sim_ivf_2level(spark: SparkSession, sf: str) -> DataFrame:
     ratio 1.5× vs sf0.1's 3.9 s (SCALE.md §7h).
     """
     from ..operators.similarity import (
-        _ranked_topk,
         assign_to_centroids_2level,
-        pair_cosine,
         strided_centroids,
     )
 
     e = table(spark, sf, "embeddings")
     cents = strided_centroids(e, stride=25)
-    # per-vector assignment depends only on the centroid table, so the
-    # query side is a FILTER of the corpus-wide assignment — re-running
-    # the two-level chain for 10 queries would duplicate seed selection,
-    # tagging, and the probe join for nothing
-    asg = assign_to_centroids_2level(e, cents, n_probe_super=2)
+    return _ivf_probe1_report(assign_to_centroids_2level(e, cents, n_probe_super=2))
+
+
+def _ivf_probe1_report(asg: DataFrame, k: int = 3) -> DataFrame:
+    """Probe-1 IVF top-k report body over an assignment frame
+    (vec_id, vd, vn, cluster) — shared by the two-level keys so the
+    query filter / self-pair exclusion / rank cast live once.
+
+    The assignment is materialized once (lazy localCheckpoint): it feeds
+    BOTH join sides, and the query side is a filter of the corpus-wide
+    frame — without the cut, each consumer re-runs the whole two-level
+    chain (for the BLAS variant, Pandas stages never collapse via
+    ReuseExchange — the semantic_dedup lesson, measured 2.4× there).
+
+    Zero-norm boundary (registry.py, shared with every x_sim_* sibling):
+    engine sims are NULL via try_divide and rank last; DuckDB
+    list_cosine_similarity would emit NaN and rank it first.  The
+    driver's embeddings contain no zero vectors, so the divergence is
+    documented, not defended."""
+    asg = asg.localCheckpoint(eager=False)
     assigned = asg.select(
         F.col("vec_id").alias("neighbor_id"), F.col("vd").alias("cd"),
         F.col("vn").alias("cn"), "cluster",
@@ -352,7 +374,7 @@ def x_sim_ivf_2level(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", pair_cosine().alias("sim"))
     )
-    out = _ranked_topk(scored, 3)
+    out = _ranked_topk(scored, k)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -401,52 +423,27 @@ def x_sim_ivf_2level_exact(spark: SparkSession, sf: str) -> DataFrame:
     (registry.py; the driver's data never lands on it).
     """
     from ..operators.similarity import (
-        _ranked_topk,
         assign_to_centroids_2level_blas,
-        pair_cosine,
         strided_centroids,
     )
 
     e = table(spark, sf, "embeddings")
     cents = strided_centroids(e, stride=25)
-    asg = assign_to_centroids_2level_blas(e, cents)  # probe-all = exact
-    assigned = asg.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("vd").alias("cd"),
-        F.col("vn").alias("cn"), "cluster",
-    )
-    q_assigned = asg.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("vd").alias("qd"),
-        F.col("vn").alias("qn"), "cluster",
-    )
-    scored = (
-        assigned.join(q_assigned, "cluster")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", pair_cosine().alias("sim"))
-    )
-    out = _ranked_topk(scored, 3)
-    return out.withColumn("rank", F.col("rank").cast("int"))
+    # probe-all = exact; _ivf_probe1_report localCheckpoints the
+    # assignment so the per-cell dgemm runs once, not per join side
+    return _ivf_probe1_report(assign_to_centroids_2level_blas(e, cents))
 
 
 @register(
     "x_curriculum_shards",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, text,
              list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
       FROM documents),
     q AS (
       SELECT doc_id, len(t) AS n_tok,
-             -0.4::DOUBLE
-               + 2.5::DOUBLE * (len(list_filter(t, x -> list_contains(
-                   ['the','a','of','and','to','in','is','it','that','for'], x)))
-                  / greatest(len(t), 1))
-               + 0.15::DOUBLE * (length(text) / greatest(len(t), 1))
-               + (0.6::DOUBLE * len(list_filter(t, x -> x = 'fast'))
-                  + -0.7::DOUBLE * len(list_filter(t, x -> x = 'slow'))
-                  + 0.4::DOUBLE * len(list_filter(t, x -> x = 'spark'))
-                  + 0.2::DOUBLE * len(list_filter(t, x -> x = 'data'))
-                  + -0.1::DOUBLE * len(list_filter(t, x -> x = 'big')))
-                 / greatest(len(t), 1) AS quality,
+             {_QUALITY_LOGIT_SQL} AS quality,
              ('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
       FROM toks),
     agg AS (

@@ -416,7 +416,10 @@ def test_stage_files_per_day_fans_out_bounded(spark, tmp_path):
         parts = dict(p.split("=") for p in d.split("/")[-3:])
         key = (int(parts["year"]), int(parts["month"]), int(parts["day"]))
         files = glob.glob(os.path.join(d, "*.parquet"))
-        assert len(files) == expected[key] <= 4, (d, len(files), expected[key])
+        # ≤ (not ==): two same-day salt groups can hash into ONE of the 4
+        # test shuffle partitions and share a file — the bound is the
+        # contract, exact equality would depend on murmur3 collisions
+        assert len(files) <= expected[key] <= 4, (d, len(files), expected[key])
         fanned = max(fanned, len(files))
     assert fanned >= 2  # the fan-out actually happened somewhere
 
