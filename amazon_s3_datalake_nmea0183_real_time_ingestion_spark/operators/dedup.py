@@ -485,6 +485,7 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     sym = sym.checkpoint(eager=False) if reliable else sym.localCheckpoint(eager=False)
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
     rounds = 0
+    converged = False
     for _ in range(max_iters):
         rounds += 1
         from_nbrs = sym.join(labels, sym["src"] == labels["node"]).select(
@@ -506,9 +507,22 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         ).collect()[0][0]
         labels = new_labels.select("node", "lbl")
         if n_changed == 0:
+            converged = True
             break
     if stats is not None:
         stats["rounds"] = rounds  # ``stats``: observability out-param (scale probes)
+        stats["converged"] = converged
+    if not converged:
+        # labels after max_iters non-converged rounds are NOT component
+        # minima on any graph whose diameter exceeds the budget — a
+        # silent wrong answer.  Fail loudly: dedup graphs converge in a
+        # handful of rounds, so hitting the cap means the graph is the
+        # long-diameter shape connected_components_star exists for.
+        raise RuntimeError(
+            f"connected_components did not converge in max_iters={max_iters} "
+            f"rounds — the graph's diameter exceeds the round budget; raise "
+            f"max_iters or use connected_components_star (O(log n) rounds)"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 
@@ -608,6 +622,7 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
     )
     cur_sig = _sig(cur)
     rounds = 0
+    converged = False
     for _ in range(max_iters):
         rounds += 1
         nxt = _ckpt(_small(_large(cur)))
@@ -621,6 +636,17 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
             break
     if stats is not None:
         stats["rounds"] = rounds  # ``stats``: observability out-param (scale probes)
+        stats["converged"] = converged
+    if not converged:
+        # same fail-loudly contract as connected_components: a non-star
+        # edge set at the round cap means labels below would not be
+        # component minima.  At 2 log n + O(1) rounds for ANY graph
+        # (Kiveris et al.), max_iters=30 covers ~2^15 nodes per
+        # component — raise it for bigger components, don't mask it.
+        raise RuntimeError(
+            f"connected_components_star did not reach the star-forest "
+            f"fixpoint in max_iters={max_iters} rounds; raise max_iters"
+        )
     nbr_min = _sym(cur).groupBy("u").agg(F.min("v").alias("nbr"))
     return (
         nodes.select(F.col(id_col).alias("node"))

@@ -343,6 +343,25 @@ def test_blas_assignment_matches_declarative_argmax(spark):
     assert sorted(map(tuple, slow)) == sorted(map(tuple, fast))
 
 
+def test_cc_raises_instead_of_silent_wrong_labels_past_round_budget(spark):
+    """A graph whose diameter exceeds max_iters must FAIL, not silently
+    return non-minimum labels (the pre-guard behavior): a 40-chain under
+    max_iters=5 raises for plain min-label propagation, while the star
+    scheme converges on the same input in O(log n) rounds with correct
+    labels."""
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iters=5)
+    stats: dict = {}
+    labels = connected_components_star(edges, nodes, max_iters=15, stats=stats)
+    assert stats["converged"] and stats["rounds"] <= 15
+    assert all(r["cluster_id"] == 0 for r in labels.collect())
+
+
 def test_2level_assignment_matches_flat_argmax(spark):
     """assign_to_centroids_2level in probe-all mode (the exact
     shuffle-join path — nothing corpus-proportional broadcast) must agree
