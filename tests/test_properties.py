@@ -216,3 +216,38 @@ def test_containment_doc_floor_equals_pair_floor(spark, token_lists, floor):
         if min(sz[r["contained_id"]], sz[r["container_id"]]) >= floor
     )
     assert floored == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 30)),  # (basket, item)
+        min_size=1, max_size=60,
+    ),
+    st.integers(1, 5),
+)
+def test_copurchase_max_basket_matches_python_reference(spark, pairs, cap):
+    """cap_group_width under copurchase_pairs == a Python reference that
+    drops baskets with more than ``cap`` DISTINCT items and enumerates
+    the remaining distinct u<v pairs."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.graph import (
+        copurchase_pairs,
+    )
+
+    li = spark.createDataFrame(pairs, "l_orderkey int, l_partkey int")
+    got = {
+        (r["u"], r["v"])
+        for r in copurchase_pairs(li, max_basket=cap).collect()
+    }
+    baskets: dict[int, set[int]] = {}
+    for b, i in pairs:
+        baskets.setdefault(b, set()).add(i)
+    expected = {
+        (a, b)
+        for items in baskets.values()
+        if len(items) <= cap
+        for a in items
+        for b in items
+        if a < b
+    }
+    assert got == expected
