@@ -328,11 +328,14 @@ def x_sim_ivf_2level(spark: SparkSession, sf: str) -> DataFrame:
     rowwise in test_scale_probes).
 
     Scale: the flat paths ship k ∝ n centroids to every task (broadcast
-    NLJ or collected matmul) — dead at 100 TB; probe-all through the
-    per-pair kernel re-scores all k per vector (measured 43 s at
-    sf1/k=800).  ~√k seeds + probe-2 bound per-vector work at
-    O(√k + 2·k/√k) = O(√k): measured 5.9 s at sf1 — 7× over probe-all,
-    ratio 1.5× vs sf0.1's 3.9 s (SCALE.md §7h).
+    NLJ or collected matmul) — dead at 100 TB; scoring all k per vector
+    through the per-pair fold kernel measured 43 s at sf1/k=800 in this
+    key's first registration (SCALE.md §7h's full history, incl. the
+    later seed hardening and probe-all shortcut).  ~√k seeds + probe-2
+    bound per-vector work at O(√k + 2·k/√k) = O(√k): 5.9 s at sf1,
+    ratio 1.5× vs sf0.1's 3.9 s.  When EXACT assignment is required,
+    the cogrouped-BLAS twin (x_sim_ivf_2level_exact) does probe-all via
+    per-cell dgemm at 5.1 s.
     """
     from ..operators.similarity import (
         assign_to_centroids_2level,
