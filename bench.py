@@ -153,7 +153,10 @@ HEADLINE = [
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical
 # plans (VERDICT r3 "Next round" #2) — run these at min-of-3 instead of
-# min-of-2 so one contended run can't set the reported number.
+# min-of-2 so one contended run can't set the reported number.  Round 6
+# adds the heavy dedup/CC end-to-end keys: they top every run's table and
+# showed the widest same-day spread under host contention (SCALE.md §7e),
+# so a single contended sample distorts the round-over-round diff most.
 EXTRA_RUN_KEYS = {
     "x_sim_topk",
     "x_sim_ivf",
@@ -161,6 +164,13 @@ EXTRA_RUN_KEYS = {
     "x_dedup_simhash",
     "x_embed_reduce",
     "x_domain_quota",
+    "q_triangle_count",
+    "x_dedup_best_guarded",
+    "x_dedup_census",
+    "x_dedup_cluster_star",
+    "x_curate_corpus",
+    "x_split_cluster_safe",
+    "x_lpa",
 }
 
 # Tables the headline queries scan — provenance block input.
