@@ -13,45 +13,43 @@ from . import tierg  # noqa: F401,E402
 from . import tierh  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
-# keys per round.  After round 5: 150/160 keys driver-green at their latest
-# check, 0 failures ever; the 10 Tier G batch-2/3 keys (registered late in
-# r5) have NO driver row yet, and the 50 r3-era keys' latest rows are r3.
-# Round 6 (per VERDICT.md r5 "Next round" #1) front-loads:
-#   1. the 10 Tier G keys with no driver row ever;
-#   2. round-6 new keys (curate_corpus pipeline, guarded graph twins,
-#      2-level IVF) — first driver row;
-#   3. the oldest r3-era rows (CORRECTNESS_r03 insertion order) fill the
-#      remaining slots (32 with the 8 Tier H keys registered).
-# The 100 keys adjudicated in r4/r5 are green on current data and pay no
-# window rent.
+# keys per round.  After round 6: all 168 keys green at their latest check,
+# 0 failures ever.  Round 7 (per VERDICT.md r6 "Next round" #2) front-loads:
+#   1. the 18 r3-era keys whose latest driver row is three rounds stale
+#      (tierb.py:293-711) — the r6 window cut just before them;
+#   2. round-7 new / re-registered keys (PQ, heavy hitters, BPE,
+#      semantic-dedup rewired through the 2-level BLAS kernel) — names
+#      listed ahead of registration; _front_load skips unknown keys;
+#   3. oldest-r4 rows (CORRECTNESS_r04 insertion order) fill the rest.
+# Keys adjudicated in r5/r6 are green on current data and pay no window rent.
 _NEEDS_VERDICT = [
-    # Tier G batch-2/3 (registered r5, zero driver rows) — first in line
-    "x_rank_fusion", "x_percentile_norm", "x_dedup_census",
-    "x_split_leakage", "x_split_cluster_safe", "x_keywords_tfidf",
-    "x_lang_mismatch", "x_embed_norms", "x_dataset_diff", "x_source_kl",
-    # Round-6 new keys — first driver row needed (names listed ahead of
-    # registration; _front_load skips any not yet in REGISTRY)
-    "x_curate_corpus",
-    "q_triangle_count_guarded", "x_pagerank_guarded", "x_lpa_guarded",
-    "x_sim_ivf_2level", "x_dedup_cluster_star", "x_sim_ivf_2level_exact",
-    "x_curriculum_shards",
-    # Oldest rows (latest = r3; CORRECTNESS_r03 insertion order) fill the
-    # remaining 32 slots
-    "x_dataset_card", "x_decontaminate_near", "x_chunk_documents",
-    "x_multimodal_decode", "x_dedup_ledger_near", "q_funnel", "q_retention",
-    "q_gapfill", "x_scd2", "x_bm25", "x_surprisal", "x_dedup_best",
-    "x_zorder", "x_pagerank", "q_merge", "q_pattern_match",
-    "q_agg_approx_quantile", "x_ann_recall", "q_fn_variant", "x_data_checks",
-    "x_dedup_url", "q_histogram", "q_join_asof_near",
-    "q_scan_prune", "q_project_filter", "q_join_inner", "q_join_left",
-    "q_join_semi", "q_join_anti", "q_join_range", "q_join_asof",
-    "q_agg_basic",
-    # --- 50-slot window closes here for round 6 (18 priority + 32 r3) ---
+    # r3-era stale rows (VERDICT r6 "What's wrong #2") — first in line
     "q_agg_distinct", "q_agg_approx", "q_agg_rollup",
     "q_agg_cube", "q_win_rank", "q_win_lag", "q_win_rolling",
     "q_topk", "q_union", "q_intersect", "q_except",
     "q_fn_string", "q_fn_datetime", "q_fn_math", "q_fn_haversine",
     "q_fn_array", "q_fn_json", "q_subquery",
+    # Round-7 new / re-registered keys — first driver row needed
+    "x_dedup_semantic_guarded", "x_embed_pq", "x_sim_pq",
+    "x_heavy_hitters", "x_vocab_bpe", "x_sim_zero_norm",
+    # Oldest-r4 rows (CORRECTNESS_r04 insertion order) fill the remaining
+    # slots (26 if all six r7 keys above register)
+    "x_dedup_best_guarded", "x_dedup_cluster_guarded", "cat_recover",
+    "cat_register", "f_contains", "f_element_at", "f_split",
+    "op_alert_filter", "op_error_route", "op_event_partition",
+    "op_flatten_soh", "op_geocode_join", "op_nmea_latlon", "q_agg_modern",
+    "snk_raw_json", "snk_stage_parquet", "x_data_mix", "x_data_upsample",
+    "x_decontaminate", "x_dedup_cluster", "x_dedup_embed", "x_dedup_exact",
+    "x_dedup_near", "x_dedup_ngram", "x_dedup_simhash", "x_domain_quota",
+    # --- 50-slot window closes here for round 7 ---
+    # next-stale (remaining r4 rows, same order) queue behind the window
+    "x_embed_reduce", "x_kmeans_assign", "x_kmeans_iter", "x_multimodal",
+    "x_multimodal_binary", "x_pack_sequences", "x_quality_model",
+    "x_session", "x_sim_ivf", "x_sim_lsh", "x_sim_topk", "x_split_hash",
+    "x_text_curate", "x_text_fingerprint", "x_text_langid",
+    "x_text_line_dedup", "x_text_pii", "x_text_quality",
+    "x_text_repetition", "x_text_tf", "x_text_tfidf", "x_text_tokens",
+    "x_url_parse", "x_vocab_topk",
 ]
 
 
