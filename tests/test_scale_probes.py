@@ -517,3 +517,23 @@ def test_semantic_cell_report_flags_only_overfull_cells(spark):
     assert rep[0]["cell_size"] == 240 and rep[0]["dropped"] == 1
     assert all(rep[c]["cell_size"] == 40 and rep[c]["dropped"] == 0
                for c in range(1, k))
+
+
+def test_2level_empty_centroid_table_matches_flat_empty(spark):
+    """ADVICE r6: k=0 made _two_level_probe's seed stride divide by zero
+    while the flat path returns an empty frame for the same input — both
+    two-level kernels must yield the empty frame too."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.similarity import (
+        assign_to_centroids,
+        assign_to_centroids_2level,
+        assign_to_centroids_2level_blas,
+    )
+
+    cents = spark.createDataFrame([], "centroid_id int, centroid array<double>")
+    corpus = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    assert assign_to_centroids(corpus, cents).count() == 0
+    assert assign_to_centroids_2level(corpus, cents).count() == 0
+    assert assign_to_centroids_2level_blas(corpus, cents).count() == 0
