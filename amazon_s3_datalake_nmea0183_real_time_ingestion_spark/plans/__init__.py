@@ -11,6 +11,7 @@ from . import tiere  # noqa: F401,E402
 from . import tierf  # noqa: F401,E402
 from . import tierg  # noqa: F401,E402
 from . import tierh  # noqa: F401,E402
+from . import tieri  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
 # keys per round.  After round 6: all 168 keys green at their latest check,

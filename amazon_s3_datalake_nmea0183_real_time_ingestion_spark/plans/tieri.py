@@ -1,0 +1,191 @@
+"""Tier I — round-7 wave: product quantization for the vector store
+(codes + reconstruction audit, ADC search recall), a heavy-hitters
+sketch with exact-recount adjudication, and BPE vocabulary learning —
+the remaining storage/monitoring/tokenizer workloads of the 100 TB
+training-data pipeline (VERDICT r6 "Next round" #3-5).
+
+Every key follows the registry's cross-engine hash rules (registry.py
+docstring): float64 end-to-end, round(·, 6) before any rank/compare,
+deterministic tie-breaks the oracle replays verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.pq import pq_encode, pq_report, pq_train
+from ..operators.similarity import (
+    _ranked_topk,
+    cosine_topk,
+    pair_cosine,
+    prep_vectors,
+)
+from .registry import register, table
+
+# ---------------------------------------------------------------------------
+# product quantization — m=8 subspace codebooks over the 64-dim store
+# ---------------------------------------------------------------------------
+
+# Shared PQ derivation (dim 64, m=8 subspaces of 8, ksub=16 codewords,
+# deterministic lowest-id seeding + ONE Lloyd round — operators/pq.py):
+# sub-vectors -> seed assignment -> per-(subspace, code, pos) means ->
+# final assignment + reconstruction.  Both PQ oracles build on it.
+_PQ_SQL = """
+    sub AS (
+      SELECT vec_id, s, (embedding::DOUBLE[])[s*8+1 : s*8+8] AS sv
+      FROM embeddings CROSS JOIN unnest(range(0, 8)) u(s)),
+    seed AS (SELECT s, CAST(vec_id AS INT) AS code_id, sv AS cw
+             FROM sub WHERE vec_id < 16),
+    a0 AS (
+      SELECT vec_id, s, sv, code_id FROM (
+        SELECT b.vec_id, b.s, b.sv, d.code_id,
+               row_number() OVER (PARTITION BY b.vec_id, b.s
+                 ORDER BY round(list_sum([ (b.sv[i] - d.cw[i]) * (b.sv[i] - d.cw[i])
+                                           for i in range(1, 9) ]), 6) ASC,
+                          d.code_id ASC) AS rn
+        FROM sub b JOIN seed d ON d.s = b.s) t
+      WHERE rn = 1),
+    cb1 AS (
+      SELECT s, code_id, p, round(avg(sv[p]), 6) AS mval
+      FROM a0 CROSS JOIN unnest(range(1, 9)) u(p)
+      GROUP BY s, code_id, p),
+    cbv AS (SELECT s, code_id, list(mval ORDER BY p) AS cw
+            FROM cb1 GROUP BY s, code_id),
+    a1 AS (
+      SELECT vec_id, s, code_id FROM (
+        SELECT b.vec_id, b.s, c.code_id,
+               row_number() OVER (PARTITION BY b.vec_id, b.s
+                 ORDER BY round(list_sum([ (b.sv[i] - c.cw[i]) * (b.sv[i] - c.cw[i])
+                                           for i in range(1, 9) ]), 6) ASC,
+                          c.code_id ASC) AS rn
+        FROM sub b JOIN cbv c ON c.s = b.s) t
+      WHERE rn = 1),
+    recon AS (
+      SELECT a1.vec_id,
+             array_to_string(list(a1.code_id ORDER BY a1.s), '-') AS codes,
+             flatten(list(c.cw ORDER BY a1.s)) AS xq
+      FROM a1 JOIN cbv c ON c.s = a1.s AND c.code_id = a1.code_id
+      GROUP BY a1.vec_id)
+"""
+
+
+@register(
+    "x_embed_pq",
+    oracle=f"""
+    WITH {_PQ_SQL},
+    xv AS (SELECT vec_id, embedding::DOUBLE[] AS xv FROM embeddings)
+    SELECT r.vec_id, r.codes,
+           round(list_sum([ (x.xv[i] - r.xq[i]) * (x.xv[i] - r.xq[i])
+                            for i in range(1, 65) ]) / 64, 9) AS mse,
+           round(list_max([ abs(x.xv[i] - r.xq[i])
+                            for i in range(1, 65) ]), 6) AS max_abs_err,
+           CASE WHEN list_sum([v * v for v in x.xv]) = 0
+                  OR list_sum([v * v for v in r.xq]) = 0 THEN NULL
+                ELSE round(list_cosine_similarity(x.xv, r.xq), 6)
+           END AS cos_fidelity
+    FROM recon r JOIN xv x ON x.vec_id = r.vec_id
+    """,
+)
+def x_embed_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product quantization of the embedding store (Jégou et al.
+    TPAMI'11) + per-vector audit: 8 subspace codebooks of 16 codewords
+    learned by per-subspace k-means (deterministic lowest-id seeding,
+    one Lloyd round, squared-L2 round-6 assignment, ties → lowest code),
+    every vector stored as 8 four-bit codes = 4 bytes — 64× smaller than
+    float32, vs scalar quantization's 4× (x_embed_quantize) — with the code
+    string, reconstruction MSE, worst component error, and cosine
+    fidelity per vector.  Companion x_sim_pq prices the fidelity loss in
+    END-TO-END search recall; SCALE.md's compression-vs-recall table
+    puts both layouts side by side.
+
+    Scale (operators/pq.py): training is one corpus shuffle per Lloyd
+    round (the per-(subspace, code, position) mean agg, map-side
+    combinable, m·ksub·dim/m rows out); seeding, assignment, encode and
+    decode are pure map-side HOF folds against the 1-row broadcast
+    codebook nest — whole-stage codegen, no Python, nothing
+    corpus-proportional collected.
+    """
+    e = table(spark, sf, "embeddings")
+    cb = pq_train(e, dim=64, m=8, ksub=16)
+    return pq_report(e, cb, dim=64, m=8)
+
+
+@register(
+    "x_sim_pq",
+    oracle=f"""
+    WITH {_PQ_SQL},
+    approx AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM embeddings q JOIN recon c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY CASE WHEN list_sum([x * x for x in c.xq]) = 0
+                        OR list_sum([x * x for x in q.embedding::DOUBLE[]]) = 0
+                      THEN NULL
+                      ELSE round(list_cosine_similarity(q.embedding::DOUBLE[], c.xq), 6)
+                 END DESC NULLS LAST,
+                 c.vec_id ASC) <= 3),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY CASE WHEN list_sum([x * x for x in c.embedding::DOUBLE[]]) = 0
+                        OR list_sum([x * x for x in q.embedding::DOUBLE[]]) = 0
+                      THEN NULL
+                      ELSE round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                 END DESC NULLS LAST,
+                 c.vec_id ASC) <= 3)
+    SELECT e.query_id AS query_id, CAST(count(a.neighbor_id) AS INT) AS n_hits,
+           round(count(a.neighbor_id) / 3.0, 4) AS recall_at_3
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def x_sim_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """ADC search recall over the PQ-coded store: top-3 cosine where the
+    CORPUS side is the 4-byte PQ reconstruction while queries stay
+    full-precision, scored as recall@3 against the exact float ground
+    truth per query — the x_sim_quantized measurement at 64× compression
+    instead of 4×.  The classic LUT acceleration (per query precompute
+    the m × ksub partial-score table, score each vector with m lookups)
+    computes the SAME numbers — the declarative decode-then-score form
+    here is the semantic contract any LUT kernel must match.
+
+    Scale: identical economics to x_sim_quantized/x_ann_recall — the
+    query set broadcasts, corpus shards are scored in place (decode is
+    map-side HOF over the same scan), the recall join is |queries| × k
+    rows.  At 100 TB the coded corpus reads 64× less; the codebook
+    broadcast is m·ksub·8 doubles.
+    """
+    e = table(spark, sf, "embeddings")
+    cb = pq_train(e, dim=64, m=8, ksub=16)
+    q = e.filter(F.col("vec_id") < 10)
+    qs = prep_vectors(q, "vec_id", "embedding", "query_id", "qd", "qn")
+    cs = prep_vectors(
+        pq_encode(e, cb, dim=64, m=8).select("vec_id", "pq_recon"),
+        "vec_id", "pq_recon", "neighbor_id", "cd", "cn",
+    )
+    scored = (
+        cs.crossJoin(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", pair_cosine().alias("sim"))
+    )
+    approx = _ranked_topk(scored, k=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    exact = cosine_topk(e, q, k=3).select("query_id", "neighbor_id")
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("__h"))
+        .select(
+            "query_id",
+            F.col("__h").cast("int").alias("n_hits"),
+            F.round(F.col("__h") / 3.0, 4).alias("recall_at_3"),
+        )
+    )

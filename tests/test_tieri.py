@@ -1,0 +1,111 @@
+"""Tier I edge semantics: PQ round-trip invariants (code range, exact
+reconstruction of codewords themselves, fidelity bounds, tie
+determinism), ADC-recall sanity, and plan shape (map-side encode, no
+Python nodes, codebook broadcast)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.pq import (
+    pq_encode,
+    pq_report,
+    pq_train,
+)
+
+from conftest import plan_of
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _embeddings(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def test_pq_codes_in_range_and_every_vector_coded(spark):
+    e = _embeddings(spark)
+    cb = pq_train(e, dim=64, m=8, ksub=16)
+    enc = pq_encode(e, cb, dim=64, m=8)
+    assert enc.count() == e.count()
+    bad = enc.filter(
+        (F.size("pq_codes") != 8)
+        | F.exists("pq_codes", lambda c: (c < 0) | (c >= 16))
+        | (F.size("pq_recon") != 64)
+    ).count()
+    assert bad == 0
+
+
+def test_pq_codeword_vectors_reconstruct_to_their_codeword(spark):
+    """A vector that IS a codeword must code to itself with zero error in
+    every subspace — the PQ fixed point (the scalar-quantization
+    lattice-point invariant's product analog)."""
+    dim, m, ksub = 8, 4, 2
+    # 2 seed vectors -> after one Lloyd round each seed's cell mean is a
+    # codeword; make each seed its own cell by separating them
+    rows = [(0, [0.0] * dim), (1, [10.0] * dim), (2, [0.1] * dim), (3, [9.9] * dim)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_train(e, dim=dim, m=m, ksub=ksub)
+    rep = {r["vec_id"]: r for r in pq_report(e, cb, dim=dim, m=m).collect()}
+    # codewords are cell means: vec 0+2 -> mean(0.0, 0.1)=0.05 etc.; all
+    # four vectors sit 0.05 from their codeword in every component
+    for vid in (0, 1, 2, 3):
+        assert rep[vid]["max_abs_err"] <= 0.05 + 1e-9
+    # exact-codeword corpus: vectors AT the codewords -> zero error
+    e2 = spark.createDataFrame(
+        [(0, [0.05] * dim), (1, [9.95] * dim)], "vec_id long, embedding array<float>"
+    )
+    rep2 = pq_report(e2, cb, dim=dim, m=m).collect()
+    assert all(r["mse"] == 0.0 and r["cos_fidelity"] == 1.0 for r in rep2)
+
+
+def test_pq_tie_breaks_to_lowest_code_id(spark):
+    """Two identical codewords (duplicate seed vectors) are a permanent
+    round-6 tie — every assignment must pick the LOWER code_id, matching
+    the oracle's ORDER BY dist ASC, code_id ASC."""
+    dim, m = 4, 2
+    e = spark.createDataFrame(
+        [(0, [1.0] * dim), (1, [1.0] * dim), (2, [1.2] * dim)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_train(e, dim=dim, m=m, ksub=2)
+    enc = pq_encode(e, cb, dim=dim, m=m).collect()
+    for r in enc:
+        assert list(r["pq_codes"]) == [0, 0], r
+
+
+def test_pq_adc_recall_bounded_and_nontrivial(spark):
+    """Recall@3 through the 4-byte code lies in [0, 1] per query and the
+    corpus mean clears chance by >10×.  The driver embeddings are iid
+    random, the WORST case for PQ (no cluster structure; all pairwise
+    cosines ≈ 0 so exact top-3 margins are tiny): measured mean ≈ 0.23
+    vs chance 3/499 ≈ 0.006.  Real embedding corpora cluster and recall
+    rises with it — the adjudicated contract is Spark ≡ oracle, and this
+    test only pins 'far above chance', not a data-dependent absolute."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tieri import (
+        x_sim_pq,
+    )
+
+    rows = x_sim_pq(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    assert all(0.0 <= r["recall_at_3"] <= 1.0 for r in rows)
+    assert sum(r["recall_at_3"] for r in rows) / len(rows) > 0.1
+
+
+def test_pq_encode_plan_is_mapside_broadcast(spark):
+    """Encoding must be scan → broadcast-join(1-row nest) → project: the
+    corpus reaches the join without an exchange of its own (the only
+    hash exchanges in the plan belong to the k-row codebook lineage
+    feeding the broadcast), and no Python eval nodes anywhere."""
+    e = _embeddings(spark)
+    cb = pq_train(e, dim=64, m=8, ksub=16)
+    # materialize the trained codebook so the encode plan is ONLY encode
+    cb_rows = cb.collect()  # m*ksub rows — control-plane size
+    cb2 = spark.createDataFrame(
+        cb_rows, "subspace int, code_id int, codeword array<double>"
+    )
+    plan = plan_of(pq_encode(e, cb2, dim=64, m=8))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # corpus side: scan feeds the join directly; the lone hash exchange
+    # pair below the broadcast aggregates the 64-row codebook nest
+    assert plan.count("Exchange hashpartitioning") <= 1
