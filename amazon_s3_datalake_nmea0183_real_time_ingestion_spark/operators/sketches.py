@@ -1,0 +1,100 @@
+"""Count–min sketch for heavy-hitter monitoring (Cormode & Muthukrishnan,
+"An improved data stream summary: the count-min sketch and its
+applications", J. Algorithms 2005).
+
+The sketch is a ``depth × width`` grid of counters; key ``x`` maps to one
+bucket per row via independent hashes, and its frequency estimate is the
+MIN of its ``depth`` cells.  Two properties make it the right monitor for
+viral boilerplate arriving between exact census runs (the streaming-
+friendly complement of x_vocab_topk's exact wordcount):
+
+- **never an underestimate** — every occurrence of ``x`` lands in all of
+  ``x``'s cells, so ``est >= true`` deterministically (collisions only
+  ADD); the adjudicated key asserts this invariant per heavy hitter;
+- **mergeable** — the grid is a sum of per-partition / per-microbatch
+  grids, so it aggregates with one map-side-combinable shuffle bounded by
+  ``depth·width`` rows per partition, regardless of corpus size or key
+  cardinality.
+
+Hashes are the repo's cross-engine md5 scheme (functions/hashing.py):
+``bucket_j(x) = md5_u32('cms' || j || ':' || x) % width`` — DuckDB replays
+the ENTIRE sketch bit-identically, so the oracle checks the real estimates,
+not a loose tolerance band.
+
+Scale shape: building from raw occurrences is
+``explode → (j, bucket) → count`` — one shuffle whose map-side combine
+caps partial state at ``depth·width`` counters; the finished sketch is
+``depth·width`` rows (KBs) and BROADCASTS into the estimate join.  Nothing
+corpus-proportional is ever collected or broadcast.  When an exact
+per-key count table already exists (the adjudication path below), the
+identical grid is derived from it with one tiny shuffle over distinct keys
+— same cells, fewer md5 evaluations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_u32
+
+
+def _bucket(key: F.Column, j: F.Column, width: int) -> F.Column:
+    """Row-``j`` bucket of ``key``: md5_u32('cms<j>:<key>') % width —
+    non-negative on both engines (md5_u32 is in [0, 2^32))."""
+    return md5_u32(F.concat(F.lit("cms"), j.cast("string"), F.lit(":"), key)) % width
+
+
+def cms_from_counts(counts: DataFrame, key_col: str, n_col: str,
+                    depth: int = 4, width: int = 1024) -> DataFrame:
+    """Build the sketch grid from an exact (key, count) table: each key
+    adds its count to one cell per row.  Returns (j, bucket, cell) —
+    at most ``depth·width`` rows.  Cell values are identical to the
+    occurrence-stream construction (addition is associative); this form
+    just hashes each DISTINCT key once per row instead of once per
+    occurrence."""
+    probes = counts.select(
+        F.col(n_col).alias("__n"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+        F.col(key_col).alias("__k"),
+    )
+    return (
+        probes.select("j", _bucket(F.col("__k"), F.col("j"), width).alias("bucket"),
+                      F.col("__n"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("__n").alias("cell"))
+    )
+
+
+def cms_from_stream(items: DataFrame, key_col: str,
+                    depth: int = 4, width: int = 1024) -> DataFrame:
+    """Build the same grid straight from an occurrence stream (one row per
+    occurrence, no exact counts anywhere) — the production/streaming
+    path: map each occurrence to ``depth`` (j, bucket) cells and count.
+    Map-side combine bounds per-partition partial state at depth·width
+    counters, so the shuffle is sketch-sized, not corpus-sized."""
+    probes = items.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+        F.col(key_col).alias("__k"),
+    )
+    return (
+        probes.select("j", _bucket(F.col("__k"), F.col("j"), width).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cell"))
+    )
+
+
+def cms_estimate(keys: DataFrame, sketch: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-query the sketch: per input row, min over the ``depth`` cells
+    its key maps to.  The sketch (≤ depth·width rows) broadcasts; the
+    keys side keeps all its columns."""
+    cols = keys.columns
+    probes = keys.select(
+        *cols, F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    ).withColumn("bucket", _bucket(F.col(key_col), F.col("j"), width))
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(*cols)
+        .agg(F.min("cell").alias("est"))
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens
 from ..operators.pq import pq_encode, pq_report, pq_train
 from ..operators.similarity import (
     _ranked_topk,
@@ -21,6 +22,7 @@ from ..operators.similarity import (
     pair_cosine,
     prep_vectors,
 )
+from ..operators.sketches import cms_estimate, cms_from_counts
 from .registry import register, table
 
 # ---------------------------------------------------------------------------
@@ -189,3 +191,165 @@ def x_sim_pq(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("__h") / 3.0, 4).alias("recall_at_3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters — count-min sketch with exact-recount adjudication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    cnt AS (SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok),
+    cells AS (
+      SELECT j,
+             ('0x' || substr(md5('cms' || j || ':' || tok), 1, 8))::BIGINT % 1024
+               AS bucket,
+             CAST(sum(exact_n) AS BIGINT) AS cell
+      FROM cnt CROSS JOIN unnest(range(0, 4)) u(j)
+      GROUP BY 1, 2),
+    topk AS (SELECT tok, exact_n FROM cnt
+             ORDER BY exact_n DESC, tok ASC LIMIT 20),
+    probes AS (
+      SELECT t.tok, t.exact_n, j,
+             ('0x' || substr(md5('cms' || j || ':' || t.tok), 1, 8))::BIGINT % 1024
+               AS bucket
+      FROM topk t CROSS JOIN unnest(range(0, 4)) u(j)),
+    est AS (
+      SELECT p.tok, p.exact_n, min(c.cell) AS est
+      FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+      GROUP BY p.tok, p.exact_n)
+    SELECT tok AS token, exact_n, est,
+           est - exact_n AS overcount,
+           CAST(est >= exact_n AS INT) AS is_overestimate
+    FROM est
+    """,
+)
+def x_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitters monitoring: a 4 × 1024 count-min sketch (Cormode &
+    Muthukrishnan '05) over corpus tokens, adjudicated by exact recount —
+    per top-20 token (exact count desc, token asc): the sketch estimate,
+    the overcount it actually incurred, and the CMS never-underestimates
+    invariant as a checked column.  The q_agg_approx pattern upgraded:
+    because the hashes are the repo's cross-engine md5 scheme, the oracle
+    replays the ENTIRE grid bit-identically and the driver hashes the real
+    estimates, not a tolerance verdict.
+
+    Scale (operators/sketches.py): the production path is
+    cms_from_stream — explode → count with map-side combine capping
+    partial state at depth·width counters per partition, so the shuffle
+    is sketch-sized at any corpus size; the finished 4,096-row grid
+    broadcasts into point queries.  This adjudication key derives the
+    identical grid from the exact wordcount it needs anyway (cells equal
+    by associativity; cms_from_stream ≡ cms_from_counts is pinned by a
+    pytest equivalence on real corpus data).
+    """
+    d = table(spark, sf, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count("*").alias("exact_n"))
+    sketch = cms_from_counts(cnt, "token", "exact_n", depth=4, width=1024)
+    topk = cnt.orderBy(F.col("exact_n").desc(), F.col("token").asc()).limit(20)
+    return cms_estimate(topk, sketch, "token", depth=4, width=1024).select(
+        "token",
+        "exact_n",
+        "est",
+        (F.col("est") - F.col("exact_n")).alias("overcount"),
+        (F.col("est") >= F.col("exact_n")).cast("int").alias("is_overestimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary learning — N unrolled merge rounds, oracle-replayed
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled DuckDB replay of ``rounds`` BPE merge rounds.  Per round:
+    weighted adjacent-pair count + deterministic argmax (best_r), then the
+    greedy one-pass rewrite — matches of (lhs, rhs) overlap only as runs
+    of consecutive positions (requires lhs = rhs), and the greedy pass
+    keeps the odd-offset positions of each run (gaps-and-islands on
+    ``i - row_number()``), consuming position i+1 of every kept match."""
+    parts = [
+        """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS wn
+          FROM toks GROUP BY tok),
+    rep0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY word) AS word_id, wn,
+                    [word[i] for i in range(1, length(word) + 1)] AS syms
+             FROM w)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+    best{r} AS MATERIALIZED (
+      SELECT lhs, rhs, pair_n FROM (
+        SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+               CAST(sum(wn) AS BIGINT) AS pair_n
+        FROM rep{p} CROSS JOIN unnest(range(1, len(syms))) u(i)
+        GROUP BY 1, 2)
+      ORDER BY pair_n DESC, lhs ASC, rhs ASC LIMIT 1),
+    pos{r} AS MATERIALIZED (
+      SELECT word_id, wn, i, syms[i] AS s, b.lhs AS bl, b.rhs AS br,
+             CASE WHEN syms[i] = b.lhs AND syms[i + 1] = b.rhs
+                  THEN 1 ELSE 0 END AS m
+      FROM rep{p} CROSS JOIN unnest(range(1, len(syms) + 1)) u(i)
+           CROSS JOIN best{r} b),
+    keep{r} AS MATERIALIZED (
+      SELECT word_id, i FROM (
+        SELECT word_id, i,
+               row_number() OVER (PARTITION BY word_id, i - rn ORDER BY i) AS k
+        FROM (SELECT word_id, i,
+                     row_number() OVER (PARTITION BY word_id ORDER BY i) AS rn
+              FROM pos{r} WHERE m = 1) t1) t2
+      WHERE k % 2 = 1),
+    rep{r} AS MATERIALIZED (
+      SELECT word_id, any_value(wn) AS wn,
+             list(CASE WHEN im THEN bl || br ELSE s END ORDER BY i) AS syms
+      FROM (SELECT p.word_id, p.wn, p.i, p.s, p.bl, p.br,
+                   k.i IS NOT NULL AS im, kp.i IS NOT NULL AS consumed
+            FROM pos{r} p
+            LEFT JOIN keep{r} k ON k.word_id = p.word_id AND k.i = p.i
+            LEFT JOIN keep{r} kp ON kp.word_id = p.word_id AND kp.i = p.i - 1) t
+      WHERE NOT consumed
+      GROUP BY word_id)""")
+    selects = [
+        f"SELECT CAST({r} AS INT) AS round, lhs, rhs, lhs || rhs AS merged, pair_n"
+        f" FROM best{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register("x_vocab_bpe", oracle=_bpe_oracle(_BPE_ROUNDS))
+def x_vocab_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE vocabulary learning (Sennrich et al. ACL'16): 6 merge rounds
+    of byte-pair statistics over the corpus wordcount — per round the
+    winning adjacent symbol pair (count desc, symbols asc — the
+    deterministic tie-break the oracle replays), its merged token and its
+    weighted frequency.  Companions: x_pmi_collocations (association
+    stats), x_vocab_topk (exact n-gram census).
+
+    Scale (operators/bpe.py): statistics live on the distinct-word table
+    (vocabulary-sized, Heaps' law), the corpus is scanned once for the
+    wordcount; each round is one map-side-combinable pair-count shuffle
+    + a 1-row control-plane collect broadcast into a codegen rewrite
+    fold; lazy localCheckpoint per round keeps lineage linear in rounds.
+    """
+    from ..operators.bpe import bpe_learn
+
+    d = table(spark, sf, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("tok"))
+    words = tok.groupBy(F.col("tok").alias("word")).agg(F.count("*").alias("wn"))
+    merges, _rep = bpe_learn(spark, words, rounds=_BPE_ROUNDS)
+    return merges

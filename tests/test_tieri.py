@@ -109,3 +109,70 @@ def test_pq_encode_plan_is_mapside_broadcast(spark):
     # corpus side: scan feeds the join directly; the lone hash exchange
     # pair below the broadcast aggregates the 64-row codebook nest
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_cms_stream_and_counts_builds_agree_and_never_underestimate(spark):
+    """The occurrence-stream grid (production path) and the derived-from-
+    exact-counts grid (adjudication path) must be cell-identical, and
+    every key's estimate must be >= its exact count — the CMS invariant."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.functions.text import (
+        tokens,
+    )
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.sketches import (
+        cms_estimate,
+        cms_from_counts,
+        cms_from_stream,
+    )
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    tok = d.select(F.explode(tokens("text")).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count("*").alias("n"))
+    g1 = cms_from_stream(tok, "token", depth=4, width=64)
+    g2 = cms_from_counts(cnt, "token", "n", depth=4, width=64)
+    assert g1.exceptAll(g2).count() == 0 and g2.exceptAll(g1).count() == 0
+    est = cms_estimate(cnt, g2, "token", depth=4, width=64)
+    assert est.filter(F.col("est") < F.col("n")).count() == 0
+    # width 64 << distinct tokens forces real collisions: some overcount>0
+    assert est.filter(F.col("est") > F.col("n")).count() > 0
+
+
+def test_bpe_greedy_single_pass_on_identical_run(spark):
+    """Merge (a,a) over 'aaa' and 'aaaa' must give ['aa','a'] and
+    ['aa','aa'] — one left-to-right pass, merged output never re-merged
+    (the reference BPE semantics the oracle's even-offset rule replays)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.bpe import (
+        apply_merge,
+        chars_of,
+    )
+
+    df = spark.createDataFrame([("aaa",), ("aaaa",), ("baab",)], "word string")
+    out = {
+        r["word"]: list(r["m"])
+        for r in df.select(
+            "word", apply_merge(chars_of(F.col("word")), "a", "a").alias("m")
+        ).collect()
+    }
+    assert out == {
+        "aaa": ["aa", "a"],
+        "aaaa": ["aa", "aa"],
+        "baab": ["b", "aa", "b"],
+    }
+
+
+def test_bpe_learns_deterministic_merges_and_raises_when_exhausted(spark):
+    """Tie-break (count desc, lhs asc, rhs asc) and later rounds seeing
+    merged symbols; single-symbol-only vocab raises loudly."""
+    import pytest
+
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.bpe import (
+        bpe_learn,
+    )
+
+    words = spark.createDataFrame([("abab", 3), ("ab", 2)], "word string, wn long")
+    merges, rep = bpe_learn(spark, words, rounds=2)
+    got = [(r["round"], r["lhs"], r["rhs"], r["pair_n"]) for r in merges.collect()]
+    # r1: pairs ab=8 (3+3+2), ba=3 -> merge (a,b); r2: (ab,ab)=3 -> 'abab'
+    assert got == [(1, "a", "b", 8), (2, "ab", "ab", 3)]
+    # after r2 every word is one symbol -> round 3 must raise loudly
+    with pytest.raises(RuntimeError):
+        bpe_learn(spark, words, rounds=3)
