@@ -26,21 +26,35 @@ from ..functions.vectors import as_double, dot_double
 
 
 def prep_vectors(df: DataFrame, id_col: str, vec_col: str, out_id: str,
-          out_vec: str, out_nrm: str, extra: list[str] | None = None) -> DataFrame:
+          out_vec: str, out_nrm: str, extra: list[str] | None = None,
+          screen: bool = True) -> DataFrame:
     """Per-side projection computed BELOW the join: double-cast vector +
     L2 norm once per row, so the per-pair kernel is just a dot product.
     (Inline cosine_similarity above a join re-casts both arrays and
-    re-derives both norms per PAIR — ~3× the array work.)"""
+    re-derives both norms per PAIR — ~3× the array work.)
+
+    ``screen=True`` (default) drops degenerate rows — zero-norm, NULL, or
+    empty vectors (all have ``norm > 0`` false/NULL) — BEFORE any scoring.
+    This is the shared zero-norm guard for the whole x_sim_* family:
+    Spark's try_divide yields NULL cosine for a zero vector while DuckDB's
+    list_cosine_similarity yields -1.0/NaN (and DuckDB orders NaN above
+    every number), so an unscreened degenerate row diverges cross-engine
+    the moment one enters the corpus (registry.py boundary, closed by
+    x_sim_zero_norm).  Every family oracle mirrors the screen with
+    ``list_dot_product(v, v) > 0`` — the semantic_dedup convention.
+    ``screen=False`` keeps the legacy NULL-sim flow for callers that want
+    degenerate rows visible (tests, diagnostics)."""
     dv = as_double(F.col(vec_col))
     sq = F.aggregate(
         F.transform(dv, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
     )
-    return df.select(
+    out = df.select(
         F.col(id_col).alias(out_id),
         dv.alias(out_vec),
         F.sqrt(sq).alias(out_nrm),
         *(extra or []),
     )
+    return out.filter(F.col(out_nrm) > 0) if screen else out
 
 
 def pair_cosine(qvec: str = "qd", cvec: str = "cd", qn: str = "qn",
@@ -222,11 +236,19 @@ def assign_to_centroids_blas(corpus: DataFrame, centroids: DataFrame,
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vn = np.sqrt((V * V).sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.round((V @ Cu.T) / vn[:, None], 6)
-            # NULL-cosine semantics: NaN (zero norm either side) loses to
-            # every number; an all-NaN row falls to the lowest centroid_id
-            # — identical to the window's DESC NULLS LAST + id tie-break
+            # zero-norm corpus rows are SCREENED, matching the declarative
+            # path's prep_vectors guard (the x_sim_* family contract,
+            # adjudicated by x_sim_zero_norm) — a degenerate vector is
+            # never assigned by any kernel
+            keep = vn > 0
+            if not keep.all():
+                pdf, V, vn = pdf[keep], V[keep], vn[keep]
+            if pdf.empty:
+                continue
+            sims = np.round((V @ Cu.T) / vn[:, None], 6)
+            # NaN here can only come from a zero-norm CENTROID; it loses
+            # to every number — identical to the window's DESC NULLS LAST
+            # + id tie-break
             sims = np.where(np.isnan(sims), -np.inf, sims)
             best = sims.argmax(axis=1)  # first max = lowest centroid_id
             yield pd.DataFrame(

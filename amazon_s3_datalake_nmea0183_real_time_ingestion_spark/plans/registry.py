@@ -26,8 +26,14 @@ the driver's generated data does not hit them):
 - unrounded float THRESHOLDS (e.g. ``cos >= 0.99``) sit on ULP knife
   edges when the two engines compute the quantity with different (all
   individually correct) float formulas.
-- degenerate zero-norm vectors: engine emits NULL cosine (try_divide);
-  DuckDB's ``list_cosine_similarity`` emits -1.0.
+- degenerate zero-norm vectors — GUARDED since round 7, no longer a live
+  boundary: ``prep_vectors`` screens zero-norm/NULL/empty vectors by
+  default and every x_sim_* family oracle mirrors the screen with
+  ``list_dot_product(v, v) > 0`` (the semantic_dedup convention), so
+  neither engine's degenerate-cosine representation (Spark NULL via
+  try_divide vs DuckDB -1.0/NaN) can reach a ranked comparison.  The
+  guard is adjudicated by ``x_sim_zero_norm``, which PLANTS a zero
+  vector in both query and corpus roles.
 """
 
 from __future__ import annotations

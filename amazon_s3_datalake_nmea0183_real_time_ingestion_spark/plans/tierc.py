@@ -302,6 +302,8 @@ def x_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     FROM ecorpus a JOIN ecorpus b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99
+      AND list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) > 0
+      AND list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0
     """,
 )
 def x_dedup_embed(spark: SparkSession, sf: str) -> DataFrame:
@@ -339,6 +341,8 @@ def x_dedup_embed(spark: SparkSession, sf: str) -> DataFrame:
            round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
     FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
     WHERE q.vec_id < 10
+      AND list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0
+      AND list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
     QUALIFY rank <= 5
     """,
 )
@@ -365,7 +369,8 @@ def x_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
                  PARTITION BY e.vec_id
                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
                           c.centroid_id ASC) AS rn
-        FROM embeddings e CROSS JOIN centv c) t
+        FROM embeddings e CROSS JOIN centv c
+        WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0) t
       WHERE rn = 1)
     SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
            CAST(row_number() OVER (
@@ -853,7 +858,8 @@ def x_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
                  PARTITION BY e.vec_id
                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
                           c.centroid_id ASC) AS rn
-        FROM embeddings e CROSS JOIN centv c) t
+        FROM embeddings e CROSS JOIN centv c
+        WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0) t
       WHERE rn = 1),
     qassign AS (
       SELECT vec_id, embedding, centroid_id AS cluster FROM (
@@ -863,7 +869,7 @@ def x_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
                           c.centroid_id ASC) AS rn
         FROM embeddings e CROSS JOIN centv c
-        WHERE e.vec_id < 10) t
+        WHERE e.vec_id < 10 AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0) t
       WHERE rn <= 2)
     SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
            CAST(row_number() OVER (
@@ -1062,6 +1068,8 @@ _LSH_PLANES_VALUES = ", ".join(f"({j}, {p})" for j, p in enumerate(_LSH_PLANES))
     FROM cand
     JOIN embeddings qe ON qe.vec_id = query_id
     JOIN embeddings ce ON ce.vec_id = neighbor_id
+    WHERE list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]) > 0
+      AND list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]) > 0
     QUALIFY rank <= 3
     """,
 )

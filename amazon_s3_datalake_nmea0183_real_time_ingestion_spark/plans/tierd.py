@@ -914,7 +914,8 @@ _SIM6 = "round(list_cosine_similarity({a}.embedding::DOUBLE[], {b}.embedding::DO
                  PARTITION BY e.vec_id
                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
                           c.centroid_id ASC) AS rn
-        FROM embeddings e CROSS JOIN centv c) t
+        FROM embeddings e CROSS JOIN centv c
+        WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0) t
       WHERE rn = 1),
     approx AS (
       SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id
@@ -927,6 +928,8 @@ _SIM6 = "round(list_cosine_similarity({a}.embedding::DOUBLE[], {b}.embedding::DO
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
       WHERE q.vec_id < 10
+        AND list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0
+        AND list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
       QUALIFY row_number() OVER (
         PARTITION BY q.vec_id
         ORDER BY {_SIM6.format(a='q', b='c')} DESC, c.vec_id ASC) <= 3)

@@ -111,7 +111,9 @@ def x_novelty(spark: SparkSession, sf: str) -> DataFrame:
                         c.vec_id ASC) AS INT) AS rank,
              round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
       FROM embeddings q JOIN embeddings c ON c.label <> q.label
-      WHERE q.vec_id < 10) t
+      WHERE q.vec_id < 10
+        AND list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0
+        AND list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0) t
     WHERE rank <= 5
     """,
 )
@@ -472,7 +474,9 @@ def x_dsir(spark: SparkSession, sf: str) -> DataFrame:
                  ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
                           c.vec_id ASC) AS rank
         FROM ncorpus q JOIN ncorpus c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id < 100) t
+        WHERE q.vec_id < 100
+          AND list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0
+          AND list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0) t
       WHERE rank <= 5),
     maj AS (
       SELECT query_id, nlab, cnt FROM (

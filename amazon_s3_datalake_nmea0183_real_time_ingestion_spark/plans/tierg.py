@@ -113,6 +113,8 @@ def x_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM embeddings q JOIN qv c ON c.vec_id <> q.vec_id
       WHERE q.vec_id < 10
+        AND list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0
+        AND list_sum([x * x for x in c.xq]) > 0
       QUALIFY row_number() OVER (
         PARTITION BY q.vec_id
         ORDER BY CASE WHEN list_sum([x * x for x in c.xq]) = 0
@@ -125,6 +127,8 @@ def x_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
       WHERE q.vec_id < 10
+        AND list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0
+        AND list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
       QUALIFY row_number() OVER (
         PARTITION BY q.vec_id
         ORDER BY CASE WHEN list_sum([x * x for x in c.embedding::DOUBLE[]]) = 0

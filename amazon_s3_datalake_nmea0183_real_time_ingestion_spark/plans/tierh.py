@@ -264,7 +264,8 @@ def x_lpa_guarded(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH cent AS (
       SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centroid
-      FROM embeddings WHERE vec_id % 25 = 0),
+      FROM embeddings
+      WHERE vec_id % 25 = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     ns AS (
       SELECT greatest(CAST(ceil(count(*) / ceil(sqrt(count(*)))) AS BIGINT), 1) AS step
       FROM cent),
@@ -292,7 +293,8 @@ def x_lpa_guarded(spark: SparkSession, sf: str) -> DataFrame:
                  PARTITION BY e.vec_id
                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], s.sv), 6) DESC,
                           s.super_id ASC) AS rn
-        FROM embeddings e CROSS JOIN seeds s) t WHERE rn <= 2),
+        FROM embeddings e CROSS JOIN seeds s
+        WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0) t WHERE rn <= 2),
     assign AS (
       SELECT vec_id, embedding, centroid_id AS cluster FROM (
         SELECT p.vec_id, p.embedding, t.centroid_id,
@@ -386,7 +388,8 @@ def _ivf_probe1_report(asg: DataFrame, k: int = 3) -> DataFrame:
     oracle="""
     WITH cent AS (
       SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centroid
-      FROM embeddings WHERE vec_id % 25 = 0),
+      FROM embeddings
+      WHERE vec_id % 25 = 0 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     assign AS (
       SELECT vec_id, embedding, centroid_id AS cluster FROM (
         SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -394,7 +397,8 @@ def _ivf_probe1_report(asg: DataFrame, k: int = 3) -> DataFrame:
                  PARTITION BY e.vec_id
                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
                           c.centroid_id ASC) AS rn
-        FROM embeddings e CROSS JOIN cent c) t
+        FROM embeddings e CROSS JOIN cent c
+        WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0) t
       WHERE rn = 1)
     SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
            CAST(row_number() OVER (

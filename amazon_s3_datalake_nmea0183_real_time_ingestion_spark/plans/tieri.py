@@ -121,6 +121,8 @@ def x_embed_pq(spark: SparkSession, sf: str) -> DataFrame:
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM embeddings q JOIN recon c ON c.vec_id <> q.vec_id
       WHERE q.vec_id < 10
+        AND list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0
+        AND list_sum([x * x for x in c.xq]) > 0
       QUALIFY row_number() OVER (
         PARTITION BY q.vec_id
         ORDER BY CASE WHEN list_sum([x * x for x in c.xq]) = 0
@@ -133,6 +135,8 @@ def x_embed_pq(spark: SparkSession, sf: str) -> DataFrame:
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
       WHERE q.vec_id < 10
+        AND list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0
+        AND list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
       QUALIFY row_number() OVER (
         PARTITION BY q.vec_id
         ORDER BY CASE WHEN list_sum([x * x for x in c.embedding::DOUBLE[]]) = 0
@@ -353,3 +357,60 @@ def x_vocab_bpe(spark: SparkSession, sf: str) -> DataFrame:
     words = tok.groupBy(F.col("tok").alias("word")).agg(F.count("*").alias("wn"))
     merges, _rep = bpe_learn(spark, words, rounds=_BPE_ROUNDS)
     return merges
+
+
+# ---------------------------------------------------------------------------
+# zero-norm guard adjudication — planted degenerate vectors, both roles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_sim_zero_norm",
+    oracle="""
+    WITH planted AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 10
+      UNION ALL
+      SELECT -1 AS vec_id, [0.0 for i in range(1, 65)] AS v),
+    corpus AS (SELECT * FROM planted
+               WHERE list_dot_product(v, v) > 0),
+    queries AS (SELECT * FROM planted
+                WHERE vec_id < 5 AND list_dot_product(v, v) > 0)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                      c.vec_id ASC) AS INT) AS rank,
+           round(list_cosine_similarity(q.v, c.v), 6) AS sim
+    FROM queries q JOIN corpus c ON c.vec_id <> q.vec_id
+    QUALIFY rank <= 9
+    """,
+)
+def x_sim_zero_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-norm guard adjudication: a zero vector is PLANTED into a
+    10-row corpus slice in BOTH roles (it passes the vec_id < 5 query
+    filter too), k = 9 makes every surviving candidate rank — so if
+    either side's screen is missing, the planted row enters a top-k
+    (Spark NULL-cosine vs DuckDB NaN/-1.0, the registry.py boundary) and
+    the hash/row-count check fails.  With the guard (prep_vectors'
+    default screen ≡ the oracle's list_dot_product(v, v) > 0), both
+    engines search the identical 10-query-free, 10-corpus row set and the
+    boundary is unreachable — the documented-but-undefended divergence
+    (VERDICT r6 #7) replaced by an adjudicated contract.
+
+    Scale: the screen is a map-side filter fused into the same projection
+    that computes the norm the kernel needs anyway — zero added shuffles
+    at any corpus size.
+    """
+    e = (
+        table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+    )
+    zero = spark.range(1).select(
+        F.lit(-1).cast("long").alias("vec_id"),
+        F.array(*([F.lit(0.0)] * 64)).cast("array<float>").alias("embedding"),
+    )
+    planted = e.unionByName(zero)
+    out = cosine_topk(planted, planted.filter(F.col("vec_id") < 5), k=9)
+    return out.withColumn("rank", F.col("rank").cast("int"))

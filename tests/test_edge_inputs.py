@@ -55,14 +55,39 @@ def test_text_features_survive_weird_docs(weird_docs):
     assert feats[4]["fp"] is not None    # unicode fingerprints fine
 
 
-def test_cosine_topk_degenerate_vectors_yield_null_not_crash(spark):
-    """Zero-norm / null / empty embeddings must produce NULL similarity
-    (try_divide), never an ANSI DIVIDE_BY_ZERO."""
-    rows = [(1, [1.0, 0.0]), (2, None), (3, []), (4, [0.0, 0.0])]
+def test_cosine_topk_degenerate_vectors_screened_by_default(spark):
+    """Zero-norm / null / empty embeddings are SCREENED by prep_vectors'
+    default guard (the x_sim_* zero-norm contract, adjudicated by
+    x_sim_zero_norm): they never appear as queries or neighbors, and
+    nothing crashes with ANSI DIVIDE_BY_ZERO.  With screen=False the
+    legacy NULL-sim flow is preserved for diagnostics."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.similarity import (
+        _ranked_topk,
+        pair_cosine,
+        prep_vectors,
+    )
+
+    rows = [(1, [1.0, 0.0]), (2, None), (3, []), (4, [0.0, 0.0]), (5, [0.0, 2.0])]
     vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    out = cosine_topk(vecs, vecs.filter(F.col("vec_id") == 1), k=3).collect()
-    assert len(out) == 3
-    assert all(r["sim"] is None for r in out)
+    out = cosine_topk(vecs, vecs, k=3).collect()
+    # only the two well-formed vectors survive either side: 1<->5 pairs
+    assert sorted((r["query_id"], r["neighbor_id"]) for r in out) == [(1, 5), (5, 1)]
+    assert all(r["sim"] is not None for r in out)
+    # screen=False: degenerate corpus rows flow through with NULL sim
+    q = prep_vectors(
+        vecs.filter(F.col("vec_id") == 1), "vec_id", "embedding",
+        "query_id", "qd", "qn", screen=False,
+    )
+    c = prep_vectors(vecs, "vec_id", "embedding", "neighbor_id", "cd", "cn",
+                     screen=False)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", pair_cosine().alias("sim"))
+    )
+    legacy = _ranked_topk(scored, k=4).collect()
+    assert len(legacy) == 4
+    assert sum(r["sim"] is None for r in legacy) == 3  # rows 2, 3, 4
 
 
 def test_null_coordinates_keep_null_enrichment(spark):

@@ -316,7 +316,8 @@ def test_blas_assignment_matches_declarative_argmax(spark):
         ).alias("embedding"),
     )
     # edge rows: an exact tie between centroids 2 and 5 (must pick 2),
-    # and a zero-norm vector (must fall to centroid 0)
+    # and a zero-norm vector (must be SCREENED by both kernels — the
+    # prep_vectors guard / BLAS vn>0 mask, adjudicated by x_sim_zero_norm)
     edge = spark.createDataFrame(
         [
             (9_000_001, [0.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0]),
@@ -335,7 +336,8 @@ def test_blas_assignment_matches_declarative_argmax(spark):
         for r in assign_to_centroids_blas(corpus, cents).collect()
     }
     assert a == b
-    assert b[9_000_001] == 2 and b[9_000_002] == 0
+    assert b[9_000_001] == 2
+    assert 9_000_002 not in a and 9_000_002 not in b
 
     # end-to-end: the collapse output is identical under either kernel
     slow = semantic_dedup(corpus, cents, threshold=0.9).collect()
@@ -412,7 +414,8 @@ def test_2level_assignment_matches_flat_argmax(spark):
     two = assign_to_centroids_2level(corpus, cents, n_super=3)
     got = {r["vec_id"]: r["cluster"] for r in two.collect()}
     assert got == flat
-    assert got[9_000_001] == 2 and got[9_000_002] == 0
+    assert got[9_000_001] == 2
+    assert 9_000_002 not in got  # zero-norm: screened (x_sim_zero_norm contract)
     # scale shape: the centroid-side join is keyed, never broadcast
     plan = plan_of(two)
     assert "ShuffledHashJoin" in plan
