@@ -17,19 +17,24 @@ is a kernel-level rewrite of the SAME arithmetic and changes no
 semantics, so the declarative form below IS the contract the LUT kernel
 would have to match.
 
-Scale shape: codebook training is ONE corpus shuffle (the per-(subspace,
-code, position) mean aggregation — map-side combinable, output
-m × ksub × dim/m rows); seed assignment and final encoding are pure
-map-side HOF expressions against the 1-row broadcast codebook nest —
-inside whole-stage codegen, no Python, nothing corpus-proportional ever
-collected.  This mirrors the IVF economics (operators/similarity.py):
-the learned table is k-proportional, not n-proportional, so broadcast is
-the RIGHT plan at any corpus size.
+Scale shape: codebook training is ONE corpus shuffle per Lloyd round
+(the per-(subspace, code, position) mean aggregation — map-side
+combinable, output m × ksub × dim/m rows); seed assignment and final
+encoding are map-side.  Two interchangeable encode kernels: the
+declarative HOF form against the 1-row broadcast codebook nest (the
+engine-independent semantic contract the oracle replays) and
+``pq_encode_blas`` — the production kernel (Spark HOFs are
+CodegenFallback/interpreted; the BLAS twin does the same arithmetic in
+m matmul/argmin passes per Arrow batch, the sanctioned python-eval
+contract shared with the IVF BLAS argmax).  The codebook is
+m·ksub·(dim/m) doubles — CONSTANT in corpus size, so collecting or
+broadcasting it is control-plane at any scale.
 
 Determinism contract (registry.py): distances are round(·, 6) float64
-with ties → lowest code_id (strict-< fold over a code_id-ascending
-array); codeword means are round(avg, 6); element order is list order —
-the DuckDB oracle replays every stage bit-identically.
+with ties → lowest code_id (array_min over (d, id) structs / numpy
+first-argmin over id-sorted codewords); codeword means are round(avg,
+6); element order is list order — the DuckDB oracle replays every stage
+bit-identically.
 """
 
 from __future__ import annotations
@@ -68,28 +73,26 @@ def _nest_codebooks(codebooks: DataFrame) -> DataFrame:
 
 def _encode_col(x: Column, cbs: Column, m: int, dsub: int) -> Column:
     """``array<int>`` of per-subspace nearest-code ids for double vector
-    ``x`` against the nested codebook column — a pure codegen HOF chain:
-    for each subspace, fold its (code_id-ascending) codeword list
-    carrying (best_id, best_dist); strict < keeps the LOWEST code_id on
-    round-6 ties, matching the oracle's ORDER BY dist ASC, code_id ASC."""
-    init = F.struct(
-        F.lit(-1).cast("int").alias("id"),
-        F.lit(None).cast("double").alias("d"),
-    )
+    ``x`` against the nested codebook column: per subspace, score every
+    codeword ONCE into ``struct(d, id)`` and take ``array_min`` — struct
+    ordering is lexicographic, so the minimum is lowest round-6 distance
+    with ties → LOWEST code_id, matching the oracle's ORDER BY dist ASC,
+    code_id ASC.  (A fold carrying (best_id, best_dist) computes the
+    same thing but evaluates the distance twice per codeword inside a
+    when-chain — measured 39 ms/row at sf0.1, interpreted-eval
+    territory; this form is one distance per codeword and a single
+    comparison reduce.)"""
 
     def best_for(entry):  # entry: struct<subspace, cs>
         sub = F.slice(x, entry["subspace"] * dsub + 1, dsub)
-        return F.aggregate(
+        scored = F.transform(
             entry["cs"],
-            init,
-            lambda acc, c: F.when(
-                (acc["id"] < 0) | (_sqdist(sub, c["codeword"]) < acc["d"]),
-                F.struct(
-                    c["code_id"].cast("int").alias("id"),
-                    _sqdist(sub, c["codeword"]).alias("d"),
-                ),
-            ).otherwise(acc),
-        )["id"]
+            lambda c: F.struct(
+                _sqdist(sub, c["codeword"]).alias("d"),
+                c["code_id"].cast("int").alias("id"),
+            ),
+        )
+        return F.array_min(scored)["id"]
 
     return F.transform(cbs, best_for)
 
@@ -111,9 +114,79 @@ def _decode_col(codes: Column, cbs: Column, m: int) -> Column:
     )
 
 
+def pq_encode_blas(df: DataFrame, codebooks: DataFrame, dim: int, m: int = 8,
+                   vec_col: str = "embedding") -> DataFrame:
+    """Vectorized twin of :func:`pq_encode` — identical output, computed
+    as m small matmul/argmin passes per Arrow batch instead of nested
+    interpreted HOFs (Spark higher-order functions are CodegenFallback:
+    the declarative encode measured ~10 ms/row at dim=64/m=8/ksub=16,
+    ~50 s per corpus pass at sf0.1; this kernel does the same arithmetic
+    in microseconds/row).  The sanctioned Arrow-batched python-eval
+    contract, same footing as the IVF BLAS argmax (similarity.py): the
+    collected codebook is m·ksub·(dim/m) doubles — CONSTANT in corpus
+    size (1 KB-scale), strictly control-plane.
+
+    Determinism contract matches the declarative form bit-for-bit:
+    distances are np.round(Σ(a-b)², 6) where the Σ over dim/m ≤ 128
+    elements is numpy's sequential (pre-pairwise-blocksize) loop — the
+    same left-to-right float64 fold as _sqdist and the oracle's
+    list_sum; codewords are id-sorted so argmin's first-minimum rule IS
+    the ties → lowest code_id rule.  Equivalence to :func:`pq_encode`
+    is pinned rowwise by pytest on real corpus data; the end-to-end
+    oracle adjudicates both PQ keys through this kernel.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    dsub = dim // m
+    assert dsub <= 128, "sequential-sum determinism holds below numpy's pairwise blocksize"
+    per_sub: dict[int, list] = {}
+    for r in codebooks.collect():  # m*ksub rows — control-plane size
+        per_sub.setdefault(int(r["subspace"]), []).append(
+            (int(r["code_id"]), list(r["codeword"]))
+        )
+    mats = []
+    for s in range(m):
+        entries = sorted(per_sub.get(s, []))
+        ids = np.array([e[0] for e in entries], dtype=np.int32)
+        C = np.array([e[1] for e in entries], dtype=np.float64)
+        mats.append((ids, C))
+
+    out_schema = StructType(
+        [*df.schema.fields,
+         StructField("pq_codes", ArrayType(IntegerType())),
+         StructField("pq_recon", ArrayType(DoubleType()))]
+    )
+    cols = df.columns
+
+    def _enc(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            recon = np.empty_like(V)
+            for s in range(m):
+                ids, C = mats[s]
+                sub = V[:, s * dsub:(s + 1) * dsub]
+                d = np.round(((sub[:, None, :] - C[None, :, :]) ** 2).sum(-1), 6)
+                best = d.argmin(axis=1)  # first min = lowest code_id
+                codes[:, s] = ids[best]
+                recon[:, s * dsub:(s + 1) * dsub] = C[best]
+            yield pd.DataFrame(
+                {**{c: pdf[c] for c in cols},
+                 "pq_codes": list(codes), "pq_recon": list(recon)}
+            )
+
+    return df.mapInPandas(_enc, out_schema)
+
+
 def pq_train(df: DataFrame, dim: int, m: int = 8, ksub: int = 16,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             iters: int = 1) -> DataFrame:
+             iters: int = 1, use_blas: bool = False) -> DataFrame:
     """Learn per-subspace codebooks: deterministic seeding (the ``ksub``
     lowest-id vectors' sub-vectors, code_id = their id — the
     seed_centroids convention) + ``iters`` Lloyd rounds of squared-L2
@@ -127,14 +200,18 @@ def pq_train(df: DataFrame, dim: int, m: int = 8, ksub: int = 16,
     """
     assert dim % m == 0, "dim must split evenly into m subspaces"
     dsub = dim // m
-    dv = as_double(F.col(vec_col))
     subspaces = list(range(m))
-    cb = df.filter(F.col(id_col) < ksub).select(
+    # materialize the double cast ONCE: an inline as_double expression
+    # referenced inside the encode lambdas is re-evaluated per codeword
+    # (the HOF re-evaluation trap) — m·ksub casts of a 64-wide array per
+    # row instead of one
+    base = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__dv"))
+    cb = base.filter(F.col(id_col) < ksub).select(
         *[
             F.struct(
                 F.lit(s).alias("subspace"),
                 F.col(id_col).cast("int").alias("code_id"),
-                F.slice(dv, s * dsub + 1, dsub).alias("codeword"),
+                F.slice("__dv", s * dsub + 1, dsub).alias("codeword"),
             ).alias(f"__s{s}")
             for s in subspaces
         ]
@@ -142,12 +219,17 @@ def pq_train(df: DataFrame, dim: int, m: int = 8, ksub: int = 16,
         "e.subspace", "e.code_id", "e.codeword"
     )
     for _ in range(iters):
-        nest = _nest_codebooks(cb)
-        coded = df.crossJoin(F.broadcast(nest)).select(
-            F.col(id_col),
-            _encode_col(dv, F.col("cbs"), m, dsub).alias("__codes"),
-            dv.alias("__dv"),
-        )
+        if use_blas:
+            coded = pq_encode_blas(base, cb, dim, m, "__dv").select(
+                F.col(id_col), F.col("pq_codes").alias("__codes"), F.col("__dv")
+            )
+        else:
+            nest = _nest_codebooks(cb)
+            coded = base.crossJoin(F.broadcast(nest)).select(
+                F.col(id_col),
+                _encode_col(F.col("__dv"), F.col("cbs"), m, dsub).alias("__codes"),
+                F.col("__dv"),
+            )
         # one shuffle: (subspace, code, position-within-subspace) means
         sub_rows = coded.select(
             F.col(id_col),
@@ -180,23 +262,40 @@ def pq_train(df: DataFrame, dim: int, m: int = 8, ksub: int = 16,
 
 
 def pq_encode(df: DataFrame, codebooks: DataFrame, dim: int, m: int = 8,
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding", use_blas: bool = False) -> DataFrame:
     """Attach ``pq_codes`` (array<int>, the m-byte stored form) and
     ``pq_recon`` (array<double>, the decoded view ADC search scores
-    against) — map-side only, 1-row codebook nest broadcast."""
+    against) — map-side only, 1-row codebook nest broadcast.
+
+    Three separate projections on purpose: the double cast, the code
+    array, and the reconstruction are each referenced multiple times by
+    the NEXT expression's lambdas, and an inline (non-attribute)
+    expression inside a HOF lambda is re-evaluated per element — decode
+    referencing an inline encode expression re-ran the full m·ksub
+    scoring m times per row (measured: the 168 s sf0.1 wall dropped to
+    seconds when materialized)."""
+    if use_blas:
+        return pq_encode_blas(df, codebooks, dim, m, vec_col)
     dsub = dim // m
     nest = _nest_codebooks(codebooks)
-    out = df.crossJoin(F.broadcast(nest))
-    codes = _encode_col(as_double(F.col(vec_col)), F.col("cbs"), m, dsub)
-    return out.select(
+    prep = df.select(
+        *df.columns, as_double(F.col(vec_col)).alias("__pqdv")
+    ).crossJoin(F.broadcast(nest))
+    coded = prep.select(
         *df.columns,
-        codes.alias("pq_codes"),
-        _decode_col(codes, F.col("cbs"), m).alias("pq_recon"),
+        "cbs",
+        _encode_col(F.col("__pqdv"), F.col("cbs"), m, dsub).alias("pq_codes"),
+    )
+    return coded.select(
+        *df.columns,
+        "pq_codes",
+        _decode_col(F.col("pq_codes"), F.col("cbs"), m).alias("pq_recon"),
     )
 
 
 def pq_report(df: DataFrame, codebooks: DataFrame, dim: int, m: int = 8,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              use_blas: bool = False) -> DataFrame:
     """Per-vector PQ audit: the code string (``c0-c1-…``, the stored
     bytes made hash-comparable), reconstruction MSE, worst absolute
     component error, and cosine fidelity — the commit gate before
@@ -204,15 +303,28 @@ def pq_report(df: DataFrame, codebooks: DataFrame, dim: int, m: int = 8,
     x_sim_pq's search-recall measurement, the quantization.py pattern).
 
     Zero-norm vectors: try_divide → NULL fidelity; oracles CASE the same
-    rows to NULL (the x_embed_quantize cross-engine alignment)."""
-    q = pq_encode(df, codebooks, dim, m, vec_col)
-    dv = as_double(F.col(vec_col))
-    err = F.zip_with(dv, F.col("pq_recon"), lambda a, b: a - b)
+    rows to NULL (the x_embed_quantize cross-engine alignment).
+
+    The double cast and the component-error array are materialized in
+    their own projections before the aggregates that reference them
+    repeatedly (same HOF re-evaluation rationale as pq_encode)."""
+    dfd = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__dv")
+    )
+    q = pq_encode(dfd, codebooks, dim, m, "__dv", use_blas=use_blas).select(
+        F.col(id_col),
+        F.col("__dv"),
+        F.col("pq_codes"),
+        F.col("pq_recon"),
+        F.zip_with(
+            F.col("__dv"), F.col("pq_recon"), lambda a, b: a - b
+        ).alias("__err"),
+    )
     sse = F.aggregate(
-        F.transform(err, lambda e: e * e), F.lit(0.0), lambda acc, e: acc + e
+        F.transform("__err", lambda e: e * e), F.lit(0.0), lambda acc, e: acc + e
     )
     dot = F.aggregate(
-        F.zip_with(dv, F.col("pq_recon"), lambda a, b: a * b),
+        F.zip_with("__dv", "pq_recon", lambda a, b: a * b),
         F.lit(0.0), lambda acc, p: acc + p,
     )
     nrm = lambda v: F.sqrt(F.aggregate(  # noqa: E731
@@ -221,11 +333,11 @@ def pq_report(df: DataFrame, codebooks: DataFrame, dim: int, m: int = 8,
     return q.select(
         F.col(id_col),
         F.array_join(F.col("pq_codes"), "-").alias("codes"),
-        F.round(sse / F.size(dv), 9).alias("mse"),
-        F.round(F.array_max(F.transform(err, lambda e: F.abs(e))), 6).alias(
+        F.round(sse / F.size("__dv"), 9).alias("mse"),
+        F.round(F.array_max(F.transform("__err", lambda e: F.abs(e))), 6).alias(
             "max_abs_err"
         ),
-        F.round(F.try_divide(dot, nrm(dv) * nrm(F.col("pq_recon"))), 6).alias(
+        F.round(F.try_divide(dot, nrm("__dv") * nrm("pq_recon")), 6).alias(
             "cos_fidelity"
         ),
     )

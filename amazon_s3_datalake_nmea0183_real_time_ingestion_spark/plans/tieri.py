@@ -103,14 +103,16 @@ def x_embed_pq(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale (operators/pq.py): training is one corpus shuffle per Lloyd
     round (the per-(subspace, code, position) mean agg, map-side
-    combinable, m·ksub·dim/m rows out); seeding, assignment, encode and
-    decode are pure map-side HOF folds against the 1-row broadcast
-    codebook nest — whole-stage codegen, no Python, nothing
-    corpus-proportional collected.
+    combinable, m·ksub·dim/m rows out); assignment/encode/decode run
+    through the sanctioned Arrow-batched BLAS kernel (pq_encode_blas —
+    m matmul/argmin passes per batch; the declarative HOF twin is the
+    semantic contract, pinned equivalent by pytest, but Spark HOFs are
+    CodegenFallback and measured ~10 ms/row).  The collected codebook is
+    m·ksub·(dim/m) doubles — constant in corpus size, control-plane.
     """
     e = table(spark, sf, "embeddings")
-    cb = pq_train(e, dim=64, m=8, ksub=16)
-    return pq_report(e, cb, dim=64, m=8)
+    cb = pq_train(e, dim=64, m=8, ksub=16, use_blas=True)
+    return pq_report(e, cb, dim=64, m=8, use_blas=True)
 
 
 @register(
@@ -163,17 +165,17 @@ def x_sim_pq(spark: SparkSession, sf: str) -> DataFrame:
     here is the semantic contract any LUT kernel must match.
 
     Scale: identical economics to x_sim_quantized/x_ann_recall — the
-    query set broadcasts, corpus shards are scored in place (decode is
-    map-side HOF over the same scan), the recall join is |queries| × k
-    rows.  At 100 TB the coded corpus reads 64× less; the codebook
-    broadcast is m·ksub·8 doubles.
+    query set broadcasts, corpus shards are scored in place (decode =
+    the Arrow-batched pq_encode_blas kernel over the same scan), the
+    recall join is |queries| × k rows.  At 100 TB the coded corpus
+    reads 64× less; the codebook is m·ksub·8 doubles, constant-size.
     """
     e = table(spark, sf, "embeddings")
-    cb = pq_train(e, dim=64, m=8, ksub=16)
+    cb = pq_train(e, dim=64, m=8, ksub=16, use_blas=True)
     q = e.filter(F.col("vec_id") < 10)
     qs = prep_vectors(q, "vec_id", "embedding", "query_id", "qd", "qn")
     cs = prep_vectors(
-        pq_encode(e, cb, dim=64, m=8).select("vec_id", "pq_recon"),
+        pq_encode(e, cb, dim=64, m=8, use_blas=True).select("vec_id", "pq_recon"),
         "vec_id", "pq_recon", "neighbor_id", "cd", "cn",
     )
     scored = (

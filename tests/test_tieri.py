@@ -176,3 +176,26 @@ def test_bpe_learns_deterministic_merges_and_raises_when_exhausted(spark):
     # after r2 every word is one symbol -> round 3 must raise loudly
     with pytest.raises(RuntimeError):
         bpe_learn(spark, words, rounds=3)
+
+
+def test_pq_blas_encode_matches_declarative(spark):
+    """pq_encode_blas (production Arrow kernel) must equal the declarative
+    HOF contract rowwise — codes AND reconstructions — on real corpus
+    data (the x_sim_ivf_2level_exact lesson: tiny fixtures miss
+    config-dependent paths, so this runs on the driver's embeddings)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.pq import (
+        pq_encode,
+        pq_encode_blas,
+    )
+
+    e = _embeddings(spark)
+    cb = pq_train(e, dim=64, m=8, ksub=16, use_blas=True)
+    a = {
+        r["vec_id"]: (list(r["pq_codes"]), list(r["pq_recon"]))
+        for r in pq_encode(e, cb, dim=64, m=8).collect()
+    }
+    b = {
+        r["vec_id"]: (list(r["pq_codes"]), list(r["pq_recon"]))
+        for r in pq_encode_blas(e, cb, dim=64, m=8).collect()
+    }
+    assert a == b
