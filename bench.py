@@ -149,6 +149,13 @@ HEADLINE = [
     # round-5 batch 4: corpus-version diff audit, per-source KL divergence
     "x_dataset_diff",
     "x_source_kl",
+    # round-7 Tier I: PQ vector storage + ADC recall, count-min heavy
+    # hitters, BPE vocabulary learning, zero-norm guard adjudication
+    "x_embed_pq",
+    "x_sim_pq",
+    "x_heavy_hitters",
+    "x_vocab_bpe",
+    "x_sim_zero_norm",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical
