@@ -35,11 +35,18 @@ from pyspark.sql import functions as F
 def chars_of(word: Column) -> Column:
     """Character array of a string attribute column — explicit
     substring-per-index (engine-independent; regex-split empty-pattern
-    edge behavior differs across engines)."""
-    return F.transform(
+    edge behavior differs across engines).
+
+    Empty string → empty array, guarded explicitly: Spark's
+    ``sequence(1, 0)`` generates the DESCENDING sequence [1, 0], so the
+    unguarded transform would turn '' into ["", ""] and a
+    frequent-enough empty word would win a garbage ('', '') merge
+    (code-review r7 finding; tokens() pre-filters empties but other
+    tokenizers may not)."""
+    return F.when(F.length(word) > 0, F.transform(
         F.sequence(F.lit(1), F.length(word)),
         lambda i: F.substring(word, i, F.lit(1)),
-    )
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def pair_counts(rep: DataFrame) -> DataFrame:

@@ -63,7 +63,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
-    cc_max_iters: int = 25,
+    cc_max_iters: int | None = None,
     use_star_cc: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full curation chain; returns lazy DataFrames:
@@ -80,7 +80,7 @@ def curate_corpus(
     n-gram screen (decontaminate); pass None to skip.
 
     Component labeling fails LOUD on non-convergence (RuntimeError at
-    the round budget).  ``cc_max_iters`` raises the budget for a corpus
+    the round budget).  ``cc_max_iters`` overrides the budget for a corpus
     with one long near-dup chain; ``use_star_cc=True`` switches to the
     O(log n)-round large/small-star scheme, whose round count is
     insensitive to chain diameter — the recourse when raising the
@@ -108,8 +108,13 @@ def curate_corpus(
         exact, id_col, text_col, threshold=near_threshold, max_bucket=max_bucket
     ).select("id_a", "id_b")
     label_components = connected_components_star if use_star_cc else connected_components
+    # None -> each operator's OWN default budget (plain 25, star 30): a
+    # single hard-coded default here silently TIGHTENED star's budget for
+    # the caller switching use_star_cc=True as the non-convergence
+    # recourse (code-review r7 finding)
+    cc_kwargs = {} if cc_max_iters is None else {"max_iters": cc_max_iters}
     labels = label_components(
-        pairs, exact.select(id_col), id_col=id_col, max_iters=cc_max_iters
+        pairs, exact.select(id_col), id_col=id_col, **cc_kwargs
     ).localCheckpoint(eager=False)  # consumed by the collapse AND the split
     collapsed = exact.join(labels, id_col).filter(
         F.col(id_col) == F.col("cluster_id")

@@ -115,7 +115,8 @@ def _decode_col(codes: Column, cbs: Column, m: int) -> Column:
 
 
 def pq_encode_blas(df: DataFrame, codebooks: DataFrame, dim: int, m: int = 8,
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   with_recon: bool = True) -> DataFrame:
     """Vectorized twin of :func:`pq_encode` — identical output, computed
     as m small matmul/argmin passes per Arrow batch instead of nested
     interpreted HOFs (Spark higher-order functions are CodegenFallback:
@@ -126,14 +127,27 @@ def pq_encode_blas(df: DataFrame, codebooks: DataFrame, dim: int, m: int = 8,
     collected codebook is m·ksub·(dim/m) doubles — CONSTANT in corpus
     size (1 KB-scale), strictly control-plane.
 
-    Determinism contract matches the declarative form bit-for-bit:
-    distances are np.round(Σ(a-b)², 6) where the Σ over dim/m ≤ 128
-    elements is numpy's sequential (pre-pairwise-blocksize) loop — the
-    same left-to-right float64 fold as _sqdist and the oracle's
-    list_sum; codewords are id-sorted so argmin's first-minimum rule IS
-    the ties → lowest code_id rule.  Equivalence to :func:`pq_encode`
-    is pinned rowwise by pytest on real corpus data; the end-to-end
-    oracle adjudicates both PQ keys through this kernel.
+    Determinism contract matches the declarative form: distances are
+    np.round(Σ(a-b)², 6) with the Σ accumulated EXPLICITLY left-to-right
+    over the dim/m positions (a Python loop of vectorized adds — numpy's
+    .sum() is NOT usable here: it switches to 8-accumulator/pairwise
+    tree summation, which differs bitwise from the fold in ~41% of
+    8-element sums; code-review r7 finding); codewords are id-sorted so
+    argmin's first-minimum rule IS the ties → lowest code_id rule.
+    Residual knife-edge, same class as registry.py's documented round()
+    boundary: np.round is ties-to-even on the binary value while Spark
+    rounds the shortest-decimal repr HALF_UP — a distance landing
+    EXACTLY on a 0.5e-6 boundary could round differently (measure-zero
+    on continuous data; the rowwise equivalence pytest and both-SF
+    oracle runs gate it on real corpora).
+
+    Degenerate rows (NULL embedding, or length != dim): NULL codes and
+    NULL recon, matching the declarative twin's NULL propagation instead
+    of crashing the whole batch inside np.array.
+
+    ``with_recon=False`` skips reconstruction assembly — the Lloyd
+    training loop only consumes codes, and the gather + dim-wide double
+    column through Arrow is corpus-sized waste there.
     """
     import numpy as np
     import pandas as pd
@@ -142,7 +156,6 @@ def pq_encode_blas(df: DataFrame, codebooks: DataFrame, dim: int, m: int = 8,
     )
 
     dsub = dim // m
-    assert dsub <= 128, "sequential-sum determinism holds below numpy's pairwise blocksize"
     per_sub: dict[int, list] = {}
     for r in codebooks.collect():  # m*ksub rows — control-plane size
         per_sub.setdefault(int(r["subspace"]), []).append(
@@ -155,31 +168,52 @@ def pq_encode_blas(df: DataFrame, codebooks: DataFrame, dim: int, m: int = 8,
         C = np.array([e[1] for e in entries], dtype=np.float64)
         mats.append((ids, C))
 
-    out_schema = StructType(
-        [*df.schema.fields,
-         StructField("pq_codes", ArrayType(IntegerType())),
-         StructField("pq_recon", ArrayType(DoubleType()))]
-    )
+    out_fields = [*df.schema.fields,
+                  StructField("pq_codes", ArrayType(IntegerType()))]
+    if with_recon:
+        out_fields.append(StructField("pq_recon", ArrayType(DoubleType())))
+    out_schema = StructType(out_fields)
     cols = df.columns
 
     def _enc(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            codes = np.empty((len(pdf), m), dtype=np.int32)
-            recon = np.empty_like(V)
-            for s in range(m):
-                ids, C = mats[s]
-                sub = V[:, s * dsub:(s + 1) * dsub]
-                d = np.round(((sub[:, None, :] - C[None, :, :]) ** 2).sum(-1), 6)
-                best = d.argmin(axis=1)  # first min = lowest code_id
-                codes[:, s] = ids[best]
-                recon[:, s * dsub:(s + 1) * dsub] = C[best]
-            yield pd.DataFrame(
-                {**{c: pdf[c] for c in cols},
-                 "pq_codes": list(codes), "pq_recon": list(recon)}
+            vals = pdf[vec_col].tolist()
+            ok = np.array(
+                [v is not None and len(v) == dim for v in vals], dtype=bool
             )
+            out_codes: list = [None] * len(vals)
+            out_recon: list = [None] * len(vals)
+            if ok.any():
+                V = np.array(
+                    [v for v, k in zip(vals, ok) if k], dtype=np.float64
+                )
+                codes = np.empty((len(V), m), dtype=np.int32)
+                recon = np.empty_like(V) if with_recon else None
+                for s in range(m):
+                    ids, C = mats[s]
+                    sub = V[:, s * dsub:(s + 1) * dsub]
+                    # explicit left-to-right accumulation == the _sqdist /
+                    # list_sum fold (np .sum would tree-sum, see docstring)
+                    d = np.zeros((len(V), len(ids)))
+                    for j in range(dsub):
+                        diff = sub[:, j, None] - C[None, :, j]
+                        d += diff * diff
+                    d = np.round(d, 6)
+                    best = d.argmin(axis=1)  # first min = lowest code_id
+                    codes[:, s] = ids[best]
+                    if with_recon:
+                        recon[:, s * dsub:(s + 1) * dsub] = C[best]
+                for i, pos in enumerate(np.flatnonzero(ok)):
+                    out_codes[pos] = codes[i]
+                    if with_recon:
+                        out_recon[pos] = recon[i]
+            out = {c: pdf[c] for c in cols}
+            out["pq_codes"] = out_codes
+            if with_recon:
+                out["pq_recon"] = out_recon
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(_enc, out_schema)
 
@@ -220,7 +254,9 @@ def pq_train(df: DataFrame, dim: int, m: int = 8, ksub: int = 16,
     )
     for _ in range(iters):
         if use_blas:
-            coded = pq_encode_blas(base, cb, dim, m, "__dv").select(
+            coded = pq_encode_blas(
+                base, cb, dim, m, "__dv", with_recon=False
+            ).select(
                 F.col(id_col), F.col("pq_codes").alias("__codes"), F.col("__dv")
             )
         else:

@@ -276,6 +276,18 @@ def _two_level_probe(corpus: DataFrame, centroids: DataFrame,
 
     from ..functions.hashing import md5_u32
 
+    # zero-norm centroids are screened BEFORE anything derives from the
+    # table: k, the 1/step md5 seed sample, and the min-id fallback seed
+    # must all see the same row set as the downstream preps (which screen
+    # by default) and as the oracles' screened cent CTE — deriving step
+    # from the unscreened count would select a different seed set the
+    # moment a degenerate centroid existed (code-review r7 finding)
+    centroids = centroids.filter(
+        F.aggregate(
+            F.transform(as_double(F.col("centroid")), lambda x: x * x),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ) > 0
+    )
     k = centroids.count()  # ONE k-row action; k folds into the plan as literals
     if n_super is None:
         n_super = math.ceil(math.sqrt(k))

@@ -88,13 +88,19 @@ def cms_estimate(keys: DataFrame, sketch: DataFrame, key_col: str,
                  depth: int = 4, width: int = 1024) -> DataFrame:
     """Point-query the sketch: per input row, min over the ``depth`` cells
     its key maps to.  The sketch (≤ depth·width rows) broadcasts; the
-    keys side keeps all its columns."""
+    keys side keeps all its columns.
+
+    The grid is stored SPARSE (only touched cells have rows), so the
+    probe is a LEFT join with absent cells counting as 0: a never-seen
+    key — the monitoring use case is exactly 'estimate these candidate
+    tokens' — gets est=0 (the canonical CMS answer), not a dropped row
+    or a min over only its populated cells (code-review r7 finding)."""
     cols = keys.columns
     probes = keys.select(
         *cols, F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
     ).withColumn("bucket", _bucket(F.col(key_col), F.col("j"), width))
     return (
-        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(*cols)
-        .agg(F.min("cell").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("est"))
     )

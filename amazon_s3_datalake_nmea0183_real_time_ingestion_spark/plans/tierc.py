@@ -1385,14 +1385,16 @@ def x_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH centv AS (
       SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centroid
-      FROM embeddings WHERE vec_id < 8)
+      FROM embeddings
+      WHERE vec_id < 8 AND list_dot_product(embeddings.embedding::DOUBLE[], embeddings.embedding::DOUBLE[]) > 0)
     SELECT vec_id, cluster FROM (
       SELECT e.vec_id, c.centroid_id AS cluster,
              row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
                         c.centroid_id ASC) AS rn
-      FROM embeddings e CROSS JOIN centv c) t
+      FROM embeddings e CROSS JOIN centv c
+      WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0) t
     WHERE rn = 1
     """,
 )
@@ -1411,7 +1413,8 @@ def x_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH centv0 AS (
       SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centroid
-      FROM embeddings WHERE vec_id < 8),
+      FROM embeddings
+      WHERE vec_id < 8 AND list_dot_product(embeddings.embedding::DOUBLE[], embeddings.embedding::DOUBLE[]) > 0),
     a1 AS (
       SELECT vec_id, embedding, cluster FROM (
         SELECT e.vec_id, e.embedding, c.centroid_id AS cluster,
@@ -1419,21 +1422,25 @@ def x_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
                  PARTITION BY e.vec_id
                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
                           c.centroid_id ASC) AS rn
-        FROM embeddings e CROSS JOIN centv0 c) t
+        FROM embeddings e CROSS JOIN centv0 c
+        WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0) t
       WHERE rn = 1),
     cent1 AS (
       SELECT cluster AS centroid_id, p, round(avg(embedding[p]::DOUBLE), 6) AS m
       FROM a1 CROSS JOIN unnest(range(1, 65)) u(p)
       GROUP BY cluster, p),
-    centv1 AS (SELECT centroid_id, list(m ORDER BY p) AS centroid
-               FROM cent1 GROUP BY centroid_id)
+    centv1 AS (
+      SELECT * FROM (SELECT centroid_id, list(m ORDER BY p) AS centroid
+                     FROM cent1 GROUP BY centroid_id)
+      WHERE list_dot_product(centroid, centroid) > 0)
     SELECT vec_id, cluster FROM (
       SELECT e.vec_id, c.centroid_id AS cluster,
              row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
                         c.centroid_id ASC) AS rn
-      FROM embeddings e CROSS JOIN centv1 c) t
+      FROM embeddings e CROSS JOIN centv1 c
+      WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0) t
     WHERE rn = 1
     """,
 )

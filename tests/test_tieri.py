@@ -199,3 +199,65 @@ def test_pq_blas_encode_matches_declarative(spark):
         for r in pq_encode_blas(e, cb, dim=64, m=8).collect()
     }
     assert a == b
+
+
+def test_cms_estimate_never_seen_key_is_zero(spark):
+    """A key absent from the stream must get est=0 (canonical CMS answer
+    for empty cells) and must NOT vanish from the output — the sparse
+    grid probe is a left join with absent cells counting 0 (code-review
+    r7 finding)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.sketches import (
+        cms_estimate,
+        cms_from_stream,
+    )
+
+    items = spark.createDataFrame([("a",), ("a",), ("b",)], "token string")
+    # width 4096 >> 2 distinct keys: some probe cells of an unseen key
+    # are guaranteed empty
+    g = cms_from_stream(items, "token", depth=4, width=4096)
+    probe = spark.createDataFrame(
+        [("a",), ("never-seen-key",)], "token string"
+    )
+    est = {r["token"]: r["est"] for r in
+           cms_estimate(probe, g, "token", depth=4, width=4096).collect()}
+    assert est["a"] >= 2
+    assert est["never-seen-key"] == 0
+
+
+def test_bpe_chars_of_empty_word_is_empty_array(spark):
+    """chars_of('') must be [] — Spark's sequence(1, 0) is DESCENDING, so
+    the unguarded transform yielded ['', ''] and a frequent empty word
+    could win a garbage merge (code-review r7 finding)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.bpe import (
+        chars_of,
+    )
+
+    df = spark.createDataFrame([("",), ("ab",)], "word string")
+    out = {r["word"]: list(r["c"]) for r in
+           df.select("word", chars_of(F.col("word")).alias("c")).collect()}
+    assert out == {"": [], "ab": ["a", "b"]}
+
+
+def test_pq_blas_degenerate_rows_yield_null_not_crash(spark):
+    """NULL / wrong-length embeddings must produce NULL codes+recon from
+    the BLAS kernel (matching declarative NULL propagation), not an
+    np.array crash of the whole batch (code-review r7 finding)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.pq import (
+        pq_encode_blas,
+    )
+
+    dim, m = 8, 4
+    e = spark.createDataFrame(
+        [(0, [1.0] * dim), (1, None), (2, [1.0] * 3), (3, [2.0] * dim)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_train(
+        e.filter(F.col("vec_id").isin(0, 3)), dim=dim, m=m, ksub=2
+    )
+    out = {r["vec_id"]: r for r in pq_encode_blas(e, cb, dim=dim, m=m).collect()}
+    assert out[1]["pq_codes"] is None and out[1]["pq_recon"] is None
+    assert out[2]["pq_codes"] is None and out[2]["pq_recon"] is None
+    # only vec 0 seeds (ids < ksub=2); both valid rows land in its cell
+    assert list(out[0]["pq_codes"]) == [0] * m
+    assert list(out[3]["pq_codes"]) == [0] * m
+    assert list(out[3]["pq_recon"]) == [1.5] * dim  # cell mean of 1.0, 2.0
