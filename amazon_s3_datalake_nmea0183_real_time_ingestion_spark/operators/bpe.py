@@ -90,12 +90,15 @@ def bpe_learn(spark: SparkSession, words: DataFrame, rounds: int = 6,
 
     Returns ``(merges, rep)``: the merge table (round, lhs, rhs, merged,
     pair_n — built from the per-round 1-row collects, control-plane data)
-    and the final word representations (wn, syms) under all merges.
+    and the final word representations (word, wn, syms) under all merges
+    — the word column rides through so callers can tokenize documents
+    against the learned vocab (x_bpe_tokenize).
     Raises if the vocabulary runs out of adjacent pairs before the round
     budget — a corpus degenerate enough to exhaust pairs needs an explicit
     caller decision, not a silently shorter vocab.
     """
     rep = words.select(
+        F.col(word_col).alias("word"),
         F.col(n_col).cast("bigint").alias("wn"),
         chars_of(F.col(word_col)).alias("syms"),
     )
@@ -115,7 +118,8 @@ def bpe_learn(spark: SparkSession, words: DataFrame, rounds: int = 6,
         b = top[0]
         merges.append((r, b["lhs"], b["rhs"], b["lhs"] + b["rhs"], b["pair_n"]))
         rep = rep.select(
-            "wn", apply_merge(F.col("syms"), b["lhs"], b["rhs"]).alias("syms")
+            "word", "wn",
+            apply_merge(F.col("syms"), b["lhs"], b["rhs"]).alias("syms"),
         ).localCheckpoint(eager=False)
     mdf = spark.createDataFrame(
         merges, "round int, lhs string, rhs string, merged string, pair_n bigint"

@@ -276,24 +276,32 @@ def x_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
 _BPE_ROUNDS = 6
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_oracle(rounds: int, final: str | None = None) -> str:
     """Unrolled DuckDB replay of ``rounds`` BPE merge rounds.  Per round:
     weighted adjacent-pair count + deterministic argmax (best_r), then the
     greedy one-pass rewrite — matches of (lhs, rhs) overlap only as runs
     of consecutive positions (requires lhs = rhs), and the greedy pass
     keeps the odd-offset positions of each run (gaps-and-islands on
-    ``i - row_number()``), consuming position i+1 of every kept match."""
+    ``i - row_number()``), consuming position i+1 of every kept match.
+
+    ``final`` overrides the closing SELECT (default: the merge table) —
+    x_bpe_tokenize closes over the final representations instead, via
+    the ``dtoks`` (doc_id, tok) and ``word_map`` (word_id, word) CTEs."""
     parts = [
         """
-    WITH toks AS (
-      SELECT unnest(list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+    WITH dtoks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[[:space:]]+'),
                                 x -> x <> '')) AS tok
       FROM documents),
     w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS wn
-          FROM toks GROUP BY tok),
-    rep0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY word) AS word_id, wn,
-                    [word[i] for i in range(1, length(word) + 1)] AS syms
-             FROM w)"""
+          FROM dtoks GROUP BY tok),
+    word_map AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY word) AS word_id, word FROM w),
+    rep0 AS MATERIALIZED (
+      SELECT wm.word_id, w.wn,
+             [w.word[i] for i in range(1, length(w.word) + 1)] AS syms
+      FROM w JOIN word_map wm ON wm.word = w.word)"""
     ]
     for r in range(1, rounds + 1):
         p = r - 1
@@ -329,12 +337,14 @@ def _bpe_oracle(rounds: int) -> str:
             LEFT JOIN keep{r} kp ON kp.word_id = p.word_id AND kp.i = p.i - 1) t
       WHERE NOT consumed
       GROUP BY word_id)""")
-    selects = [
-        f"SELECT CAST({r} AS INT) AS round, lhs, rhs, lhs || rhs AS merged, pair_n"
-        f" FROM best{r}"
-        for r in range(1, rounds + 1)
-    ]
-    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+    if final is None:
+        selects = [
+            f"SELECT CAST({r} AS INT) AS round, lhs, rhs, lhs || rhs AS merged,"
+            f" pair_n FROM best{r}"
+            for r in range(1, rounds + 1)
+        ]
+        final = "\n    UNION ALL ".join(selects)
+    return ",".join(parts) + "\n    " + final
 
 
 @register("x_vocab_bpe", oracle=_bpe_oracle(_BPE_ROUNDS))
@@ -416,3 +426,171 @@ def x_sim_zero_norm(spark: SparkSession, sf: str) -> DataFrame:
     planted = e.unionByName(zero)
     out = cosine_topk(planted, planted.filter(F.col("vec_id") < 5), k=9)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+_BPE_TOKENIZE_FINAL = f"""
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(r.syms)) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(len(r.syms)) AS DOUBLE) / count(*), 4)
+             AS avg_word_tokens
+    FROM dtoks d
+    JOIN word_map wm ON wm.word = d.tok
+    JOIN rep{_BPE_ROUNDS} r ON r.word_id = wm.word_id
+    GROUP BY d.doc_id
+"""
+
+
+@register("x_bpe_tokenize", oracle=_bpe_oracle(_BPE_ROUNDS, _BPE_TOKENIZE_FINAL))
+def x_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus tokenization under the learned BPE vocab: per document, the
+    whitespace word count and the subword token count after all 6 merge
+    rounds (avg tokens/word = the fertility statistic tokenizer teams
+    track — it prices a vocab against a corpus and flags domain drift:
+    rising fertility means the merges no longer fit the text).  Companion
+    to x_vocab_bpe (the learner); x_text_tokens counts pre-BPE proxies.
+
+    Scale (operators/bpe.py): training is vocab-sized (Heaps' law);
+    tokenization re-reads the corpus ONCE as (doc_id, word) pairs and
+    joins the word → final-symbol-count table — vocabulary-sized, so AQE
+    broadcasts it — then one doc-keyed count.  No per-document BPE
+    re-application: every occurrence of a word shares its representation,
+    the whole point of learning on the distinct-word table.
+    """
+    from ..operators.bpe import bpe_learn
+
+    d = table(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    words = (
+        tok.groupBy(F.col("tok").alias("word")).agg(F.count("*").alias("wn"))
+    )
+    _merges, rep = bpe_learn(spark, words, rounds=_BPE_ROUNDS)
+    wl = rep.select("word", F.size("syms").alias("__wl"))
+    return (
+        tok.join(wl, tok["tok"] == wl["word"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("__wl").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 4
+            ).alias("avg_word_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC — coarse IVF cells over PQ-coded residents (the composed index)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_sim_ivfpq",
+    oracle=f"""
+    WITH {_PQ_SQL},
+    cent AS (
+      SELECT label AS centroid_id, p, round(avg(embedding[p]::DOUBLE), 6) AS m
+      FROM embeddings CROSS JOIN unnest(range(1, 65)) u(p)
+      GROUP BY label, p),
+    centv AS (SELECT centroid_id, list(m ORDER BY p) AS centroid
+              FROM cent GROUP BY centroid_id),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN centv c
+        WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0) t
+      WHERE rn = 1),
+    approx AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id
+      FROM assign q
+      JOIN assign a ON a.cluster = q.cluster AND a.vec_id <> q.vec_id
+      JOIN recon r ON r.vec_id = a.vec_id
+      WHERE q.vec_id < 10
+        AND list_sum([x * x for x in r.xq]) > 0
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], r.xq), 6) DESC,
+                 a.vec_id ASC) <= 3),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+        AND list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0
+        AND list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                 c.vec_id ASC) <= 3)
+    SELECT e.query_id AS query_id, CAST(count(a.neighbor_id) AS INT) AS n_hits,
+           round(count(a.neighbor_id) / 3.0, 4) AS recall_at_3
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def x_sim_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC — the composed production vector index (Jégou et al.
+    TPAMI'11, the FAISS IVF+PQ layout): coarse IVF cells (label-mean
+    centroids) hold 4-byte PQ codes; a query assigns to its cell
+    (probe-1), decodes only that cell's residents, and ranks them by
+    full-precision-query × reconstruction cosine (ADC).  Scored as
+    recall@3 vs the exact float ground truth — alongside x_sim_ivf
+    (IVF, float residents), x_sim_pq (PQ, full scan) and x_sim_quantized
+    (int8, full scan), this completes the scan-fraction × compression
+    grid SCALE.md tabulates.
+
+    Scale: the cell assignment is the broadcast map-side argmax every
+    IVF key uses; the PQ decode rides the same scan through the
+    constant-size-codebook Arrow kernel; the candidate join keys on
+    cluster — at 100 TB the read volume is (scan fraction 1/k) ×
+    (compression 1/64) of the float corpus, the multiplicative win the
+    composed layout exists for.
+    """
+    from ..operators.similarity import assign_to_centroids, label_centroids
+
+    e = table(spark, sf, "embeddings")
+    cents = label_centroids(e)
+    asg = assign_to_centroids(e, cents)
+    cb = pq_train(e, dim=64, m=8, ksub=16, use_blas=True)
+    recon = pq_encode(e, cb, dim=64, m=8, use_blas=True).select(
+        "vec_id", "pq_recon"
+    )
+    cs = prep_vectors(
+        recon, "vec_id", "pq_recon", "neighbor_id", "cd", "cn"
+    ).join(
+        asg.select(F.col("vec_id").alias("neighbor_id"), "cluster"),
+        "neighbor_id",
+    )
+    qs = asg.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("vd").alias("qd"),
+        F.col("vn").alias("qn"), "cluster",
+    )
+    scored = (
+        cs.join(qs, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", pair_cosine().alias("sim"))
+    )
+    approx = _ranked_topk(scored, k=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(e, q, k=3).select("query_id", "neighbor_id")
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("__h"))
+        .select(
+            "query_id",
+            F.col("__h").cast("int").alias("n_hits"),
+            F.round(F.col("__h") / 3.0, 4).alias("recall_at_3"),
+        )
+    )

@@ -156,6 +156,8 @@ HEADLINE = [
     "x_heavy_hitters",
     "x_vocab_bpe",
     "x_sim_zero_norm",
+    "x_bpe_tokenize",
+    "x_sim_ivfpq",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

@@ -261,3 +261,29 @@ def test_pq_blas_degenerate_rows_yield_null_not_crash(spark):
     assert list(out[0]["pq_codes"]) == [0] * m
     assert list(out[3]["pq_codes"]) == [0] * m
     assert list(out[3]["pq_recon"]) == [1.5] * dim  # cell mean of 1.0, 2.0
+
+
+def test_cms_grids_merge_across_batches(spark):
+    """CMS mergeability (the streaming contract): grids built per batch
+    and summed cell-wise equal the grid built over the whole stream —
+    so per-microbatch sketches aggregate with one sketch-sized shuffle."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.sketches import (
+        cms_from_stream,
+    )
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.functions.text import (
+        tokens,
+    )
+
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    whole = cms_from_stream(tok, "token", depth=4, width=64)
+    b1 = cms_from_stream(tok.filter(F.col("doc_id") % 2 == 0), "token",
+                         depth=4, width=64)
+    b2 = cms_from_stream(tok.filter(F.col("doc_id") % 2 == 1), "token",
+                         depth=4, width=64)
+    merged = (
+        b1.unionByName(b2).groupBy("j", "bucket").agg(F.sum("cell").alias("cell"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
