@@ -33,9 +33,9 @@ _NEEDS_VERDICT = [
     # Round-7 new / re-registered keys — first driver row needed
     "x_dedup_semantic_guarded", "x_embed_pq", "x_sim_pq",
     "x_heavy_hitters", "x_vocab_bpe", "x_sim_zero_norm",
-    "x_bpe_tokenize", "x_sim_ivfpq",
+    "x_bpe_tokenize", "x_sim_ivfpq", "x_linreg_gd",
     # Oldest-r4 rows (CORRECTNESS_r04 insertion order) fill the remaining
-    # slots (24 if all eight r7 keys above register)
+    # slots (23 if all nine r7 keys above register)
     "x_dedup_best_guarded", "x_dedup_cluster_guarded", "cat_recover",
     "cat_register", "f_contains", "f_element_at", "f_split",
     "op_alert_filter", "op_error_route", "op_event_partition",

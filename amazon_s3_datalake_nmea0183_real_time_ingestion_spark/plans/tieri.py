@@ -594,3 +594,71 @@ def x_sim_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("__h") / 3.0, 4).alias("recall_at_3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed GD model fit — tokens-per-byte cost model, trajectory oracle
+# ---------------------------------------------------------------------------
+
+_GD_ROUNDS = 3
+_GD_LR = "0.1"
+
+
+def _linreg_oracle(rounds: int) -> str:
+    """Unrolled DuckDB replay of the GD trajectory: per round, the same
+    round-6 gradient averages, weight updates, and round-4 post-update
+    mse the engine computes (operators/regression.py)."""
+    parts = ["""
+    WITH feat AS MATERIALIZED (
+      SELECT length(text) / 1000.0 AS x,
+             CAST(len(list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                                  t -> t <> '')) AS DOUBLE) AS y
+      FROM documents)"""]
+    w0_expr, w1_expr = "0.0", "0.0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    g{r} AS (SELECT round(avg(2 * ({w0_expr} + {w1_expr} * x - y)), 6) AS g0,
+                    round(avg(2 * ({w0_expr} + {w1_expr} * x - y) * x), 6) AS g1
+             FROM feat),
+    w{r} AS MATERIALIZED (
+      SELECT {w0_expr} - {_GD_LR} * g0 AS w0,
+             {w1_expr} - {_GD_LR} * g1 AS w1
+      FROM g{r}),
+    m{r} AS (SELECT round(avg((w.w0 + w.w1 * x - y) * (w.w0 + w.w1 * x - y)), 4)
+                      AS mse
+             FROM feat, w{r} w)""")
+        w0_expr = f"(SELECT w0 FROM w{r})"
+        w1_expr = f"(SELECT w1 FROM w{r})"
+    selects = [
+        f"SELECT CAST({r} AS INT) AS round, w.w0, w.w1,"
+        f" (SELECT mse FROM m{r}) AS mse FROM w{r} w"
+        for r in range(1, rounds + 1)
+    ]
+    return ",".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register("x_linreg_gd", oracle=_linreg_oracle(_GD_ROUNDS))
+def x_linreg_gd(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed gradient-descent model fit: 3 full-batch GD rounds of
+    ``token_count ≈ w0 + w1 · (chars/1000)`` — the tokens-per-byte cost
+    model used to budget token counts from raw byte sizes at ingest —
+    with the per-round (w0, w1, post-update mse) trajectory as the
+    adjudicated output.  The supervised-model-fitting workload class
+    next to x_kmeans_iter's unsupervised one; squared loss keeps the
+    gradient pure +/* (libm-free, the quality_logit lesson), so the
+    oracle replays the trajectory exactly.
+
+    Scale (operators/regression.py): R rounds = R corpus aggregates
+    (d+1 partial sums, map-side combinable — the data-parallel GD epoch
+    shape: tree-reduced gradients, driver update, weight-vector
+    broadcast); weights are control-plane scalars.
+    """
+    from ..functions.text import token_count
+    from ..operators.regression import linreg_gd
+
+    d = table(spark, sf, "documents")
+    feats = d.select(
+        (F.length("text") / 1000.0).alias("x"),
+        token_count("text").cast("double").alias("y"),
+    )
+    return linreg_gd(spark, feats, "x", "y", rounds=_GD_ROUNDS, lr=0.1)

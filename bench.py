@@ -158,6 +158,7 @@ HEADLINE = [
     "x_sim_zero_norm",
     "x_bpe_tokenize",
     "x_sim_ivfpq",
+    "x_linreg_gd",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

@@ -287,3 +287,22 @@ def test_cms_grids_merge_across_batches(spark):
     )
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_linreg_gd_converges_and_is_deterministic(spark):
+    """GD on a noiseless y = 3 + 2x relation must drive mse monotonically
+    toward 0 and reproduce the identical trajectory on a second run."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.regression import (
+        linreg_gd,
+    )
+
+    df = spark.range(200).select(
+        (F.col("id") / 100.0).alias("x"),
+        (3.0 + 2.0 * (F.col("id") / 100.0)).alias("y"),
+    )
+    t1 = linreg_gd(spark, df, "x", "y", rounds=5, lr=0.3).collect()
+    mses = [r["mse"] for r in t1]
+    assert all(a > b for a, b in zip(mses, mses[1:]))  # strictly improving
+    assert mses[-1] < mses[0] / 2
+    t2 = linreg_gd(spark, df, "x", "y", rounds=5, lr=0.3).collect()
+    assert [tuple(r) for r in t1] == [tuple(r) for r in t2]
