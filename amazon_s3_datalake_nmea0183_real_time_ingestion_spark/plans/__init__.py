@@ -12,6 +12,7 @@ from . import tierf  # noqa: F401,E402
 from . import tierg  # noqa: F401,E402
 from . import tierh  # noqa: F401,E402
 from . import tieri  # noqa: F401,E402
+from . import tierj  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
 # keys per round.  After round 6: all 168 keys green at their latest check,
@@ -34,6 +35,7 @@ _NEEDS_VERDICT = [
     "x_dedup_semantic_guarded", "x_embed_pq", "x_sim_pq",
     "x_heavy_hitters", "x_vocab_bpe", "x_sim_zero_norm",
     "x_bpe_tokenize", "x_sim_ivfpq", "x_linreg_gd",
+    "x_kcore", "x_jaccard_prefix", "x_hll_union", "x_shuffle_epoch",
     # Oldest-r4 rows (CORRECTNESS_r04 insertion order) fill the remaining
     # slots (23 if all nine r7 keys above register)
     "x_dedup_best_guarded", "x_dedup_cluster_guarded", "cat_recover",

@@ -1,0 +1,309 @@
+"""Tier J — round-7 second wave: k-core decomposition (the graph-family
+completion next to CC / PageRank / LPA / triangles), an EXACT
+set-similarity join via prefix filtering (the lossless counterpart of
+MinHash-LSH), mergeable HyperLogLog sketch monitoring (the distributed
+distinct-count primitive 100 TB dashboards are built on), and the
+deterministic per-epoch training shuffle (oracle adjudication for
+operators/curation.py::global_shuffle).
+
+Every key follows the registry's cross-engine hash rules (registry.py
+docstring): float64 end-to-end, round(·, N) before any rank/compare,
+deterministic tie-breaks the oracle replays verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import jaccard_prefix_pairs, shingle_set
+from ..operators.graph import copurchase_pairs, kcore
+from .registry import register, table
+from .tierc import _CORPUS_SQL, _SHINGLES_SQL, _TOKS_SQL, _doc_corpus
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — iterative peel, fixed unrolled rounds
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 80
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled DuckDB replay of ``rounds`` peel rounds at threshold ``k``
+    over the part co-purchase graph — per round, survivors are the nodes
+    with ≥ k neighbors inside the previous survivor set."""
+    parts = ["""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    e AS (SELECT a.pk AS u, b.pk AS v
+          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2),
+    sym AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e
+                         UNION ALL SELECT v AS node, u AS nbr FROM e),
+    act0 AS (SELECT DISTINCT node FROM sym)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    act{r} AS MATERIALIZED (
+      SELECT s.node FROM sym s
+      JOIN act{r - 1} x ON x.node = s.node
+      JOIN act{r - 1} y ON y.node = s.nbr
+      GROUP BY s.node HAVING count(*) >= {k})""")
+    return ",".join(parts) + f"""
+    SELECT CAST(s.node AS BIGINT) AS node,
+           CAST(count(*) AS BIGINT) AS core_deg
+    FROM sym s
+    JOIN act{rounds} x ON x.node = s.node
+    JOIN act{rounds} y ON y.node = s.nbr
+    GROUP BY s.node
+    """
+
+
+@register("x_kcore", oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+def x_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core decomposition of the part co-purchase graph (Seidman '83)
+    at k = 80: iterative peeling — drop every node whose degree within
+    the surviving subgraph is < k, 8 unrolled rounds — returning the
+    surviving dense core and each survivor's in-core degree.  Curation
+    reading: the k-core of a similarity / co-occurrence graph is its
+    template-farm heart; the peel round at which a node falls out is its
+    "organic periphery" depth.  Completes the graph family next to CC
+    ("same group"), PageRank ("matters"), LPA ("communities") and
+    triangles ("locally dense").
+
+    k = 80 sits inside the measured peel cascade of this graph (median
+    degree 115): 6 peel rounds to fixpoint at BOTH tested SFs
+    (2000 → 1857 survivors at sf0.01, 20000 → 18863 at sf0.1), so the
+    8-round budget returns the true k-core with two idempotent rounds of
+    margin — a pytest pins fixpoint-at-8-rounds on the registered corpus.
+
+    Scale (operators/graph.py::kcore): the symmetrized edge list is
+    lazily localCheckpointed once (stationary dataset); each round is two
+    keyed semi-joins against the shrinking node-sized active set plus one
+    map-side-combinable degree count, with per-round lazy checkpoints
+    keeping lineage linear — the same per-round economics as
+    connected_components, and the active set broadcasts via AQE once it
+    shrinks.  Pair derivation is the shared hub-guardable
+    copurchase_pairs (exhaustive here — TPC-H baskets are bounded at 7;
+    the guarded twins establish the max_basket pattern).
+    """
+    li = table(spark, sf, "lineitem")
+    edges = copurchase_pairs(li)
+    out = kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return out.select(F.col("node").cast("bigint").alias("node"), "core_deg")
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join via prefix filtering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_jaccard_prefix",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_TOKS_SQL}, {_SHINGLES_SQL},
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, round(n / (za.s + zb.s - n), 4) AS jaccard
+    FROM inter
+    JOIN sz za ON za.doc_id = id_a
+    JOIN sz zb ON zb.doc_id = id_b
+    WHERE n / (za.s + zb.s - n) >= 0.6
+    """,
+)
+def x_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT Jaccard ≥ 0.6 set-similarity self-join over 3-shingle sets
+    via PREFIX FILTERING (Chaudhuri et al. ICDE'06; Bayardo et al.
+    WWW'07 All-Pairs; Xiao et al. WWW'08 PPJoin): candidates are pairs
+    sharing a shingle among each document's |x| − ceil(0.6·|x|) + 1
+    RAREST shingles (global df-ascending order), then exact verification
+    — provably the same pairs as the full inverted-index join
+    (x_dedup_ngram, whose oracle this key shares), at a fraction of the
+    candidate volume: measured 70× fewer candidates at sf0.01, 3.8× at
+    sf0.1, identical verified output (also pinned by pytest equivalence
+    against ngram_jaccard_pairs).
+
+    The third point of the exact/approximate/lossy triangle: MinHash-LSH
+    trades recall for speed probabilistically, the max_df screen drops
+    boilerplate by contract — prefix filtering is LOSSLESS and exact.
+
+    Scale (operators/dedup.py::jaccard_prefix_pairs): no dense global
+    rank — the (df, shingle) tuple is the total order, so no single-task
+    bottleneck; df and set-size tags ride windows over the exchanges the
+    candidate and verify joins need anyway; prefixes hold each doc's
+    RAREST shingles, so candidate-join buckets are rare-shingle-sized and
+    boilerplate lands in prefix tails instead of exploding a hot bucket.
+    """
+    return jaccard_prefix_pairs(_doc_corpus(spark, sf), k=3, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# mergeable HLL sketch monitoring — union-of-parts vs direct, vs exact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_hll_union",
+    oracle="""
+    WITH tl AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    shs AS (
+      SELECT DISTINCT doc_id, source, shingle FROM (
+        SELECT doc_id, source,
+               unnest([array_to_string(t[i:i+2], ' ')
+                       for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle
+        FROM tl))
+    SELECT source AS scope,
+           CAST(count(DISTINCT shingle) AS BIGINT) AS exact_n,
+           1 AS direct_ok, 1 AS merged_ok
+    FROM shs GROUP BY source
+    UNION ALL
+    SELECT 'ALL' AS scope,
+           CAST(count(DISTINCT shingle) AS BIGINT) AS exact_n,
+           1 AS direct_ok, 1 AS merged_ok
+    FROM shs
+    """,
+)
+def x_hll_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable HyperLogLog sketch monitoring (Flajolet et al. '07;
+    Apache DataSketches via Spark's native hll_sketch_agg /
+    hll_union_agg): per source AND globally, the distinct-shingle count
+    three ways — exact, direct sketch estimate, and the UNION of
+    partial sketches built on disjoint halves of the data — each
+    estimate adjudicated against exact within ±5 % (lgConfigK = 12 ⇒
+    ~1.6 % stderr; worst observed 2.6 % across both SFs).  The verdict
+    pattern is q_agg_approx's: the oracle replays the exact counts and
+    the within-tolerance verdicts, which a broken sketch pipeline flips.
+
+    Mergeability is THE 100 TB monitoring primitive: per-partition /
+    per-day sketches are tiny (2^12 registers), persist next to the
+    data, and roll up by union WITHOUT rescanning — the global row here
+    is exactly that rollup (union of per-(source, half) sketches), priced
+    against a direct full-scan sketch.  DataSketches union is not
+    register-exact vs direct build (coupon promotion differs), so the
+    contract is tolerance, not equality — both paths must land within
+    ±5 % of exact.
+
+    Scale: sketch aggregation is map-side combinable (partial state =
+    one 4 KB sketch per group per partition); the rollup shuffles
+    sketch-sized rows only; count_distinct appears ONLY as the
+    adjudication side of this key — production reads the estimate.
+    """
+    d = table(spark, sf, "documents")
+    sh = shingle_set(d, "doc_id", "text", 3).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    halves = sh.withColumn("h", (F.col("doc_id") % 2).cast("int"))
+    part_sketches = halves.groupBy("source", "h").agg(
+        F.hll_sketch_agg("shingle", F.lit(12)).alias("sk")
+    )
+    merged = part_sketches.groupBy("source").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_m")
+    )
+    direct = sh.groupBy("source").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("shingle", F.lit(12))).alias("est_d"),
+        F.count_distinct("shingle").alias("exact_n"),
+    )
+
+    def _verdicts(df: DataFrame, scope_col) -> DataFrame:
+        tol = 0.05
+        ok = lambda est: (  # noqa: E731
+            F.abs(est - F.col("exact_n")) / F.col("exact_n") <= tol
+        ).cast("int")
+        return df.select(
+            scope_col.alias("scope"),
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            ok(F.col("est_d")).alias("direct_ok"),
+            ok(F.col("est_m")).alias("merged_ok"),
+        )
+
+    per_source = _verdicts(direct.join(merged, "source"), F.col("source"))
+    g_direct = sh.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("shingle", F.lit(12))).alias("est_d"),
+        F.count_distinct("shingle").alias("exact_n"),
+    )
+    g_merged = part_sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_m")
+    )
+    g = _verdicts(g_direct.crossJoin(g_merged), F.lit("ALL"))
+    return per_source.unionByName(g)
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-epoch training shuffle — global_shuffle adjudication
+# ---------------------------------------------------------------------------
+
+_EPOCHS = 2
+_SHARDS = 8
+
+
+@register(
+    "x_shuffle_epoch",
+    oracle=f"""
+    WITH eps AS (SELECT unnest(range(0, {_EPOCHS})) AS epoch),
+    fp AS (
+      SELECT epoch, doc_id,
+             md5('ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+               AS fp
+      FROM documents CROSS JOIN eps),
+    shq AS (
+      SELECT epoch, doc_id, fp,
+             CAST(('0x' || substr(fp, 1, 8))::BIGINT % {_SHARDS} AS INT) AS shard
+      FROM fp),
+    posn AS (
+      SELECT epoch, shard, doc_id,
+             row_number() OVER (PARTITION BY epoch, shard ORDER BY fp) AS pos
+      FROM shq)
+    SELECT CAST(epoch AS INT) AS epoch, shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(CASE WHEN pos = 1 THEN doc_id END) AS first_doc_id,
+           CAST(sum(pos * doc_id) AS BIGINT) AS order_sig
+    FROM posn GROUP BY epoch, shard
+    """,
+)
+def x_shuffle_epoch(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle: each epoch salts
+    operators/curation.py::global_shuffle differently ('ep0', 'ep1'), so
+    every epoch reads the corpus in a fresh but fully reproducible order
+    — same salt → same order on any engine, any partitioning, any run
+    (the property distributed training loaders need for resumable,
+    bitwise-replayable epochs).  Adjudicated per (epoch, shard): row
+    count (shard balance), the first document in loader order, and an
+    ORDER-SENSITIVE signature Σ pos·doc_id — any transposition of two
+    docs in any shard changes it, so the oracle pins the entire
+    permutation, not just membership.
+
+    Scale (global_shuffle): deliberately NOT a global row_number — the
+    rank window partitions by shard, so each of n_shards sorts runs
+    independently (set n_shards to O(cluster cores)); the md5 shuffle
+    key is computed map-side; one shard-keyed exchange per epoch total.
+    Epochs are independent plans — at 100 TB you materialize each
+    epoch's manifest separately, exactly as done here.
+    """
+    from ..operators.curation import global_shuffle
+
+    d = table(spark, sf, "documents").select("doc_id")
+    parts = []
+    for ep in range(_EPOCHS):
+        s = global_shuffle(d, "doc_id", n_shards=_SHARDS, salt=f"ep{ep}")
+        parts.append(s.withColumn("epoch", F.lit(ep).cast("int")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("epoch", "shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias(
+                "first_doc_id"
+            ),
+            F.sum(F.col("pos").cast("bigint") * F.col("doc_id"))
+            .cast("bigint")
+            .alias("order_sig"),
+        )
+    )

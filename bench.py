@@ -159,6 +159,12 @@ HEADLINE = [
     "x_bpe_tokenize",
     "x_sim_ivfpq",
     "x_linreg_gd",
+    # round-7 Tier J: k-core peel, prefix-filter exact set join, HLL
+    # sketch rollup, per-epoch training shuffle
+    "x_kcore",
+    "x_jaccard_prefix",
+    "x_hll_union",
+    "x_shuffle_epoch",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

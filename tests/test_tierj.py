@@ -1,0 +1,190 @@
+"""Tier J semantics: k-core peel invariants (fixpoint at the registered
+budget, min-degree guarantee, hand-built core/periphery), prefix-filter
+losslessness (identical output to the inverted-index join, strictly fewer
+candidates), HLL sketch tolerance + mergeability, and epoch-shuffle
+permutation/determinism properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+    jaccard_prefix_pairs,
+    ngram_intersection_pairs,
+    ngram_jaccard_pairs,
+    prefix_candidate_pairs,
+    shingle_set,
+)
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.graph import (
+    copurchase_pairs,
+    kcore,
+)
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans import REGISTRY
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_handbuilt_core_and_periphery(spark):
+    """A 4-clique with a pendant chain: the 3-core is exactly the clique
+    (every clique node has in-core degree 3); chain nodes peel off."""
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    edges = spark.createDataFrame(clique + chain, ["u", "v"])
+    out = kcore(edges, k=3, rounds=4).collect()
+    assert {r.node: r.core_deg for r in out} == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_fixpoint_and_min_degree_small(spark):
+    """Fixpoint + min-degree invariants at the small SF's own cascade
+    point (k=60: 200 → 196 survivors in 2 rounds at sf0.001 — the k=80
+    core is empty at this SF, that regime is pinned by the slow test)."""
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    edges = copurchase_pairs(li).localCheckpoint()
+    at_budget = _rows(kcore(edges, k=60, rounds=4), "node", "core_deg")
+    one_more = _rows(kcore(edges, k=60, rounds=5), "node", "core_deg")
+    assert at_budget == one_more
+    assert len(at_budget) > 0
+    assert all(d >= 60 for _, d in at_budget)
+
+
+def test_kcore_fixpoint_at_registered_budget_sf001(spark):
+    """The registered key's 8-round budget reaches the true k-core on the
+    registered corpus (sf0.01, k=80): one extra round changes nothing —
+    the claim the x_kcore docstring makes."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    edges = copurchase_pairs(li).localCheckpoint()
+    at_budget = _rows(kcore(edges, k=80, rounds=8), "node", "core_deg")
+    one_more = _rows(kcore(edges, k=80, rounds=9), "node", "core_deg")
+    assert at_budget == one_more
+    assert len(at_budget) == 1857  # measured survivor core, sf0.01
+    assert all(d >= 80 for _, d in at_budget)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter exact set-similarity join
+# ---------------------------------------------------------------------------
+
+
+def _doc_corpus_small(spark):
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dups = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9 qq8")).alias("text"),
+    )
+    return d.unionByName(dups)
+
+
+def test_prefix_join_equals_inverted_index_join(spark):
+    """Losslessness: prefix-filtered candidates verify to the IDENTICAL
+    pair set as the exhaustive inverted-index join, jaccard included."""
+    corpus = _doc_corpus_small(spark).localCheckpoint()
+    via_prefix = _rows(
+        jaccard_prefix_pairs(corpus, threshold=0.6), "id_a", "id_b", "jaccard"
+    )
+    via_index = _rows(
+        ngram_jaccard_pairs(corpus, threshold=0.6), "id_a", "id_b", "jaccard"
+    )
+    assert via_prefix == via_index
+    assert len(via_prefix) > 0
+
+
+def test_prefix_candidates_strictly_fewer_than_inverted_index(spark):
+    """The point of the filter: candidate volume drops vs the
+    any-shared-shingle join while the verified output stays identical."""
+    corpus = _doc_corpus_small(spark).localCheckpoint()
+    sh = shingle_set(corpus).localCheckpoint()
+    n_prefix = prefix_candidate_pairs(sh, threshold=0.6).count()
+    n_brute = ngram_intersection_pairs(sh).count()
+    assert 0 < n_prefix < n_brute
+
+
+def test_prefix_candidates_cover_all_qualifying_pairs(spark):
+    """Every pair the exhaustive join verifies at >= t appears among the
+    prefix candidates — the lossless containment, checked directly."""
+    corpus = _doc_corpus_small(spark).localCheckpoint()
+    sh = shingle_set(corpus).localCheckpoint()
+    cands = set(_rows(prefix_candidate_pairs(sh, threshold=0.6), "id_a", "id_b"))
+    truth = set(
+        _rows(ngram_jaccard_pairs(corpus, threshold=0.6), "id_a", "id_b")
+    )
+    assert truth <= cands
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch monitoring
+# ---------------------------------------------------------------------------
+
+
+def test_hll_verdicts_all_green_and_scopes_complete(spark):
+    out = REGISTRY["x_hll_union"].fn(spark, SF_SMALL).collect()
+    srcs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(out) == srcs + 1  # every source + the ALL rollup
+    assert all(r.direct_ok == 1 and r.merged_ok == 1 for r in out)
+    assert {r.scope for r in out} >= {"ALL"}
+
+
+def test_hll_union_of_disjoint_parts_estimates_the_union(spark):
+    """Mergeability on a controlled input: sketches of two disjoint
+    halves union to an estimate of the full set within tolerance."""
+    n = 5000
+    parts = spark.range(n).select(
+        F.col("id").cast("string").alias("s"),
+        (F.col("id") % 2).cast("int").alias("h"),
+    )
+    est = (
+        parts.groupBy("h")
+        .agg(F.hll_sketch_agg("s", F.lit(12)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert abs(est - n) / n <= 0.05
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_epoch_partitions_the_corpus_each_epoch(spark):
+    out = REGISTRY["x_shuffle_epoch"].fn(spark, SF_SMALL)
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    per_epoch = (
+        out.groupBy("epoch").agg(F.sum("n_docs").alias("t")).collect()
+    )
+    assert {r.epoch for r in per_epoch} == {0, 1}
+    assert all(r.t == n_docs for r in per_epoch)
+
+
+def test_shuffle_epoch_orders_differ_but_are_deterministic(spark):
+    out1 = _rows(
+        REGISTRY["x_shuffle_epoch"].fn(spark, SF_SMALL),
+        "epoch", "shard", "n_docs", "first_doc_id", "order_sig",
+    )
+    out2 = _rows(
+        REGISTRY["x_shuffle_epoch"].fn(spark, SF_SMALL),
+        "epoch", "shard", "n_docs", "first_doc_id", "order_sig",
+    )
+    assert out1 == out2  # bitwise-reproducible epochs
+    by_epoch = {}
+    for ep, shard, n, first, sig in out1:
+        by_epoch.setdefault(ep, []).append((shard, n, first, sig))
+    # a fresh salt must actually reshuffle: the per-shard signatures of
+    # epoch 0 and epoch 1 cannot coincide
+    assert sorted(by_epoch[0]) != sorted(by_epoch[1])
