@@ -36,6 +36,7 @@ _NEEDS_VERDICT = [
     "x_heavy_hitters", "x_vocab_bpe", "x_sim_zero_norm",
     "x_bpe_tokenize", "x_sim_ivfpq", "x_linreg_gd",
     "x_kcore", "x_jaccard_prefix", "x_hll_union", "x_shuffle_epoch",
+    "x_block_sorted", "x_feature_mi", "x_scorer_spearman",
     # Oldest-r4 rows (CORRECTNESS_r04 insertion order) fill the remaining
     # slots (23 if all nine r7 keys above register)
     "x_dedup_best_guarded", "x_dedup_cluster_guarded", "cat_recover",

@@ -307,3 +307,278 @@ def x_shuffle_epoch(spark: SparkSession, sf: str) -> DataFrame:
             .alias("order_sig"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking — sort-based candidate generation
+# ---------------------------------------------------------------------------
+
+_SNM_WINDOW = 2
+
+
+@register(
+    "x_block_sorted",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_TOKS_SQL}, {_SHINGLES_SQL},
+    ranked AS (
+      SELECT doc_id,
+             array_to_string((list_filter(string_split_regex(lower(text),
+                 '[[:space:]]+'), x -> x <> ''))[1:3], ' ') AS blk,
+             lower(text) AS sort_key
+      FROM corpus),
+    rn AS (
+      SELECT doc_id, blk,
+             row_number() OVER (PARTITION BY blk ORDER BY sort_key, doc_id)
+               AS rn
+      FROM ranked),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rn a JOIN rn b
+        ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND {_SNM_WINDOW}),
+    cset AS (SELECT DISTINCT least(id_a, id_b) AS id_a,
+                    greatest(id_a, id_b) AS id_b FROM cand),
+    sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n
+      FROM cset c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b, round(i.n / (za.s + zb.s - i.n), 4) AS jaccard
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.id_a
+    JOIN sz zb ON zb.doc_id = i.id_b
+    WHERE i.n / (za.s + zb.s - i.n) >= 0.6
+    """,
+)
+def x_block_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95, the
+    classic entity-resolution candidate generator): documents sort by
+    normalized text within a BLOCK (their first-3-token prefix), and only
+    rows within rank distance ≤ 2 of each other become candidates, then
+    exact 3-shingle Jaccard ≥ 0.6 verification.  The sort-based third
+    member of the candidate-generation family: LSH is probabilistic,
+    prefix filtering is lossless-but-joins-rare-tokens, SNM is the
+    cheapest of all — one keyed sort, window-bounded candidates, linear
+    output — at the price of DOCUMENTED recall limits: it only sees
+    pairs that agree on the block key and land within the window, the
+    right tool when near-dups share prefixes (suffix-appended templates,
+    version-stamped boilerplate — exactly the planted corpus shape).
+
+    Scale: NO global sort — the rank window partitions by block key (the
+    textbook SNM multi-pass answer to skew is more/different block keys,
+    same plan shape); the window self-join keys on (block, rank-band),
+    both plain keyed shuffles; candidates are ≤ w per row by
+    construction, so verification is corpus-linear.  The same
+    least/greatest canonicalization as the dedup family keeps pairs
+    unordered-unique.
+    """
+    d = _doc_corpus(spark, sf)
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens as _tokens
+    from ..operators.dedup import jaccard_verify, shingle_set
+
+    ranked = d.select(
+        "doc_id",
+        F.array_join(F.slice(_tokens("text"), 1, 3), " ").alias("blk"),
+        F.lower(F.col("text")).alias("sort_key"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("blk").orderBy("sort_key", "doc_id")
+        ),
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("id_a"), F.col("blk"), F.col("rn").alias("rn_a")
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("id_b"), F.col("blk"), F.col("rn").alias("rn_b")
+    )
+    cand = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= _SNM_WINDOW)
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    return jaccard_verify(shingle_set(d), cand, "doc_id", 0.6)
+
+
+# ---------------------------------------------------------------------------
+# mutual-information feature ranking — quality-classifier diagnostics
+# ---------------------------------------------------------------------------
+
+_MI_FEATURES_SQL = """
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS f_long,
+             CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END
+               AS f_digit,
+             CASE WHEN len(list_filter(string_split_regex(lower(text),
+                 '[[:space:]]+'), x -> x <> '')) > 60 THEN 1 ELSE 0 END
+               AS f_many_tokens,
+             CASE WHEN contains(lower(text), ' the ') THEN 1 ELSE 0 END
+               AS f_the
+      FROM documents
+"""
+
+
+@register(
+    "x_feature_mi",
+    oracle=f"""
+    WITH feat AS ({_MI_FEATURES_SQL}),
+    melted AS (
+      SELECT y, 'f_long' AS feature, f_long AS f FROM feat
+      UNION ALL SELECT y, 'f_digit', f_digit FROM feat
+      UNION ALL SELECT y, 'f_many_tokens', f_many_tokens FROM feat
+      UNION ALL SELECT y, 'f_the', f_the FROM feat),
+    cells AS (
+      SELECT feature, y, f, CAST(count(*) AS DOUBLE) AS c
+      FROM melted GROUP BY feature, y, f),
+    tot AS (SELECT feature, sum(c) AS n FROM cells GROUP BY feature),
+    marg_y AS (SELECT feature, y, sum(c) AS cy FROM cells GROUP BY feature, y),
+    marg_f AS (SELECT feature, f, sum(c) AS cf FROM cells GROUP BY feature, f)
+    SELECT c.feature,
+           round(sum((c.c / t.n) * ln((c.c * t.n) / (my.cy * mf.cf))), 8)
+             AS mi_nats
+    FROM cells c
+    JOIN tot t ON t.feature = c.feature
+    JOIN marg_y my ON my.feature = c.feature AND my.y = c.y
+    JOIN marg_f mf ON mf.feature = c.feature AND mf.f = c.f
+    GROUP BY c.feature
+    """,
+)
+def x_feature_mi(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual-information feature ranking for quality-classifier
+    engineering: MI(feature; is-English) in nats for four binary text
+    features (length > 300 chars, contains digit, > 60 tokens, contains
+    ' the ') — the feature-selection diagnostic run before fitting
+    models like x_quality_model / x_linreg_gd, and the drift monitor for
+    feature-label coupling (an MI collapse means the feature stopped
+    predicting the label).  Absent cells contribute 0 by the 0·ln 0
+    convention — they simply never appear in the aggregation.
+
+    Scale: one corpus scan projects the features map-side; the melt is a
+    4-way union of column selections (no data blowup — Spark pushes the
+    projection into each branch); everything after operates on ≤ 4·4
+    cell counts — control-plane-sized aggregates, broadcast joins.  ln
+    is ≤ 1 ulp on both engines; round(, 8) absorbs it (the
+    x_sample_weighted convention).
+    """
+    d = table(spark, sf, "documents")
+    from ..functions.text import token_count
+
+    feat = d.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (F.col("n_chars") > 300).cast("int").alias("f_long"),
+        F.col("text").rlike("[0-9]").cast("int").alias("f_digit"),
+        (token_count("text") > 60).cast("int").alias("f_many_tokens"),
+        F.lower(F.col("text")).contains(" the ").cast("int").alias("f_the"),
+    )
+    melted = None
+    for fname in ("f_long", "f_digit", "f_many_tokens", "f_the"):
+        part = feat.select(
+            "y", F.lit(fname).alias("feature"), F.col(fname).alias("f")
+        )
+        melted = part if melted is None else melted.unionByName(part)
+    cells = melted.groupBy("feature", "y", "f").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    tot = cells.groupBy("feature").agg(F.sum("c").alias("n"))
+    marg_y = cells.groupBy("feature", "y").agg(F.sum("c").alias("cy"))
+    marg_f = cells.groupBy("feature", "f").agg(F.sum("c").alias("cf"))
+    return (
+        cells.join(tot, "feature")
+        .join(marg_y, ["feature", "y"])
+        .join(marg_f, ["feature", "f"])
+        .groupBy("feature")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("c") / F.col("n"))
+                    * F.log((F.col("c") * F.col("n")) / (F.col("cy") * F.col("cf")))
+                ),
+                8,
+            ).alias("mi_nats")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# scorer agreement — Spearman rank correlation per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_scorer_spearman",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             n_chars AS s1,
+             len(list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                 x -> x <> '')) AS s2
+      FROM documents),
+    ranked AS (
+      SELECT source,
+             row_number() OVER (PARTITION BY source ORDER BY s1, doc_id)
+               AS r1,
+             row_number() OVER (PARTITION BY source ORDER BY s2, doc_id)
+               AS r2
+      FROM scored)
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           round(1.0 - 6.0 * sum(CAST((r1 - r2) * (r1 - r2) AS DOUBLE))
+                 / (count(*) * (CAST(count(*) AS DOUBLE) * count(*) - 1)), 8)
+             AS rho
+    FROM ranked GROUP BY source
+    """,
+)
+def x_scorer_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Spearman rank correlation between two quality scorers
+    (character length vs token count): ρ = 1 − 6·Σd²/(n(n²−1)) — the
+    scorer-agreement audit run when swapping a cheap heuristic scorer
+    for an expensive model one (high ρ ⇒ the cheap scorer preserves the
+    training-mix ordering; a per-source ρ collapse localizes where they
+    disagree).  Ties are broken by doc_id on BOTH rankings, making each
+    rank a total order both engines replay bit-identically (the
+    deterministic-permutation variant of Spearman; with the tie-break
+    stated, the statistic is exact, not approximated).
+
+    Scale: two rank windows per source — both partitioned by source (no
+    global sort), riding the SAME source-keyed exchange; d² sums are
+    map-side-combinable integers; output is one row per source.  Pure
+    +/×/− arithmetic (no libm), so round(, 8) is cosmetic.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import token_count
+
+    d = table(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("s1"),
+        token_count("text").alias("s2"),
+    )
+    ranked = scored.select(
+        "source",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("s1", "doc_id"))
+        .alias("r1"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("s2", "doc_id"))
+        .alias("r2"),
+    )
+    n = F.count("*")
+    d2 = F.sum(((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))).cast("double"))
+    return ranked.groupBy("source").agg(
+        n.cast("bigint").alias("n"),
+        F.round(
+            F.lit(1.0) - F.lit(6.0) * d2 / (n * (n.cast("double") * n - F.lit(1.0))),
+            8,
+        ).alias("rho"),
+    )

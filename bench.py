@@ -165,6 +165,9 @@ HEADLINE = [
     "x_jaccard_prefix",
     "x_hll_union",
     "x_shuffle_epoch",
+    "x_block_sorted",
+    "x_feature_mi",
+    "x_scorer_spearman",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

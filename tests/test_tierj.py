@@ -188,3 +188,81 @@ def test_shuffle_epoch_orders_differ_but_are_deterministic(spark):
     # a fresh salt must actually reshuffle: the per-shard signatures of
     # epoch 0 and epoch 1 cannot coincide
     assert sorted(by_epoch[0]) != sorted(by_epoch[1])
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+
+def test_snm_output_is_subset_of_exact_join_and_catches_planted(spark):
+    """SNM pairs are a SUBSET of the exhaustive exact join (verification
+    is the same Jaccard), and the planted suffix-dup pairs — which share
+    their full prefix, SNM's design case — are all caught."""
+    out = set(_rows(REGISTRY["x_block_sorted"].fn(spark, SF_SMALL), "id_a", "id_b"))
+    corpus = _doc_corpus_small(spark).localCheckpoint()
+    truth = set(_rows(ngram_jaccard_pairs(corpus, threshold=0.6), "id_a", "id_b"))
+    assert out <= truth
+    planted = {p for p in truth if p[1] == p[0] + 1000000}
+    assert len(planted) > 0
+    # window-recall, not totality: a planted pair is missed exactly when
+    # another doc sorts between a text and its suffix-dup (e.g. an exact
+    # copy of the original), pushing rank distance past w — the SNM
+    # trade-off the key's docstring documents.  Demand near-total recall.
+    caught = planted & out
+    assert len(caught) / len(planted) >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# mutual information
+# ---------------------------------------------------------------------------
+
+
+def test_feature_mi_bounds(spark):
+    """MI of two binary variables lies in [0, ln 2]; all four registered
+    features must produce a finite in-range value."""
+    import math
+
+    out = REGISTRY["x_feature_mi"].fn(spark, SF_SMALL).collect()
+    assert len(out) == 4
+    for r in out:
+        assert -1e-9 <= r.mi_nats <= math.log(2) + 1e-9
+
+
+def test_feature_mi_zero_for_constructed_independent_feature(spark):
+    """A feature independent of the label by construction (doc parity vs
+    a label that ignores parity) carries ~0 MI — pins the formula's
+    normalization (a marginals bug inflates this immediately)."""
+    import math
+
+    from pyspark.sql import functions as FF
+
+    n = 4096
+    df = spark.range(n).select(
+        (FF.col("id") % 2).cast("int").alias("f"),
+        ((FF.col("id") / 2).cast("int") % 2).alias("y"),
+    )
+    cells = df.groupBy("y", "f").agg(FF.count("*").cast("double").alias("c"))
+    tot = float(n)
+    rows = cells.collect()
+    py = {}
+    pf = {}
+    for r in rows:
+        py[r.y] = py.get(r.y, 0) + r.c / tot
+        pf[r.f] = pf.get(r.f, 0) + r.c / tot
+    mi = sum(
+        (r.c / tot) * math.log((r.c / tot) / (py[r.y] * pf[r.f])) for r in rows
+    )
+    assert abs(mi) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Spearman
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_bounds_and_identity(spark):
+    out = REGISTRY["x_scorer_spearman"].fn(spark, SF_SMALL).collect()
+    assert all(-1.0 - 1e-9 <= r.rho <= 1.0 + 1e-9 for r in out)
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert sum(r.n for r in out) == n_docs
