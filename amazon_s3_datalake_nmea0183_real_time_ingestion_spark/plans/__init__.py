@@ -38,7 +38,7 @@ _NEEDS_VERDICT = [
     "x_kcore", "x_jaccard_prefix", "x_hll_union", "x_shuffle_epoch",
     "x_block_sorted", "x_feature_mi", "x_scorer_spearman",
     # Oldest-r4 rows (CORRECTNESS_r04 insertion order) fill the remaining
-    # slots (23 if all nine r7 keys above register)
+    # slots (16 if all sixteen r7 keys above register: 18 r3-era + 16 r7)
     "x_dedup_best_guarded", "x_dedup_cluster_guarded", "cat_recover",
     "cat_register", "f_contains", "f_element_at", "f_split",
     "op_alert_filter", "op_error_route", "op_event_partition",

@@ -115,15 +115,16 @@ def x_kcore(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT Jaccard ≥ 0.6 set-similarity self-join over 3-shingle sets
-    via PREFIX FILTERING (Chaudhuri et al. ICDE'06; Bayardo et al.
-    WWW'07 All-Pairs; Xiao et al. WWW'08 PPJoin): candidates are pairs
-    sharing a shingle among each document's |x| − ceil(0.6·|x|) + 1
-    RAREST shingles (global df-ascending order), then exact verification
-    — provably the same pairs as the full inverted-index join
-    (x_dedup_ngram, whose oracle this key shares), at a fraction of the
-    candidate volume: measured 70× fewer candidates at sf0.01, 3.8× at
-    sf0.1, identical verified output (also pinned by pytest equivalence
-    against ngram_jaccard_pairs).
+    via PREFIX FILTERING + the PPJoin length/positional screens
+    (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07 All-Pairs; Xiao et
+    al. WWW'08): candidates are pairs sharing a shingle among each
+    document's |x| − ceil(0.6·|x|) + 1 RAREST shingles (global
+    df-ascending order), surviving the lossless length and positional
+    bounds, then exact verification — provably the same pairs as the
+    full inverted-index join (x_dedup_ngram, whose oracle this key
+    shares): measured 169× fewer candidates at sf0.01 (83 candidates
+    for 81 true pairs), 16.6× at sf0.1, identical verified output (also
+    pinned by pytest equivalence against ngram_jaccard_pairs).
 
     The third point of the exact/approximate/lossy triangle: MinHash-LSH
     trades recall for speed probabilistically, the max_df screen drops
@@ -135,6 +136,15 @@ def x_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     candidate and verify joins need anyway; prefixes hold each doc's
     RAREST shingles, so candidate-join buckets are rare-shingle-sized and
     boilerplate lands in prefix tails instead of exploding a hot bucket.
+
+    DOCUMENTED BOUNDARY (measured, SCALE.md §7j): every prefix-family
+    filter keys off df DISPERSION.  The sf1 perf corpus saturates its
+    shingle universe (50k docs over ≤31³ ≈ 30k possible shingles, median
+    df 95), and candidates degrade toward all-pairs: 39.6M prefix-only,
+    10.5M after the PPJoin screens, for 2,499 true pairs.  A corpus
+    whose set-element universe saturates is MinHash-LSH / df-screen
+    territory (x_dedup_near / x_dedup_ngram(max_df)); exact prefix joins
+    are for the heavy-tailed-df regime the oracle corpora exhibit.
     """
     return jaccard_prefix_pairs(_doc_corpus(spark, sf), k=3, threshold=0.6)
 
