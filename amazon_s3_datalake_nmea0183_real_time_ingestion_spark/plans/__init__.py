@@ -43,11 +43,12 @@ _NEEDS_VERDICT = [
     "cat_register", "f_contains", "f_element_at", "f_split",
     "op_alert_filter", "op_error_route", "op_event_partition",
     "op_flatten_soh", "op_geocode_join", "op_nmea_latlon", "q_agg_modern",
-    "snk_raw_json", "snk_stage_parquet", "x_data_mix", "x_data_upsample",
+    "snk_raw_json", "snk_stage_parquet",
+    # --- 50-slot window closes here for round 7 (18 r3 + 16 r7 + 16 r4) ---
+    # next-stale (remaining r4 rows, same order) queue behind the window
+    "x_data_mix", "x_data_upsample",
     "x_decontaminate", "x_dedup_cluster", "x_dedup_embed", "x_dedup_exact",
     "x_dedup_near", "x_dedup_ngram", "x_dedup_simhash", "x_domain_quota",
-    # --- 50-slot window closes here for round 7 ---
-    # next-stale (remaining r4 rows, same order) queue behind the window
     "x_embed_reduce", "x_kmeans_assign", "x_kmeans_iter", "x_multimodal",
     "x_multimodal_binary", "x_pack_sequences", "x_quality_model",
     "x_session", "x_sim_ivf", "x_sim_lsh", "x_sim_topk", "x_split_hash",

@@ -16,7 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import jaccard_prefix_pairs, shingle_set
+from pyspark.sql.window import Window
+
+from ..operators.dedup import jaccard_prefix_pairs, jaccard_verify, shingle_set
 from ..operators.graph import copurchase_pairs, kcore
 from .registry import register, table
 from .tierc import _CORPUS_SQL, _SHINGLES_SQL, _TOKS_SQL, _doc_corpus
@@ -384,10 +386,7 @@ def x_block_sorted(spark: SparkSession, sf: str) -> DataFrame:
     unordered-unique.
     """
     d = _doc_corpus(spark, sf)
-    from pyspark.sql.window import Window
-
     from ..functions.text import tokens as _tokens
-    from ..operators.dedup import jaccard_verify, shingle_set
 
     ranked = d.select(
         "doc_id",
@@ -563,8 +562,6 @@ def x_scorer_spearman(spark: SparkSession, sf: str) -> DataFrame:
     map-side-combinable integers; output is one row per source.  Pure
     +/×/− arithmetic (no libm), so round(, 8) is cosmetic.
     """
-    from pyspark.sql.window import Window
-
     from ..functions.text import token_count
 
     d = table(spark, sf, "documents")
@@ -584,7 +581,12 @@ def x_scorer_spearman(spark: SparkSession, sf: str) -> DataFrame:
         .alias("r2"),
     )
     n = F.count("*")
-    d2 = F.sum(((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))).cast("double"))
+    # rank differences square in BIGINT (the oracle's row_number type):
+    # int32 (r1-r2)^2 overflows ANSI-fatally once |r1-r2| >= 46341 — a
+    # single source with ~50k docs and one long-unbroken-token outlier
+    # (top rank on chars, bottom on tokens) hits it
+    dd = F.col("r1").cast("bigint") - F.col("r2").cast("bigint")
+    d2 = F.sum((dd * dd).cast("double"))
     return ranked.groupBy("source").agg(
         n.cast("bigint").alias("n"),
         F.round(
