@@ -104,3 +104,31 @@ def cms_estimate(keys: DataFrame, sketch: DataFrame, key_col: str,
         .groupBy(*cols)
         .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("est"))
     )
+
+
+def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame,
+                      depth: int = 4) -> DataFrame:
+    """Join-cardinality estimate from two CMS grids (Cormode &
+    Muthukrishnan '05 §4.2, the sketch form of the AMS F2/inner-product
+    estimator): |A ⋈ B on k| = Σ_k fA(k)·fB(k) is estimated by
+    min over rows j of Σ_bucket cellA[j,b]·cellB[j,b].  Like the point
+    query, NEVER an underestimate — hash collisions only add non-negative
+    cross terms to each row's sum, so every row bounds the true inner
+    product from above and so does their min.  Returns one row (est).
+
+    This is the cost-based-planner primitive: the join size of two
+    100 TB relations priced from two KB-sized sketches that were built
+    map-side-combinably and could have been persisted with yesterday's
+    partitions — no scan, no join, to get the estimate.
+
+    Absent cells are zero on either side, so the inner join over
+    (j, bucket) loses nothing (0·x = 0); the grids are ≤ depth·width
+    rows each, so everything here is control-plane-sized."""
+    a = sketch_a.select("j", "bucket", F.col("cell").alias("__ca"))
+    b = sketch_b.select("j", "bucket", F.col("cell").alias("__cb"))
+    per_row = (
+        a.join(b, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
+    )
+    return per_row.agg(F.min("__dot").alias("est"))

@@ -594,3 +594,117 @@ def x_scorer_spearman(spark: SparkSession, sf: str) -> DataFrame:
             8,
         ).alias("rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join-cardinality estimation — CMS inner product (cost-based planning)
+# ---------------------------------------------------------------------------
+
+_JC_GRID_SQL = """
+    cnt_all AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY l_partkey),
+    cnt_ret AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+                FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey),
+    grid_all AS (
+      SELECT j,
+             ('0x' || substr(md5('cms' || j || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+               % 1024 AS bucket,
+             CAST(sum(n) AS BIGINT) AS cell
+      FROM cnt_all CROSS JOIN unnest(range(0, 4)) u(j)
+      GROUP BY 1, 2),
+    grid_ret AS (
+      SELECT j,
+             ('0x' || substr(md5('cms' || j || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+               % 1024 AS bucket,
+             CAST(sum(n) AS BIGINT) AS cell
+      FROM cnt_ret CROSS JOIN unnest(range(0, 4)) u(j)
+      GROUP BY 1, 2),
+    est_self AS (
+      SELECT min(dot) AS est FROM (
+        SELECT j, sum(cell * cell) AS dot FROM grid_all GROUP BY j)),
+    est_ab AS (
+      SELECT min(dot) AS est FROM (
+        SELECT a.j, sum(a.cell * b.cell) AS dot
+        FROM grid_all a JOIN grid_ret b ON b.j = a.j AND b.bucket = a.bucket
+        GROUP BY a.j)),
+    exact_self AS (SELECT CAST(sum(n * n) AS BIGINT) AS x FROM cnt_all),
+    exact_ab AS (
+      SELECT CAST(sum(a.n * b.n) AS BIGINT) AS x
+      FROM cnt_all a JOIN cnt_ret b ON b.k = a.k)
+"""
+
+
+@register(
+    "x_join_card",
+    oracle=f"""
+    WITH {_JC_GRID_SQL}
+    SELECT 'self_join_partkey' AS scope, x.x AS exact_rows,
+           CAST(e.est AS BIGINT) AS est,
+           CAST(e.est - x.x AS BIGINT) AS overcount,
+           CAST(e.est >= x.x AS INT) AS is_overestimate
+    FROM exact_self x, est_self e
+    UNION ALL
+    SELECT 'returned_join_partkey', x.x, CAST(e.est AS BIGINT),
+           CAST(e.est - x.x AS BIGINT), CAST(e.est >= x.x AS INT)
+    FROM exact_ab x, est_ab e
+    """,
+)
+def x_join_card(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches (Cormode &
+    Muthukrishnan '05 §4.2 — the CMS form of the AMS inner-product /
+    self-join-size estimator, the primitive cost-based planners use to
+    price a join WITHOUT running it): |A ⋈ B on k| = Σ_k fA(k)·fB(k),
+    estimated as min over grid rows of the bucket-wise cell dot product.
+    Two adjudicated scopes on the l_partkey frequency vectors — the
+    lineitem SELF-join size (Σ c², the F2 moment: the quantity that
+    prices every pair-generating dedup/graph derivation in this repo)
+    and lineitem ⋈ returned-lineitem — each with exact recount,
+    overcount, and the never-underestimates invariant as a checked
+    column (collisions only add non-negative cross terms per row).
+    Cross-engine md5 buckets make the oracle replay both grids and both
+    estimates bit-identically: real numbers, not tolerance verdicts
+    (the x_heavy_hitters convention).
+
+    Scale (operators/sketches.py::cms_inner_product): the grids build
+    map-side-combinably (≤ depth·width partial counters per partition —
+    sketch-sized shuffles at any relation size) and could be persisted
+    per-partition and rolled up by cell-sum (CMS is mergeable); the
+    estimate itself is a ≤4,096-row join — control-plane.  The exact
+    sides exist only as this key's audit, exactly like x_heavy_hitters'
+    recount.
+    """
+    from ..operators.sketches import cms_from_counts, cms_inner_product
+
+    li = table(spark, sf, "lineitem")
+    cnt_all = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").alias("n")
+    )
+    cnt_ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count("*").alias("n"))
+    )
+    grid_all = cms_from_counts(cnt_all, "k", "n")
+    grid_ret = cms_from_counts(cnt_ret, "k", "n")
+
+    def scoped(scope: str, exact_df: DataFrame, est_df: DataFrame) -> DataFrame:
+        return (
+            exact_df.crossJoin(est_df)
+            .select(
+                F.lit(scope).alias("scope"),
+                F.col("x").cast("bigint").alias("exact_rows"),
+                F.col("est").cast("bigint").alias("est"),
+                (F.col("est") - F.col("x")).cast("bigint").alias("overcount"),
+                (F.col("est") >= F.col("x")).cast("int").alias("is_overestimate"),
+            )
+        )
+
+    exact_self = cnt_all.agg(F.sum(F.col("n") * F.col("n")).alias("x"))
+    exact_ab = (
+        cnt_all.alias("a")
+        .join(cnt_ret.alias("b"), "k")
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("x"))
+    )
+    return scoped("self_join_partkey", exact_self, cms_inner_product(grid_all, grid_all)).unionByName(
+        scoped("returned_join_partkey", exact_ab, cms_inner_product(grid_all, grid_ret))
+    )

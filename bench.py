@@ -168,6 +168,7 @@ HEADLINE = [
     "x_block_sorted",
     "x_feature_mi",
     "x_scorer_spearman",
+    "x_join_card",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

@@ -266,3 +266,39 @@ def test_spearman_bounds_and_identity(spark):
     assert all(-1.0 - 1e-9 <= r.rho <= 1.0 + 1e-9 for r in out)
     n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
     assert sum(r.n for r in out) == n_docs
+
+
+# ---------------------------------------------------------------------------
+# join-cardinality estimation
+# ---------------------------------------------------------------------------
+
+
+def test_join_card_never_underestimates_and_self_dominates(spark):
+    out = {r.scope: r for r in REGISTRY["x_join_card"].fn(spark, SF_SMALL).collect()}
+    assert set(out) == {"self_join_partkey", "returned_join_partkey"}
+    for r in out.values():
+        assert r.is_overestimate == 1
+        assert r.overcount >= 0
+        assert r.est == r.exact_rows + r.overcount
+    # the A⋈B inner product is bounded by the self-join inner product
+    # (f_B <= f_A pointwise since B is a filtered subset of A)
+    assert out["returned_join_partkey"].exact_rows <= out["self_join_partkey"].exact_rows
+
+
+def test_cms_inner_product_exact_when_no_collisions(spark):
+    """With fewer keys than buckets and distinct cells, a wide sketch has
+    no collisions and the inner-product estimate is EXACT."""
+    from pyspark.sql import functions as FF
+
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.sketches import (
+        cms_from_counts,
+        cms_inner_product,
+    )
+
+    cnt = spark.createDataFrame(
+        [(f"k{i}", i + 1) for i in range(10)], ["k", "n"]
+    )
+    grid = cms_from_counts(cnt, "k", "n", depth=4, width=65536)
+    est = cms_inner_product(grid, grid).collect()[0].est
+    truth = sum((i + 1) ** 2 for i in range(10))
+    assert est == truth
