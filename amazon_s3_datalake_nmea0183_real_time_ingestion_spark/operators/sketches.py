@@ -123,7 +123,14 @@ def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame,
 
     Absent cells are zero on either side, so the inner join over
     (j, bucket) loses nothing (0·x = 0); the grids are ≤ depth·width
-    rows each, so everything here is control-plane-sized."""
+    rows each, so everything here is control-plane-sized.
+
+    Arithmetic bound: the int64 dot product is EXACT (the adjudicated
+    contract — the oracle replays it bit-identically) but capped at
+    Σ_b cellA·cellB ≤ |A|·|B| < 2^63, i.e. relations up to ~3×10⁹ rows
+    each; beyond that ANSI mode fails LOUDLY rather than wrapping, and
+    the production answer is to compute the dot in float64 (the
+    estimate is ±ε·|A|·|B| anyway, so 53-bit mantissa loss is noise)."""
     a = sketch_a.select("j", "bucket", F.col("cell").alias("__ca"))
     b = sketch_b.select("j", "bucket", F.col("cell").alias("__cb"))
     per_row = (
