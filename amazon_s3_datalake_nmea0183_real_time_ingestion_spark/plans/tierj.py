@@ -672,6 +672,18 @@ def x_join_card(spark: SparkSession, sf: str) -> DataFrame:
     estimate itself is a ≤4,096-row join — control-plane.  The exact
     sides exist only as this key's audit, exactly like x_heavy_hitters'
     recount.
+
+    ACCURACY CAVEAT (measured, pytest-pinned): the CMS guarantee is
+    ADDITIVE — est ≤ exact + ε·|A|·|B| with ε = e/width — so relative
+    error is small only when the inner product is dominated by heavy
+    hitters (Zipfian keys, the x_heavy_hitters domain).  TPC-H partkey
+    frequencies are FLAT (~30 occurrences each, 2k–20k keys over 1,024
+    buckets), so the collision term dominates: est ≈ 20× exact at
+    sf0.1, comfortably inside the ε bound (overcount 3.5e8 vs bound
+    9.6e8) but useless as a point estimate.  The planner reading: a
+    within-ε-bound answer from KB-sized state — width must grow with
+    distinct-key count for tight flat-distribution estimates, or use
+    the exact count table when keys are vocabulary-sized anyway.
     """
     from ..operators.sketches import cms_from_counts, cms_inner_product
 

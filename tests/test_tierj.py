@@ -302,3 +302,18 @@ def test_cms_inner_product_exact_when_no_collisions(spark):
     est = cms_inner_product(grid, grid).collect()[0].est
     truth = sum((i + 1) ** 2 for i in range(10))
     assert est == truth
+
+
+def test_join_card_within_cms_epsilon_bound(spark):
+    """The classic CMS inner-product guarantee: overcount <= (e/width)
+    * |A| * |B| — checked on the registered corpus (flat TPC-H key
+    frequencies: the bound is what survives, not a tight estimate)."""
+    import math
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    n_all = li.count()
+    n_ret = li.filter(F.col("l_returnflag") == "R").count()
+    eps = math.e / 1024
+    out = {r.scope: r for r in REGISTRY["x_join_card"].fn(spark, SF_SMALL).collect()}
+    assert out["self_join_partkey"].overcount <= eps * n_all * n_all
+    assert out["returned_join_partkey"].overcount <= eps * n_all * n_ret
