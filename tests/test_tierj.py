@@ -317,3 +317,13 @@ def test_join_card_within_cms_epsilon_bound(spark):
     out = {r.scope: r for r in REGISTRY["x_join_card"].fn(spark, SF_SMALL).collect()}
     assert out["self_join_partkey"].overcount <= eps * n_all * n_all
     assert out["returned_join_partkey"].overcount <= eps * n_all * n_ret
+
+
+def test_kcore_shrink_edges_variant_is_equivalent(spark):
+    """The edge-shrinking peel (for heavy-peel graphs) returns the
+    identical core and degrees as the stationary-edge-list peel."""
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    edges = copurchase_pairs(li).localCheckpoint()
+    a = _rows(kcore(edges, k=60, rounds=4), "node", "core_deg")
+    b = _rows(kcore(edges, k=60, rounds=4, shrink_edges=True), "node", "core_deg")
+    assert a == b and len(a) > 0
