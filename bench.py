@@ -291,18 +291,28 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = _sf_from_dir(SF_DIR)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "provenance": _provenance(SF_DIR, spark),
-            }
-        )
+    full_line = json.dumps(
+        {
+            "metric": "headline_queries_total_time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "provenance": _provenance(SF_DIR, spark),
+        }
     )
+    print(full_line)
+    # Also persist the full record beside the repo: the driver's BENCH
+    # artifact truncates its stdout tail to ~2 KB, so cross-round
+    # per-key diffs otherwise depend on session-local captures (a
+    # standing VERDICT r5/r6 nit).  Overwritten per run; committed when
+    # a round's record is worth keeping (BENCH_LOCAL_r{N}.json).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as fh:
+            fh.write(full_line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout remains the artifact
     # The full line above outgrew the driver's stdout tail capture in
     # round 4 (66 timings + provenance → the captured tail started
     # mid-line and parsed as null).  Emit a LAST, sub-1KB compact line —
