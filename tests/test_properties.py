@@ -251,3 +251,86 @@ def test_copurchase_max_basket_matches_python_reference(spark, pairs, cap):
         if a < b
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Tier J property checks: k-core vs a pure-Python peel, prefix-join
+# losslessness on generated corpora
+# ---------------------------------------------------------------------------
+
+
+def _py_kcore(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Reference model: peel to fixpoint in plain Python, return
+    {node: in-core degree} of the true k-core."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        drop = [n for n, nbrs in adj.items() if len(nbrs) < k]
+        changed = bool(drop)
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    return {n: len(nbrs) for n, nbrs in adj.items()}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(2, 4),
+)
+def test_kcore_matches_python_peel_on_random_graphs(spark, raw_edges, k):
+    """operators.graph.kcore at a generous round budget equals the true
+    fixpoint k-core computed by a pure-Python peel, on arbitrary small
+    graphs (self-loops discarded, duplicates collapsed — the same
+    canonicalization copurchase_pairs applies)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.graph import kcore
+
+    edges = sorted({(min(u, v), max(u, v)) for u, v in raw_edges if u != v})
+    expect = _py_kcore(edges, k)
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["u", "v"])
+    # 15 nodes peel to fixpoint in <= 15 rounds, budget generously
+    got = {r.node: r.core_deg for r in kcore(df, k=k, rounds=16).collect()}
+    assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=3, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_join_lossless_on_generated_corpora(spark, texts):
+    """jaccard_prefix_pairs == ngram_jaccard_pairs on arbitrary tiny-
+    vocabulary corpora — exactly the saturated-df regime where the
+    prefix ordering has the least discrimination, i.e. where a prefix-
+    length off-by-one would surface as a lost pair."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).localCheckpoint()
+    via_prefix = sorted(
+        map(tuple, jaccard_prefix_pairs(docs, threshold=0.6).collect())
+    )
+    via_index = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, threshold=0.6).collect())
+    )
+    assert via_prefix == via_index
