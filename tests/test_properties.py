@@ -334,3 +334,81 @@ def test_prefix_join_lossless_on_generated_corpora(spark, texts):
         map(tuple, ngram_jaccard_pairs(docs, threshold=0.6).collect())
     )
     assert via_prefix == via_index
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="xyz123", min_size=1, max_size=6),
+        st.integers(1, 50),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cms_never_underestimates_under_forced_collisions(spark, counts):
+    """The defining CMS invariants at width=8 (heavy collisions by
+    construction): every point estimate >= its true count, and the
+    self-inner-product estimate >= the true Sigma c^2."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.sketches import (
+        cms_estimate,
+        cms_from_counts,
+        cms_inner_product,
+    )
+
+    cnt = spark.createDataFrame(list(counts.items()), ["k", "n"])
+    grid = cms_from_counts(cnt, "k", "n", depth=4, width=8)
+    est = cms_estimate(cnt, grid, "k", depth=4, width=8).collect()
+    assert all(r.est >= r.n for r in est)
+    dot = cms_inner_product(grid, grid).collect()[0].est
+    assert dot >= sum(n * n for n in counts.values())
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=3, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_snm_blocking_output_is_subset_of_exhaustive_join(spark, texts):
+    """Sorted-neighborhood candidates verify to a SUBSET of the
+    exhaustive join's pairs on arbitrary corpora (verification is the
+    same exact Jaccard, so SNM can only lose pairs, never invent)."""
+    from pyspark.sql.window import Window
+
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.functions.text import tokens
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+        jaccard_verify,
+        ngram_jaccard_pairs,
+        shingle_set,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).localCheckpoint()
+    ranked = docs.select(
+        "doc_id",
+        F.array_join(F.slice(tokens("text"), 1, 3), " ").alias("blk"),
+        F.lower(F.col("text")).alias("sort_key"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("blk").orderBy("sort_key", "doc_id")),
+    )
+    a = ranked.select(F.col("doc_id").alias("id_a"), "blk", F.col("rn").alias("ra"))
+    b = ranked.select(F.col("doc_id").alias("id_b"), "blk", F.col("rn").alias("rb"))
+    cand = (
+        a.join(b, "blk")
+        .filter((F.col("rb") - F.col("ra") >= 1) & (F.col("rb") - F.col("ra") <= 2))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    got = set(map(tuple, jaccard_verify(shingle_set(docs), cand, "doc_id", 0.6)
+                  .select("id_a", "id_b").collect()))
+    truth = set(map(tuple, ngram_jaccard_pairs(docs, threshold=0.6)
+                    .select("id_a", "id_b").collect()))
+    assert got <= truth
