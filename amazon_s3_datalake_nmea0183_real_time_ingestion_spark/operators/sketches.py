@@ -139,3 +139,55 @@ def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame,
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
     )
     return per_row.agg(F.min("__dot").alias("est"))
+
+
+def countsketch_from_counts(counts: DataFrame, key_col: str, n_col: str,
+                            depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-Sketch grid (Charikar, Chen & Farach-Colton ICALP'02; the
+    AMS sign trick bucketized): each key adds ``sign_j(k) · count`` to
+    its row-j bucket, where sign and bucket come from INDEPENDENT md5
+    hashes ('cs'/'csb' salts).  Returns (j, bucket, cell) with cells in
+    [-Σn, +Σn] — signs make collision noise cancel in expectation, which
+    is what buys the unbiased F2 estimator (:func:`countsketch_f2`) its
+    RELATIVE error guarantee where the all-positive CMS only gets an
+    additive one.  Same mergeability/map-side-combine economics as
+    cms_from_counts."""
+    probes = counts.select(
+        F.col(n_col).alias("__n"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+        F.col(key_col).alias("__k"),
+    )
+    sign = (
+        md5_u32(
+            F.concat(F.lit("cs"), F.col("j").cast("string"), F.lit(":"),
+                     F.col("__k"))
+        )
+        % 2
+    ) * 2 - 1
+    bucket = md5_u32(
+        F.concat(F.lit("csb"), F.col("j").cast("string"), F.lit(":"),
+                 F.col("__k"))
+    ) % width
+    return (
+        probes.select(
+            "j", bucket.alias("bucket"), (sign * F.col("__n")).alias("__s")
+        )
+        .groupBy("j", "bucket")
+        .agg(F.sum("__s").alias("cell"))
+    )
+
+
+def countsketch_f2(grid: DataFrame) -> DataFrame:
+    """Per-row F2 (self-join size / second frequency moment) estimates
+    from a Count-Sketch grid: row j's estimate is Σ_bucket cell².  Each
+    row is UNBIASED for Σ_k f(k)² (cross terms carry independent random
+    signs and cancel in expectation) with relative std ≈ sqrt(2/width) —
+    ~4.4 % per row at width 1024, halved by averaging rows — so flat
+    frequency distributions get tight estimates where CMS's all-positive
+    collisions overshoot by the additive ε·(Σf)² term
+    (x_join_card's measured 20×).  Returns (j, est), depth rows —
+    control-plane-sized, like every sketch read in this module."""
+    return (
+        grid.groupBy("j")
+        .agg(F.sum(F.col("cell") * F.col("cell")).alias("est"))
+    )

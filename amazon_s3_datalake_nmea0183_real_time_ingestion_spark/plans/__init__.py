@@ -37,16 +37,16 @@ _NEEDS_VERDICT = [
     "x_bpe_tokenize", "x_sim_ivfpq", "x_linreg_gd",
     "x_kcore", "x_jaccard_prefix", "x_hll_union", "x_shuffle_epoch",
     "x_block_sorted", "x_feature_mi", "x_scorer_spearman", "x_join_card",
+    "x_f2_countsketch",
     # Oldest-r4 rows (CORRECTNESS_r04 insertion order) fill the remaining
     # slots (16 if all sixteen r7 keys above register: 18 r3-era + 16 r7)
     "x_dedup_best_guarded", "x_dedup_cluster_guarded", "cat_recover",
     "cat_register", "f_contains", "f_element_at", "f_split",
     "op_alert_filter", "op_error_route", "op_event_partition",
     "op_flatten_soh", "op_geocode_join", "op_nmea_latlon", "q_agg_modern",
-    "snk_raw_json",
-    # --- 50-slot window closes here for round 7 (18 r3 + 17 r7 + 15 r4) ---
+    # --- 50-slot window closes here for round 7 (18 r3 + 18 r7 + 14 r4) ---
     # next-stale (remaining r4 rows, same order) queue behind the window
-    "snk_stage_parquet", "x_data_mix", "x_data_upsample",
+    "snk_raw_json", "snk_stage_parquet", "x_data_mix", "x_data_upsample",
     "x_decontaminate", "x_dedup_cluster", "x_dedup_embed", "x_dedup_exact",
     "x_dedup_near", "x_dedup_ngram", "x_dedup_simhash", "x_domain_quota",
     "x_embed_reduce", "x_kmeans_assign", "x_kmeans_iter", "x_multimodal",

@@ -720,3 +720,89 @@ def x_join_card(spark: SparkSession, sf: str) -> DataFrame:
     return scoped("self_join_partkey", exact_self, cms_inner_product(grid_all, grid_all)).unionByName(
         scoped("returned_join_partkey", exact_ab, cms_inner_product(grid_all, grid_ret))
     )
+
+
+# ---------------------------------------------------------------------------
+# unbiased F2 — Count-Sketch companion to x_join_card's CMS bound
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_f2_countsketch",
+    oracle="""
+    WITH cnt AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+                 FROM lineitem GROUP BY l_partkey),
+    cells AS (
+      SELECT j,
+             ('0x' || substr(md5('csb' || j || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+               % 1024 AS bucket,
+             CAST(sum(((('0x' || substr(md5('cs' || j || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+                        % 2) * 2 - 1) * n) AS BIGINT) AS cell
+      FROM cnt CROSS JOIN unnest(range(0, 4)) u(j)
+      GROUP BY 1, 2),
+    rows_est AS (
+      SELECT j, CAST(sum(cell * cell) AS BIGINT) AS est
+      FROM cells GROUP BY j),
+    exact AS (SELECT CAST(sum(n * n) AS BIGINT) AS x FROM cnt)
+    SELECT CAST(r.j AS INT) AS row_j, r.est,
+           e.x AS exact_f2,
+           round(CAST(r.est - e.x AS DOUBLE) / e.x, 6) AS rel_err
+    FROM rows_est r CROSS JOIN exact e
+    UNION ALL
+    SELECT -1 AS row_j, CAST(avg(r.est) AS BIGINT) AS est,
+           any_value(e.x) AS exact_f2,
+           round((avg(r.est) - any_value(e.x)) / any_value(e.x), 6) AS rel_err
+    FROM rows_est r CROSS JOIN exact e
+    """,
+)
+def x_f2_countsketch(spark: SparkSession, sf: str) -> DataFrame:
+    """UNBIASED self-join-size / second-frequency-moment estimation via
+    Count-Sketch (Charikar et al. ICALP'02; the bucketized AMS'96 sign
+    estimator) on the l_partkey frequency vector: per grid row j the
+    estimate Σ_bucket cell² (random signs cancel collision cross terms
+    in expectation — E[est_j] = Σ c² exactly), plus the 4-row average as
+    row_j = −1, each with the exact recount and signed relative error.
+    The designed companion to x_join_card: CMS's all-positive collisions
+    overshoot flat distributions by the additive ε·(Σf)² term (measured
+    ~20×), while Count-Sketch's relative error is ~sqrt(2/width) ≈ 4.4 %
+    per row regardless of how flat the frequencies are — measured
+    single-digit-percent on the same corpus where CMS was 20× over.
+    Per-row estimates are exposed precisely so the variance story is
+    visible, not averaged away.
+
+    Scale (operators/sketches.py::countsketch_from_counts/_f2): identical
+    economics to the CMS keys — sign·count cells build with one
+    map-side-combinable sketch-sized shuffle, merge by cell-sum, and the
+    estimate reads ≤ depth·width rows.  Signs and buckets come from
+    INDEPENDENT md5 hashes ('cs' / 'csb' salts), so the oracle replays
+    the grid and every estimate bit-identically — real numbers, not
+    tolerance verdicts.
+    """
+    from ..operators.sketches import countsketch_f2, countsketch_from_counts
+
+    li = table(spark, sf, "lineitem")
+    cnt = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").alias("n")
+    )
+    grid = countsketch_from_counts(cnt, "k", "n")
+    rows_est = countsketch_f2(grid)
+    exact = cnt.agg(F.sum(F.col("n") * F.col("n")).alias("x"))
+    per_row = rows_est.crossJoin(exact).select(
+        F.col("j").cast("int").alias("row_j"),
+        F.col("est").cast("bigint").alias("est"),
+        F.col("x").cast("bigint").alias("exact_f2"),
+        F.round((F.col("est") - F.col("x")).cast("double") / F.col("x"), 6).alias(
+            "rel_err"
+        ),
+    )
+    mean_row = (
+        rows_est.agg(F.avg("est").alias("__m"))
+        .crossJoin(exact)
+        .select(
+            F.lit(-1).cast("int").alias("row_j"),
+            F.col("__m").cast("bigint").alias("est"),
+            F.col("x").cast("bigint").alias("exact_f2"),
+            F.round((F.col("__m") - F.col("x")) / F.col("x"), 6).alias("rel_err"),
+        )
+    )
+    return per_row.unionByName(mean_row)

@@ -169,6 +169,7 @@ HEADLINE = [
     "x_feature_mi",
     "x_scorer_spearman",
     "x_join_card",
+    "x_f2_countsketch",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

@@ -327,3 +327,17 @@ def test_kcore_shrink_edges_variant_is_equivalent(spark):
     a = _rows(kcore(edges, k=60, rounds=4), "node", "core_deg")
     b = _rows(kcore(edges, k=60, rounds=4, shrink_edges=True), "node", "core_deg")
     assert a == b and len(a) > 0
+
+
+def test_f2_countsketch_tight_on_flat_distribution(spark):
+    """The Count-Sketch F2 estimator's reason to exist: single-digit-
+    percent relative error on the SAME flat distribution where the CMS
+    inner product overshoots ~20x (x_join_card).  Rows expose the
+    per-row variance; the mean row tightens it."""
+    out = {r.row_j: r for r in REGISTRY["x_f2_countsketch"].fn(spark, SF_SMALL).collect()}
+    assert set(out) == {-1, 0, 1, 2, 3}
+    exact = out[-1].exact_f2
+    assert exact > 0
+    for r in out.values():
+        assert abs(r.rel_err) <= 0.25  # sqrt(2/1024) ~ 4.4% per row; generous
+    assert abs(out[-1].rel_err) <= 0.15
