@@ -13,6 +13,7 @@ from . import tierg  # noqa: F401,E402
 from . import tierh  # noqa: F401,E402
 from . import tieri  # noqa: F401,E402
 from . import tierj  # noqa: F401,E402
+from . import tierk  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
 # keys per round.  After round 6: all 168 keys green at their latest check,
@@ -38,14 +39,17 @@ _NEEDS_VERDICT = [
     "x_kcore", "x_jaccard_prefix", "x_hll_union", "x_shuffle_epoch",
     "x_block_sorted", "x_feature_mi", "x_scorer_spearman", "x_join_card",
     "x_f2_countsketch",
+    # Tier K (round-7 third wave) — first driver row needed
+    "x_ewma_anomaly", "x_agg_salted", "x_hll_intersect", "x_link_adamic",
     # Oldest-r4 rows (CORRECTNESS_r04 insertion order) fill the remaining
-    # slots (16 if all sixteen r7 keys above register: 18 r3-era + 16 r7)
+    # slots — first-ever rows above outrank r4 re-greens, so the last four
+    # r4 keys drop just past the 50-slot cut and lead the r8 queue
     "x_dedup_best_guarded", "x_dedup_cluster_guarded", "cat_recover",
     "cat_register", "f_contains", "f_element_at", "f_split",
     "op_alert_filter", "op_error_route", "op_event_partition",
-    "op_flatten_soh", "op_geocode_join", "op_nmea_latlon", "q_agg_modern",
-    # --- 50-slot window closes here for round 7 (18 r3 + 18 r7 + 14 r4) ---
+    # --- 50-slot window closes here for round 7 (18 r3 + 22 r7 + 10 r4) ---
     # next-stale (remaining r4 rows, same order) queue behind the window
+    "op_flatten_soh", "op_geocode_join", "op_nmea_latlon", "q_agg_modern",
     "snk_raw_json", "snk_stage_parquet", "x_data_mix", "x_data_upsample",
     "x_decontaminate", "x_dedup_cluster", "x_dedup_embed", "x_dedup_exact",
     "x_dedup_near", "x_dedup_ngram", "x_dedup_simhash", "x_domain_quota",

@@ -1,0 +1,193 @@
+"""Tier K semantics: EWMA anomaly hand-built sequences (renormalized
+head, spike residual, per-user isolation), affinity-graph support
+thresholding, Adamic–Adar hand-built scores + anti-join of existing
+edges, and HLL inclusion–exclusion sanity on disjoint/identical sets."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.graph import (
+    adamic_adar,
+    copurchase_affinity,
+)
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans import REGISTRY
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierk import (
+    _EWMA_BETA,
+    _EWMA_DEN,
+    _EWMA_K,
+    _EWMA_NUM,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# EWMA — hand-built sequences through the registered fragment
+# ---------------------------------------------------------------------------
+
+
+def _score_events(spark, rows):
+    """Run the registered EWMA fragment over hand-built (user, eid, value)
+    rows with strictly increasing timestamps, returning {eid: resid}."""
+    from pyspark.sql.window import Window
+
+    ev = spark.createDataFrame(
+        [
+            (u, e, datetime(2024, 1, 1, 0, 0, e), float(v))
+            for (u, e, v) in rows
+        ],
+        ["user_id", "event_id", "ts", "value"],
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        *[
+            F.lag("value", j).over(w).alias(f"__lag{j}")
+            for j in range(1, _EWMA_K + 1)
+        ],
+    ).filter(F.col("__lag1").isNotNull())
+    out = lagged.select(
+        "event_id",
+        F.expr(f"value - ({_EWMA_NUM}) / ({_EWMA_DEN})").alias("resid"),
+    )
+    return {r.event_id: r.resid for r in out.collect()}
+
+
+def test_ewma_head_renormalization(spark):
+    """With exactly one lag available, the renormalized EWMA IS that lag:
+    the second event's residual is value2 - value1."""
+    resid = _score_events(spark, [(1, 1, 10.0), (1, 2, 16.0)])
+    assert set(resid) == {2}  # first event has no history -> excluded
+    assert resid[2] == 6.0
+
+
+def test_ewma_spike_residual_exact(spark):
+    """Flat history then a spike: ewma of four equal lags is that value
+    regardless of weights (renormalization), so resid = spike - level."""
+    rows = [(1, i, 10.0) for i in range(1, 5)] + [(1, 5, 100.0)]
+    resid = _score_events(spark, rows)
+    assert resid[5] == 90.0
+    assert all(resid[i] == 0.0 for i in (2, 3, 4))
+
+
+def test_ewma_geometric_weights(spark):
+    """Two unequal lags: ewma = (x1*1 + x2*beta)/(1+beta) with x1 the most
+    recent — pins both the weight ORDER (nearest lag heaviest) and the
+    normalization constant."""
+    resid = _score_events(spark, [(1, 1, 4.0), (1, 2, 8.0), (1, 3, 0.0)])
+    expected = 0.0 - (8.0 * 1.0 + 4.0 * _EWMA_BETA) / (1.0 + _EWMA_BETA)
+    assert math.isclose(resid[3], expected, rel_tol=1e-12)
+
+
+def test_ewma_users_isolated(spark):
+    """History never leaks across users: a second user's first scored
+    event sees only their own lag."""
+    resid = _score_events(
+        spark, [(1, 1, 1000.0), (1, 2, 1000.0), (2, 3, 5.0), (2, 4, 7.0)]
+    )
+    assert resid[4] == 2.0
+
+
+def test_ewma_history_depth_capped(spark):
+    """Lags beyond K drop out: with K+1 prior events all distinct, the
+    oldest contributes nothing (weights cover lags 1..K only)."""
+    rows = [(1, 1, 999.0)] + [(1, i, 10.0) for i in range(2, _EWMA_K + 2)]
+    rows.append((1, _EWMA_K + 2, 10.0))
+    resid = _score_events(spark, rows)
+    # the 999 outlier is exactly K+1 lags behind the last event
+    assert resid[_EWMA_K + 2] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# affinity graph + Adamic–Adar
+# ---------------------------------------------------------------------------
+
+
+def test_affinity_support_threshold(spark):
+    """Pairs sharing >= min_support baskets survive; one-off pairs drop."""
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (2, 30), (3, 30), (3, 40)],
+        ["l_orderkey", "l_partkey"],
+    )
+    got = {
+        (r.u, r.v): r.w
+        for r in copurchase_affinity(li, min_support=2).collect()
+    }
+    assert got == {(10, 20): 2}
+
+
+def test_adamic_adar_handbuilt_path(spark):
+    """Path a-b-c: the only prediction is (a, c) through center b with
+    deg(b)=2, so AA = 1/ln 2; existing edges are anti-joined away."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["u", "v"])
+    out = adamic_adar(edges).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.u, r.v, r.n_common) == (1, 3, 1)
+    assert math.isclose(r.aa, 1.0 / math.log(2.0), rel_tol=1e-12)
+
+
+def test_adamic_adar_excludes_existing_and_sums_centers(spark):
+    """Square 1-2-3-4-1 plus diagonal 1-3: pair (2, 4) shares centers 1
+    and 3; deg(1)=3 (diagonal) and deg(3)=3, so AA = 2/ln 3.  The other
+    wedge pairs (1,3) etc. are existing edges and must not appear."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)], ["u", "v"]
+    )
+    out = {(r.u, r.v): (r.aa, r.n_common) for r in adamic_adar(edges).collect()}
+    assert set(out) == {(2, 4)}
+    aa, n_common = out[(2, 4)]
+    assert n_common == 2
+    assert math.isclose(aa, 2.0 / math.log(3.0), rel_tol=1e-12)
+
+
+def test_adamic_adar_pendant_center_screened(spark):
+    """A deg-1 node is never a wedge center; the 1/ln(deg) weight for it
+    is screened out before the projection (no ANSI divide-by-zero)."""
+    edges = spark.createDataFrame([(1, 2)], ["u", "v"])
+    assert adamic_adar(edges).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# HLL inclusion–exclusion sanity
+# ---------------------------------------------------------------------------
+
+
+def test_hll_ie_disjoint_and_identical(spark):
+    """I–E on sketches recovers ~0 for disjoint sets and ~n for identical
+    sets, within the registered union-relative tolerance."""
+    rows = [("a", f"s{i}") for i in range(3000)] + [
+        ("b", f"t{i}") for i in range(3000)
+    ] + [("c", f"s{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, ["source", "shingle"])
+    per = df.groupBy("source").agg(
+        F.hll_sketch_agg("shingle", F.lit(12)).alias("sk")
+    )
+    sk = {r.source: r.sk for r in per.collect()}
+
+    def ie(x, y):
+        two = spark.createDataFrame([(bytearray(sk[x]), bytearray(sk[y]))], ["p", "q"])
+        r = two.select(
+            (
+                F.hll_sketch_estimate("p")
+                + F.hll_sketch_estimate("q")
+                - F.hll_sketch_estimate(F.expr("hll_union(p, q)"))
+            ).alias("ie")
+        ).collect()[0]
+        return r.ie
+
+    assert abs(ie("a", "b") - 0.0) <= 0.06 * 6000  # disjoint: union = 6000
+    assert abs(ie("a", "c") - 3000.0) <= 0.06 * 3000  # identical: union = 3000
+
+
+def test_tierk_keys_registered_with_oracles():
+    for key in ("x_ewma_anomaly", "x_agg_salted", "x_hll_intersect",
+                "x_link_adamic"):
+        assert key in REGISTRY
+        assert REGISTRY[key].oracle is not None
