@@ -389,3 +389,296 @@ def x_link_adamic(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("aa_score").desc(), F.col("u").asc(), F.col("v").asc())
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# experiment-analysis / statistical-testing family
+# ---------------------------------------------------------------------------
+
+# Welch two-sample t-test over every pair of event types.  var_samp is
+# engine-internal (summation order differs in final ULPs), so t and df are
+# rounded before comparison/output; the significance cut reads the ROUNDED
+# t, making the verdict identical across engines by construction.
+_T_CRIT = 1.96  # normal approx at alpha = 0.05 (df > 400 at every SF)
+
+
+@register(
+    "x_ttest_welch",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, count(*) AS n, avg(value) AS m,
+             var_samp(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS n_a, b.n AS n_b, a.m AS m_a, b.m AS m_b,
+             (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS t,
+             ((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n)) /
+             ((a.v / a.n) * (a.v / a.n) / (a.n - 1)
+              + (b.v / b.n) * (b.v / b.n) / (b.n - 1)) AS df
+      FROM s a JOIN s b ON a.event_type < b.event_type)
+    SELECT type_a, type_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(m_a, 4) AS mean_a_r, round(m_b, 4) AS mean_b_r,
+           round(t, 4) AS t_r, round(df, 2) AS df_r,
+           CAST(abs(round(t, 4)) > {_T_CRIT!r} AS INT) AS significant
+    FROM p
+    """,
+)
+def x_ttest_welch(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (Welch, Biometrika '47)
+    between the metric values of every pair of event types — the A/B
+    experiment readout: t = (m_a - m_b) / sqrt(v_a/n_a + v_b/n_b) with
+    Welch–Satterthwaite degrees of freedom, significance at |t| > 1.96
+    (normal approximation; df > 400 at every tested SF).
+
+    Cross-engine contract: n/mean/variance are the only engine-computed
+    aggregates (summation order drifts in final ULPs); t and df are
+    ROUNDED before output and the significance verdict reads the rounded
+    t, so the cut cannot flip on ULP drift (registry.py float rules).
+
+    Scale: one map-side-combinable moments pass (count/avg/var_samp
+    partials merge associatively), then a self-join of FIVE stat rows —
+    the corpus is scanned once regardless of how many pairs are tested.
+    The 100 TB experiment readout is exactly this shape: per-arm moments
+    roll up from partition partials; no per-pair rescans.
+    """
+    s = (
+        table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = s.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"), F.col("v").alias("v_a"),
+    )
+    b = s.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"), F.col("v").alias("v_b"),
+    )
+    p = a.join(b, F.col("type_a") < F.col("type_b")).select(
+        "type_a", "type_b", "n_a", "n_b", "m_a", "m_b",
+        F.expr("(m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)").alias("t"),
+        F.expr(
+            "((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)) /"
+            " ((v_a / n_a) * (v_a / n_a) / (n_a - 1)"
+            "  + (v_b / n_b) * (v_b / n_b) / (n_b - 1))"
+        ).alias("df"),
+    )
+    return p.select(
+        "type_a", "type_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("m_a", 4).alias("mean_a_r"),
+        F.round("m_b", 4).alias("mean_b_r"),
+        F.round("t", 4).alias("t_r"),
+        F.round("df", 2).alias("df_r"),
+        (F.abs(F.round("t", 4)) > F.lit(_T_CRIT)).cast("int").alias("significant"),
+    )
+
+
+# Sample-ratio mismatch: chi-square goodness-of-fit of the hash split's
+# observed bucket counts against the declared 90/5/5 design.  The chi2 is
+# one fixed-order arithmetic expression over conditional counts — shared
+# fragment, bit-identical across engines.
+_SRM_CHI2 = (
+    "((__ct - __n * 0.9) * (__ct - __n * 0.9)) / (__n * 0.9)"
+    " + ((__cv - __n * 0.05) * (__cv - __n * 0.05)) / (__n * 0.05)"
+    " + ((__cs - __n * 0.05) * (__cs - __n * 0.05)) / (__n * 0.05)"
+)
+_SRM_CRIT = 5.991464547107979  # chi2 0.95 quantile at df = 2
+
+
+@register(
+    "x_srm_chisq",
+    oracle=f"""
+    WITH sp AS (
+      SELECT CASE WHEN h % 100 < 90 THEN 'train'
+                  WHEN h % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+            FROM documents)),
+    c AS (
+      SELECT CAST(count(*) AS DOUBLE) AS __n,
+             CAST(count(*) FILTER (WHERE split = 'train') AS DOUBLE) AS __ct,
+             CAST(count(*) FILTER (WHERE split = 'val') AS DOUBLE) AS __cv,
+             CAST(count(*) FILTER (WHERE split = 'test') AS DOUBLE) AS __cs
+      FROM sp)
+    SELECT CAST(__n AS BIGINT) AS n_docs,
+           CAST(__ct AS BIGINT) AS n_train,
+           CAST(__cv AS BIGINT) AS n_val,
+           CAST(__cs AS BIGINT) AS n_test,
+           round({_SRM_CHI2}, 6) AS chi2_r,
+           CAST(({_SRM_CHI2}) > {_SRM_CRIT!r} AS INT) AS srm_flag
+    FROM c
+    """,
+)
+def x_srm_chisq(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-ratio-mismatch check (Fabijan et al., KDD '19 diagnostics
+    lineage) on the registered hash split: chi-square goodness-of-fit of
+    observed train/val/test counts against the declared 90/5/5 design,
+    flagged at the df=2, alpha=0.05 critical value 5.9915.  SRM is the
+    first gate of any experiment/dataset-split pipeline: a biased
+    assignment hash (or a filter applied after splitting) shows up here
+    before any downstream metric can be trusted.  Composes with
+    x_split_hash (same md5 assignment, adjudicated there) and the
+    leakage audits (x_split_leakage / x_split_cluster_safe).
+
+    Cross-engine contract: the chi2 is ONE fixed-order +/*// fragment
+    over conditional counts (integers), embedded verbatim in both plans
+    — bit-identical by IEEE 754, so the flag cannot drift.
+
+    Scale: a single map-side-combinable conditional-count pass collapses
+    the corpus to one row of four counters; the chi2 itself is
+    control-plane arithmetic.  At 100 TB, SRM costs one scan, or zero if
+    the split counts already roll up from partition-level metadata.
+    """
+    from ..operators.curation import hash_split
+
+    d = hash_split(table(spark, sf, "documents"), "doc_id")
+    c = d.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.count(F.when(F.col("split") == "train", 1)).cast("double").alias("__ct"),
+        F.count(F.when(F.col("split") == "val", 1)).cast("double").alias("__cv"),
+        F.count(F.when(F.col("split") == "test", 1)).cast("double").alias("__cs"),
+    )
+    return c.select(
+        F.col("__n").cast("bigint").alias("n_docs"),
+        F.col("__ct").cast("bigint").alias("n_train"),
+        F.col("__cv").cast("bigint").alias("n_val"),
+        F.col("__cs").cast("bigint").alias("n_test"),
+        F.expr(f"round({_SRM_CHI2}, 6)").alias("chi2_r"),
+        F.expr(f"({_SRM_CHI2}) > {_SRM_CRIT!r}").cast("int").alias("srm_flag"),
+    )
+
+
+# Deterministic Poisson bootstrap: per-row replicate weights w ~ Poisson(1)
+# drawn by inverse-CDF lookup on a cross-engine md5 uniform, so both
+# engines materialize the IDENTICAL resample.  Cumulative-probability
+# literals are repr()-round-tripped float64.
+_BOOT_B = 32  # replicates; CI = 2nd/31st order statistics (~94% coverage)
+_BOOT_CUM = [
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+]
+_BOOT_W = (
+    "CASE "
+    + " ".join(
+        f"WHEN __u < {c} THEN {float(k)!r}" for k, c in enumerate(_BOOT_CUM)
+    )
+    + " ELSE 6.0 END"
+)
+
+
+@register(
+    "x_bootstrap_ci",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type, value, r,
+             CAST(('0x' || substr(md5('boot' || CAST(r AS VARCHAR) || ':' ||
+                                      CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                  AS DOUBLE) / 4294967296.0 AS __u
+      FROM events, (SELECT unnest(range(1, {_BOOT_B} + 1)) AS r)
+      WHERE value IS NOT NULL),
+    w AS (SELECT event_type, value, r, {_BOOT_W} AS __w FROM x),
+    rm AS (
+      SELECT event_type, r,
+             round(sum(__w * value) / nullif(sum(__w), 0.0), 6) AS rm_r
+      FROM w GROUP BY event_type, r),
+    rk AS (
+      SELECT event_type, rm_r,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY rm_r, r) AS pos
+      FROM rm),
+    base AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             round(avg(value), 4) AS mean_r
+      FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT b.event_type, b.n, b.mean_r,
+           max(CASE WHEN pos = 2 THEN rm_r END) AS ci_lo_r,
+           max(CASE WHEN pos = {_BOOT_B} - 1 THEN rm_r END) AS ci_hi_r
+    FROM base b JOIN rk ON rk.event_type = b.event_type
+    GROUP BY b.event_type, b.n, b.mean_r
+    """,
+)
+def x_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type bootstrap confidence interval for the mean metric
+    via the DETERMINISTIC Poisson bootstrap (Oza & Russell AISTATS '01
+    online bagging; Chamandy et al. '12, "Estimating uncertainty for
+    massive data streams"): each of B=32 replicates reweights every row
+    by w ~ Poisson(1), drawn by inverse-CDF lookup on the repo's
+    cross-engine md5 uniform hash('boot'||r||':'||event_id) — both
+    engines materialize the IDENTICAL resample, so the oracle replays
+    the whole procedure, not a tolerance.  CI = the 2nd and 31st order
+    statistics of the replicate means (~94 % coverage), selected by
+    row_number on the ROUNDED means with the replicate id as tie-break
+    (registry.py float rules: replicate sums drift in final ULPs across
+    engines; the round(·, 6) absorbs it before any rank).
+
+    Scale: this is THE uncertainty primitive for 100 TB metrics — no
+    data resampling, no per-replicate rescans: the replicate dimension
+    explodes B× but collapses map-side (sum(w·x), sum(w) partials
+    combine associatively), so the shuffle carries groups × B tiny rows
+    regardless of corpus size.  One pass, one shuffle; the B× explode
+    rides whole-stage codegen (md5 + CASE per replicate).
+    """
+    ev = table(spark, sf, "events").filter(F.col("value").isNotNull())
+    x = (
+        ev.select(
+            "event_type",
+            "value",
+            "event_id",
+            F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("r"),
+        )
+        .withColumn(
+            "__u",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("boot"),
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("event_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint").cast("double")
+            / F.lit(4294967296.0),
+        )
+        .withColumn("__w", F.expr(_BOOT_W))
+    )
+    rm = x.groupBy("event_type", "r").agg(
+        F.round(
+            F.sum(F.col("__w") * F.col("value"))
+            / F.nullif(F.sum("__w"), F.lit(0.0)),
+            6,
+        ).alias("rm_r")
+    )
+    rk = rm.select(
+        "event_type",
+        "rm_r",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("rm_r", "r"))
+        .alias("pos"),
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_r"),
+    )
+    ci = rk.groupBy("event_type").agg(
+        F.max(F.when(F.col("pos") == 2, F.col("rm_r"))).alias("ci_lo_r"),
+        F.max(F.when(F.col("pos") == _BOOT_B - 1, F.col("rm_r"))).alias("ci_hi_r"),
+    )
+    return base.join(ci, "event_type").select(
+        "event_type", "n", "mean_r", "ci_lo_r", "ci_hi_r"
+    )

@@ -191,3 +191,126 @@ def test_tierk_keys_registered_with_oracles():
                 "x_link_adamic"):
         assert key in REGISTRY
         assert REGISTRY[key].oracle is not None
+
+
+# ---------------------------------------------------------------------------
+# statistical-testing family
+# ---------------------------------------------------------------------------
+
+
+def test_welch_t_handbuilt(spark):
+    """Two tiny samples with known moments: t and Welch df match the
+    textbook formula computed in pure Python."""
+    import statistics
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [2.0, 4.0, 6.0, 8.0, 10.0]
+    ev = spark.createDataFrame(
+        [("A", i, v) for i, v in enumerate(a)]
+        + [("B", 100 + i, v) for i, v in enumerate(b)],
+        ["event_type", "event_id", "value"],
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    x = s.alias("x")
+    y = s.alias("y")
+    p = x.join(y, F.col("x.event_type") < F.col("y.event_type")).select(
+        F.expr(
+            "(x.m - y.m) / sqrt(x.v / x.n + y.v / y.n)"
+        ).alias("t"),
+        F.expr(
+            "((x.v / x.n + y.v / y.n) * (x.v / x.n + y.v / y.n)) /"
+            " ((x.v / x.n) * (x.v / x.n) / (x.n - 1)"
+            "  + (y.v / y.n) * (y.v / y.n) / (y.n - 1))"
+        ).alias("df"),
+    ).collect()[0]
+    va, vb = statistics.variance(a), statistics.variance(b)
+    ma, mb = statistics.mean(a), statistics.mean(b)
+    se2 = va / len(a) + vb / len(b)
+    t_ref = (ma - mb) / math.sqrt(se2)
+    df_ref = se2 * se2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert math.isclose(p.t, t_ref, rel_tol=1e-12)
+    assert math.isclose(p.df, df_ref, rel_tol=1e-12)
+
+
+def test_srm_flags_biased_split(spark):
+    """A deliberately biased assignment (80/10/10 observed vs 90/5/5
+    declared on n=1000) must trip the chi-square flag; the registered
+    unbiased md5 split must not."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierk import (
+        _SRM_CHI2,
+        _SRM_CRIT,
+    )
+
+    def chi2_of(counts):
+        n, ct, cv, cs = counts
+        df = spark.createDataFrame(
+            [(float(n), float(ct), float(cv), float(cs))],
+            ["__n", "__ct", "__cv", "__cs"],
+        )
+        return df.select(F.expr(_SRM_CHI2).alias("c")).collect()[0].c
+
+    assert chi2_of((1000, 800, 100, 100)) > _SRM_CRIT
+    assert chi2_of((1000, 900, 50, 50)) == 0.0
+    # registered key on driver data: unbiased hash -> no flag
+    out = REGISTRY["x_srm_chisq"].fn(spark, SF_SMALL).collect()[0]
+    assert out.srm_flag == 0
+    assert out.n_docs == out.n_train + out.n_val + out.n_test
+
+
+def test_bootstrap_weights_poisson_and_deterministic(spark):
+    """The md5-drawn weights are deterministic (same rows -> same weights)
+    with mean ~ 1 (Poisson(1)), and the registered key's CI brackets the
+    mean on driver data."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierk import (
+        _BOOT_W,
+    )
+
+    rows = spark.range(0, 5000).select(
+        F.col("id").alias("event_id"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("boot1:"), F.col("id").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint").cast("double")
+            / F.lit(4294967296.0)
+        ).alias("__u"),
+    ).withColumn("__w", F.expr(_BOOT_W).cast("double"))
+    stats = rows.agg(
+        F.avg("__w").alias("m"), F.min("__w").alias("lo"),
+        F.max("__w").alias("hi"),
+    ).collect()[0]
+    assert abs(stats.m - 1.0) < 0.05  # Poisson(1) mean, n=5000
+    assert stats.lo >= 0.0 and stats.hi <= 6.0
+    again = rows.agg(F.sum("__w").alias("s")).collect()[0].s
+    assert again == rows.agg(F.sum("__w").alias("s")).collect()[0].s
+
+    out = {r.event_type: r for r in REGISTRY["x_bootstrap_ci"].fn(spark, SF_SMALL).collect()}
+    for r in out.values():
+        assert r.ci_lo_r <= r.mean_r <= r.ci_hi_r
+        assert r.ci_lo_r < r.ci_hi_r
+
+
+def test_bootstrap_constant_metric_degenerate_ci(spark):
+    """On a constant metric every replicate mean equals the constant —
+    the CI collapses to a point regardless of the resample weights (the
+    identical-resample property, end to end)."""
+    ev = spark.createDataFrame(
+        [("A", i, 7.5) for i in range(200)], ["event_type", "event_id", "value"]
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        ev_path = os.path.join(td, "events.parquet")
+        ev.withColumn("ts", F.current_timestamp()).withColumn(
+            "user_id", F.col("event_id") % 10
+        ).withColumn("props", F.lit("{}")).write.parquet(ev_path)
+        out = REGISTRY["x_bootstrap_ci"].fn(spark, td).collect()[0]
+    assert out.mean_r == 7.5
+    assert out.ci_lo_r == 7.5 and out.ci_hi_r == 7.5
