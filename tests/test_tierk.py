@@ -314,3 +314,77 @@ def test_bootstrap_constant_metric_degenerate_ci(spark):
         out = REGISTRY["x_bootstrap_ci"].fn(spark, td).collect()[0]
     assert out.mean_r == 7.5
     assert out.ci_lo_r == 7.5 and out.ci_hi_r == 7.5
+
+
+# ---------------------------------------------------------------------------
+# sequence transitions + CUPED
+# ---------------------------------------------------------------------------
+
+
+def test_seq_transitions_handbuilt(spark):
+    """Two users with known streams: transitions never cross users; lift
+    matches the hand-computed P(b|a)/P(b)."""
+    import tempfile, os
+
+    rows = [
+        # user 1: A -> B -> A -> B   (transitions AB, BA, AB)
+        (1, 1, "A"), (1, 2, "B"), (1, 3, "A"), (1, 4, "B"),
+        # user 2: B -> B             (transition BB)
+        (2, 5, "B"), (2, 6, "B"),
+    ]
+    ev = spark.createDataFrame(
+        [
+            (u, e, datetime(2024, 1, 1, 0, 0, e), t, 1.0, "{}")
+            for (u, e, t) in rows
+        ],
+        ["user_id", "event_id", "ts", "event_type", "value", "props"],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.parquet(os.path.join(td, "events.parquet"))
+        out = {
+            (r.src_type, r.dst_type): (r.n_ab, r.lift_r)
+            for r in REGISTRY["x_seq_transitions"].fn(spark, td).collect()
+        }
+    # totals: 4 transitions; n_ab: AB=2, BA=1, BB=1
+    assert out[("A", "B")][0] == 2
+    assert out[("B", "A")][0] == 1
+    assert out[("B", "B")][0] == 1
+    assert ("A", "A") not in out  # never adjacent within a user
+    # lift(A->B) = (2/2) / (3/4) = 4/3
+    assert out[("A", "B")][1] == round(4.0 / 3.0, 4)
+    # lift(B->A) = (1/2) / (1/4) = 2
+    assert out[("B", "A")][1] == 2.0
+
+
+def test_cuped_planted_user_effect(spark):
+    """Plant a strong user-level random effect: pre and post share the
+    user mean, so theta ~ 1 and CUPED removes most of the variance;
+    adjustment must leave the pooled mean unbiased."""
+    import tempfile, os
+
+    rows = []
+    eid = 0
+    for u in range(200):
+        mu = float(u % 40) * 5.0  # user-level effect, var >> noise
+        for k in range(8):
+            noise = float((u * 31 + k * 17) % 7) * 0.1
+            rows.append((u, eid, datetime(2024, 1, 1, 0, 0), "view",
+                         mu + noise, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.parquet(os.path.join(td, "events.parquet"))
+        out = REGISTRY["x_cuped"].fn(spark, td).collect()
+    assert {r.arm for r in out} == {"A", "B"}
+    for r in out:
+        assert r.var_red_r > 0.95  # the user effect dominates -> big win
+    # per-arm adjusted means legitimately SHIFT (CUPED removes the arm's
+    # covariate imbalance — that is the method); unbiasedness holds POOLED:
+    # sum over all users of theta*(pre - mean(pre)) = 0 by construction.
+    n_total = sum(r.n_users for r in out)
+    pooled_post = sum(r.mean_post_r * r.n_users for r in out) / n_total
+    pooled_adj = sum(r.mean_adj_r * r.n_users for r in out) / n_total
+    assert abs(pooled_adj - pooled_post) < 0.01
+    assert n_total == 200
