@@ -94,3 +94,71 @@ def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
             (F.sum("cnt").cast("double") / F.count("*")).alias("mean_bigram_freq"),
         )
     )
+
+
+def mmr_rerank(cand: DataFrame, sim_cc: DataFrame, k: int,
+               lam: float = 0.7) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR '98): greedily select ``k`` items from a candidate pool,
+    each round picking argmax  lam·sim(q, d) − (1−lam)·max_{s∈S} sim(d, s)
+    — relevance traded against redundancy with what's already selected.
+    The curation twin of retrieval diversity: the same greedy screen
+    picks REPRESENTATIVE exemplars out of a near-dup-heavy candidate
+    pool (SemDeDup keeps one per cluster; MMR keeps a spread).
+
+    ``cand``: (vec_id, simq) — query similarities, PRE-ROUNDED by the
+    caller so both engines rank identical doubles.  ``sim_cc``:
+    (ia, ib, s) pairwise candidate similarities, also pre-rounded, both
+    orientations present.  Returns (vec_id, pos) for the k selections.
+
+    Scale: MMR is inherently SEQUENTIAL in k, so the distributed part is
+    everything BEFORE it — the corpus-wide top-N candidate generation
+    (cosine_topk / IVF) and the N² pairwise sims, both data-parallel.
+    The greedy loop itself runs on the N-sized pool: each round is one
+    argmax over ≤ N rows (a 1-row control-plane collect, the
+    x_vocab_bpe convention), never a corpus operation.  Ties break on
+    (rounded score DESC, vec_id ASC), making the whole selection
+    sequence deterministic and oracle-replayable.
+    """
+    cand = cand.select("vec_id", "simq").localCheckpoint(eager=False)
+    sim_cc = sim_cc.localCheckpoint(eager=False)
+    first = (
+        cand.orderBy(F.col("simq").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .collect()[0]
+        .vec_id
+    )
+    selected = [first]
+    for _ in range(2, k + 1):
+        sel_df = F.broadcast(
+            cand.sparkSession.createDataFrame(
+                [(int(s),) for s in selected], ["sel_id"]
+            )
+        )
+        maxs = (
+            sim_cc.join(sel_df, sim_cc["ib"] == sel_df["sel_id"])
+            .groupBy("ia")
+            .agg(F.max("s").alias("maxs"))
+        )
+        pick = (
+            cand.filter(~F.col("vec_id").isin([int(s) for s in selected]))
+            .join(maxs, cand["vec_id"] == maxs["ia"])
+            .select(
+                "vec_id",
+                F.round(
+                    F.lit(lam) * F.col("simq")
+                    - F.lit(1.0 - lam) * F.col("maxs"),
+                    6,
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        selected.append(pick[0].vec_id)
+    spark = cand.sparkSession
+    return spark.createDataFrame(
+        [(int(v), i + 1) for i, v in enumerate(selected)], ["vec_id", "pos"]
+    )

@@ -851,3 +851,137 @@ def x_cuped(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(1.0) - F.var_samp("post_adj") / F.var_samp("post"), 4
         ).alias("var_red_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking
+# ---------------------------------------------------------------------------
+
+_MMR_LAM = 0.7
+# 1.0 - 0.7 is NOT 0.3 in float64 (0.30000000000000004); both engines must
+# use the same literal, so the oracle embeds the repr of the computed value.
+_MMR_MU = repr(1.0 - _MMR_LAM)
+_MMR_POOL = 20
+_MMR_K = 10
+
+
+def _mmr_oracle(k: int, pool: int) -> str:
+    parts = [f"""
+    WITH cand AS MATERIALIZED (
+      SELECT c.vec_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS simq,
+             c.embedding
+      FROM embeddings q JOIN embeddings c ON q.vec_id = 0 AND c.vec_id <> 0
+      WHERE list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) > 0
+        AND list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
+      ORDER BY simq DESC, c.vec_id ASC LIMIT {pool}),
+    scc AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS s
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+    sel1 AS MATERIALIZED (SELECT vec_id, 1 AS pos FROM cand
+             ORDER BY simq DESC, vec_id ASC LIMIT 1)"""]
+    # Every round CTE is MATERIALIZED: sel{{r}} references sel{{r-1}} three
+    # times (NOT IN + correlated max + union), and DuckDB inlines CTEs by
+    # default — unmaterialized, the 10-round chain re-expands 3^9 ways
+    # (the x_vocab_bpe lesson; >150 s vs milliseconds).
+    for r in range(2, k + 1):
+        parts.append(f"""
+    pick{r} AS MATERIALIZED (
+      SELECT c.vec_id, {r} AS pos FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+      ORDER BY round({_MMR_LAM!r} * c.simq - {_MMR_MU} *
+                     (SELECT max(s.s) FROM scc s
+                      JOIN sel{r - 1} t ON s.ib = t.vec_id
+                      WHERE s.ia = c.vec_id), 6) DESC,
+               c.vec_id ASC
+      LIMIT 1),
+    sel{r} AS MATERIALIZED (SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r})""")
+    return ",".join(parts) + f"""
+    SELECT CAST(s.vec_id AS BIGINT) AS vec_id, CAST(s.pos AS INT) AS pos,
+           c.simq AS simq_r
+    FROM sel{k} s JOIN cand c ON c.vec_id = s.vec_id
+    """
+
+
+@register("x_mmr_diversify", oracle=_mmr_oracle(_MMR_K, _MMR_POOL))
+def x_mmr_diversify(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-ranking (Carbonell &
+    Goldstein, SIGIR '98): from the query's top-20 cosine candidates,
+    greedily select 10, each round maximizing  lam·sim(q, d) −
+    (1−lam)·max_{s∈S} sim(d, s)  with lam = 0.7 — relevance traded
+    against redundancy with what was already picked.  The curation
+    reading: MMR picks a representative SPREAD out of a near-dup-heavy
+    retrieval pool (where SemDeDup keeps one doc per cluster, MMR keeps
+    the k most-relevant-yet-mutually-distinct exemplars) — the
+    diversity-aware sampling primitive for eval-set and few-shot-pool
+    construction.
+
+    Cross-engine: candidate sims and pairwise sims are rounded to 6 on
+    BOTH sides before any ordering; the per-round score is fixed-order
+    arithmetic over those identical doubles (note _MMR_MU: 1.0 − 0.7 is
+    0.30000000000000004 in float64 — the oracle embeds the repr of the
+    SAME computed literal, not "0.3"), and every argmax tie-breaks on
+    vec_id — the full greedy trajectory replays deterministically as 10
+    unrolled oracle CTE rounds.
+
+    Scale (operators/retrieval.py::mmr_rerank): the DATA-PARALLEL work
+    is candidate generation (corpus-wide cosine top-N: brute-force here,
+    IVF at 100 TB) and the N² pairwise sims; the greedy loop is
+    inherently sequential in k but runs on the N-sized pool only — one
+    argmax + 1-row control-plane collect per round (the x_vocab_bpe
+    convention), never a corpus operation.
+    """
+    from ..operators.retrieval import mmr_rerank
+    from ..operators.similarity import pair_cosine, prep_vectors
+
+    emb = table(spark, sf, "embeddings")
+    q = prep_vectors(
+        emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", "query_id",
+        "qd", "qn",
+    )
+    c = prep_vectors(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", "neighbor_id",
+        "cd", "cn",
+    )
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            F.col("neighbor_id").alias("vec_id"),
+            pair_cosine().alias("simq"),
+            "cd",
+            "cn",
+        )
+        .orderBy(F.col("simq").desc(), F.col("vec_id").asc())
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=False)
+    )
+    from ..functions.vectors import dot_double
+
+    a = cand.select(
+        F.col("vec_id").alias("ia"), F.col("cd").alias("ad"), F.col("cn").alias("an")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("ib"), F.col("cd").alias("bd"), F.col("cn").alias("bn")
+    )
+    sim_cc = a.join(b, F.col("ia") != F.col("ib")).select(
+        "ia",
+        "ib",
+        F.round(
+            F.try_divide(
+                dot_double(F.col("ad"), F.col("bd")), F.col("an") * F.col("bn")
+            ),
+            6,
+        ).alias("s"),
+    )
+    sel = mmr_rerank(cand.select("vec_id", "simq"), sim_cc, k=_MMR_K, lam=_MMR_LAM)
+    return (
+        sel.join(cand.select("vec_id", "simq"), "vec_id")
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("pos").cast("int").alias("pos"),
+            F.col("simq").alias("simq_r"),
+        )
+    )

@@ -388,3 +388,46 @@ def test_cuped_planted_user_effect(spark):
     pooled_adj = sum(r.mean_adj_r * r.n_users for r in out) / n_total
     assert abs(pooled_adj - pooled_post) < 0.01
     assert n_total == 200
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_skips_redundant_candidate(spark):
+    """Three candidates: A (most relevant), A' (near-dup of A, second most
+    relevant), B (less relevant, orthogonal).  Pure relevance ranks
+    A, A', B; MMR must pick A then B — the near-dup's redundancy penalty
+    pushes it behind the diverse item."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    cand = spark.createDataFrame(
+        [(1, 0.95), (2, 0.94), (3, 0.60)], ["vec_id", "simq"]
+    )
+    sim_cc = spark.createDataFrame(
+        [(1, 2, 0.99), (2, 1, 0.99), (1, 3, 0.0), (3, 1, 0.0),
+         (2, 3, 0.0), (3, 2, 0.0)],
+        ["ia", "ib", "s"],
+    )
+    out = {r.pos: r.vec_id for r in mmr_rerank(cand, sim_cc, k=3, lam=0.7).collect()}
+    assert out == {1: 1, 2: 3, 3: 2}
+    # lam = 1.0 degenerates to pure relevance order
+    pure = {r.pos: r.vec_id for r in mmr_rerank(cand, sim_cc, k=3, lam=1.0).collect()}
+    assert pure == {1: 1, 2: 2, 3: 3}
+
+
+def test_mmr_pool_exhaustion_stops(spark):
+    """k larger than the pool returns every candidate once, no repeats."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    cand = spark.createDataFrame([(1, 0.9), (2, 0.5)], ["vec_id", "simq"])
+    sim_cc = spark.createDataFrame(
+        [(1, 2, 0.1), (2, 1, 0.1)], ["ia", "ib", "s"]
+    )
+    out = mmr_rerank(cand, sim_cc, k=5, lam=0.7).collect()
+    assert sorted((r.pos, r.vec_id) for r in out) == [(1, 1), (2, 2)]
