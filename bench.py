@@ -170,6 +170,17 @@ HEADLINE = [
     "x_scorer_spearman",
     "x_join_card",
     "x_f2_countsketch",
+    # round-7 third wave (Tier K)
+    "x_ewma_anomaly",
+    "x_agg_salted",
+    "x_hll_intersect",
+    "x_link_adamic",
+    "x_ttest_welch",
+    "x_srm_chisq",
+    "x_bootstrap_ci",
+    "x_seq_transitions",
+    "x_cuped",
+    "x_mmr_diversify",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical
