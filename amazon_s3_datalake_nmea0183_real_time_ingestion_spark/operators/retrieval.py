@@ -142,12 +142,16 @@ def mmr_rerank(cand: DataFrame, sim_cc: DataFrame, k: int,
         )
         pick = (
             cand.filter(~F.col("vec_id").isin([int(s) for s in selected]))
-            .join(maxs, cand["vec_id"] == maxs["ia"])
+            # LEFT join: a candidate with no sim row to any selected item
+            # has zero redundancy (score = lam·simq), not a dropped row —
+            # an inner join would silently eliminate it from the pool when
+            # sim_cc is sparse (top-M-neighbors-only pairwise tables).
+            .join(maxs, cand["vec_id"] == maxs["ia"], "left")
             .select(
                 "vec_id",
                 F.round(
                     F.lit(lam) * F.col("simq")
-                    - F.lit(1.0 - lam) * F.col("maxs"),
+                    - F.lit(1.0 - lam) * F.coalesce(F.col("maxs"), F.lit(0.0)),
                     6,
                 ).alias("score"),
             )

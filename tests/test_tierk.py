@@ -431,3 +431,22 @@ def test_mmr_pool_exhaustion_stops(spark):
     )
     out = mmr_rerank(cand, sim_cc, k=5, lam=0.7).collect()
     assert sorted((r.pos, r.vec_id) for r in out) == [(1, 1), (2, 2)]
+
+
+def test_mmr_sparse_pairwise_table_zero_redundancy(spark):
+    """A candidate absent from the pairwise-sim table has ZERO redundancy,
+    not a dropped row: with sims recorded only between A and B, the
+    orthogonal C (simq 0.5 -> score 0.35) must beat the redundant B
+    (0.7*0.8 - 0.3*0.99 = 0.263) in round 2."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    cand = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.5)], ["vec_id", "simq"]
+    )
+    sim_cc = spark.createDataFrame(
+        [(1, 2, 0.99), (2, 1, 0.99)], ["ia", "ib", "s"]
+    )
+    out = {r.pos: r.vec_id for r in mmr_rerank(cand, sim_cc, k=3, lam=0.7).collect()}
+    assert out == {1: 1, 2: 3, 3: 2}
