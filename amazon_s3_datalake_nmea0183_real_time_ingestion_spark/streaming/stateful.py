@@ -380,3 +380,100 @@ def streaming_funnel(stream: DataFrame,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA anomaly detector — the streaming twin of plans/tierk.x_ewma_anomaly
+# ---------------------------------------------------------------------------
+
+_EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("deviceid", IntegerType()),
+        StructField("date_time", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+        StructField("resid", DoubleType()),
+    ]
+)
+# state: most-recent-first ring of the last k values + late-row fence
+from pyspark.sql.types import ArrayType  # noqa: E402  (module convention)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("hist", ArrayType(DoubleType())),
+        StructField("last_seen", LongType()),
+    ]
+)
+
+
+def ewma_anomaly_stream(stream: DataFrame, value_col: str = "battery_voltage",
+                        threshold: float = 1.0, beta: float = 0.7,
+                        k: int = 8, ts_col: str = "event_ts",
+                        delay: str = "1 hour") -> DataFrame:
+    """Per-device EWMA control chart over the stream (Roberts '59) — the
+    streaming twin of the batch `x_ewma_anomaly` key: residual of each
+    reading against the renormalized EWMA of the device's previous
+    ``k`` values, emitting rows whose |residual| ≥ ``threshold``.  The
+    batch key ranks a global top-50; a stream has no global rank, so the
+    streaming contract is threshold-triggered alerts (the alert-sink
+    shape of battery_transitions).
+
+    The residual arithmetic REPLAYS the batch fragment bit-identically:
+    the history ring is most-recent-first, weights beta^j accumulate in
+    the same left-to-right order as the generated ``_EWMA_NUM`` /
+    ``_EWMA_DEN`` expressions, and IEEE 754 does the rest — the
+    equivalence test asserts EXACT float equality against the batch
+    window computation, not a tolerance.
+
+    Scale: state is an O(k) ring + one fence per device, keyed by the
+    same partitioning the groupBy already shuffles on; micro-batches
+    move only new rows.  Late rows behind the fence are skipped (the
+    battery_transitions convention); the watermark bounds state
+    retention.
+    """
+    kk = int(k)
+    b = float(beta)
+
+    def _score(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        hist, last_seen = state.get if state.exists else ([], 0)
+        hist = list(hist)
+        out_rows = []
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("date_time")
+        for row in pdf.itertuples(index=False):
+            dt = int(row.date_time)
+            if dt < int(last_seen):
+                continue
+            v = float(getattr(row, value_col))
+            if hist:
+                num = 0.0
+                den = 0.0
+                for j, h in enumerate(hist):
+                    w = b ** j
+                    num = num + h * w
+                    den = den + w
+                ewma = num / den
+                resid = v - ewma
+                if abs(resid) >= threshold:
+                    out_rows.append((key[0], dt, v, ewma, resid))
+            hist = [v] + hist[: kk - 1]
+            last_seen = dt
+        state.update((hist, int(last_seen)))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=["deviceid", "date_time", "value", "ewma", "resid"],
+            )
+
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy("deviceid")
+        .applyInPandasWithState(
+            _score,
+            outputStructType=_EWMA_OUT_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -355,3 +355,62 @@ def test_streaming_funnel_matches_batch_chain(spark, tmp_path):
     assert got[1] == (3, us(10), us(20), us(30))
     assert got[2] == (3, us(8), us(9), us(15))   # pre-view click ignored
     assert got[3] == (1, us(2), None, None)      # purchase-before-view ignored
+
+
+def test_ewma_anomaly_stream_matches_batch_fragment(spark, tmp_path):
+    """The streaming EWMA detector replays the batch x_ewma_anomaly
+    fragment BIT-IDENTICALLY: residuals for the flagged rows equal the
+    batch window computation exactly (no tolerance), state carries the
+    ring across micro-batches, and quiet readings emit nothing."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierk import (
+        _EWMA_DEN,
+        _EWMA_K,
+        _EWMA_NUM,
+    )
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.streaming.stateful import (
+        ewma_anomaly_stream,
+    )
+    from pyspark.sql.window import Window
+
+    # device 1: drifting baseline then a spike in batch 2 (state must
+    # carry the ring across the file boundary); device 2: constant (quiet)
+    b1 = [_row(1, i, T0 + i, bv=5.0 + 0.01 * i) for i in range(6)]
+    b2 = [_row(1, 10, T0 + 10, bv=9.0), _row(1, 11, T0 + 11, bv=5.1)]
+    quiet = [_row(2, 100 + i, T0 + i, bv=4.0) for i in range(8)]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _write(landing / "b1.json", b1 + quiet[:4])
+    _write(landing / "b2.json", b2 + quiet[4:])
+
+    out = _run(
+        spark, landing,
+        lambda s: ewma_anomaly_stream(s, threshold=1.0),
+        "ewma_out",
+    ).collect()
+
+    # batch replay over the SAME rows with the registered fragment
+    allrows = b1 + b2 + quiet
+    bdf = spark.createDataFrame(
+        [(r["deviceid"], r["date_time"], float(r["battery_voltage"]))
+         for r in allrows],
+        ["deviceid", "date_time", "value"],
+    )
+    w = Window.partitionBy("deviceid").orderBy("date_time")
+    lagged = bdf.select(
+        "deviceid", "date_time", "value",
+        *[F.lag("value", j).over(w).alias(f"__lag{j}")
+          for j in range(1, _EWMA_K + 1)],
+    ).filter(F.col("__lag1").isNotNull())
+    expected = {
+        (r.deviceid, r.date_time): r.resid
+        for r in lagged.select(
+            "deviceid", "date_time",
+            F.expr(f"value - ({_EWMA_NUM}) / ({_EWMA_DEN})").alias("resid"),
+        ).collect()
+        if abs(r.resid) >= 1.0
+    }
+    got = {(r.deviceid, r.date_time): r.resid for r in out}
+    assert set(got) == set(expected)
+    for k_ in got:
+        assert got[k_] == expected[k_]  # exact float equality, no tolerance
+    assert all(d == 1 for d, _ in got)  # the constant device stays quiet
