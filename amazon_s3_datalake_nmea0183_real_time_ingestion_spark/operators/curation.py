@@ -309,3 +309,48 @@ def chunk_documents(df: DataFrame, token_col: str = "n_tokens",
         "chunk_len",
         F.least(F.lit(window_tokens), F.col(token_col) - start).cast("int"),
     )
+
+
+def skyline_2d(df: DataFrame, d1: str, d2: str) -> DataFrame:
+    """2-D skyline / Pareto front (Börzsönyi, Kossmann & Stocker,
+    ICDE '01): rows not DOMINATED by any other row, where p dominates q
+    iff p is ≥ q on both dimensions and > on at least one (bigger =
+    better; ties on BOTH dimensions survive together).  Multi-objective
+    curation's primitive: "keep the documents on the quality frontier"
+    when no single score orders the corpus.
+
+    Implemented as the SORT-SWEEP, not the naive O(n²) dominance join:
+    after one total-order sort on (d1 DESC), a row survives iff
+
+      d2  >  max(d2 over rows with strictly larger d1)      [RANGE frame]
+      d2  =  max(d2 over rows with equal d1)                [tie group]
+
+    — two window aggregates riding ONE sort, O(n log n).  The dimensions
+    must be INTEGER-valued: the strictly-larger-d1 frame is
+    ``RANGE .. 1 PRECEDING`` under the DESC ordering, which needs a
+    discrete gap (floats would need a tie-aware two-pass sweep).
+
+    Scale: one global range-partitioned sort + two frames over it — at
+    100 TB this is a single totalorder exchange, versus the naive
+    self-join's n² pair generation.  (For d > 2 the sweep does not
+    apply; the standard distributed move is grid-cell pre-peel — local
+    skylines per cell eliminate the bulk map-side, the small survivor
+    union cross-checks — same screen-then-verify economics as the dedup
+    guards.)  Adjudication: the oracle runs the NAIVE dominance
+    anti-join, so the sweep's correctness is checked against the
+    definition itself, not a reimplementation of the same algorithm.
+    """
+    w_hi = (
+        Window.orderBy(F.col(d1).desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_tie = Window.partitionBy(d1)
+    return (
+        df.withColumn("__max_hi", F.max(d2).over(w_hi))
+        .withColumn("__max_tie", F.max(d2).over(w_tie))
+        .filter(
+            (F.col("__max_hi").isNull() | (F.col(d2) > F.col("__max_hi")))
+            & (F.col(d2) == F.col("__max_tie"))
+        )
+        .drop("__max_hi", "__max_tie")
+    )

@@ -985,3 +985,63 @@ def x_mmr_diversify(spark: SparkSession, sf: str) -> DataFrame:
             F.col("simq").alias("simq_r"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# skyline / Pareto-front curation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_skyline",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS INT) AS n_distinct
+      FROM t)
+    SELECT a.doc_id, a.n_tokens, a.n_distinct
+    FROM s a
+    ANTI JOIN s b
+      ON b.n_tokens >= a.n_tokens AND b.n_distinct >= a.n_distinct
+     AND (b.n_tokens > a.n_tokens OR b.n_distinct > a.n_distinct)
+    """,
+)
+def x_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """Skyline / Pareto front (Börzsönyi et al., ICDE '01) of the
+    documents corpus on two integer quality dimensions — token count and
+    distinct-token count (bigger = better): the documents NOT dominated
+    on both axes, i.e. the multi-objective quality frontier no single
+    score can pick.  Curation reading: token_budget_select optimizes ONE
+    score; the skyline is what you keep when length and lexical
+    diversity must BOTH be defensible.
+
+    Engine = the O(n log n) sort-sweep (operators/curation.py::
+    skyline_2d — two window frames over one total-order sort); oracle =
+    the NAIVE O(n²) dominance anti-join, so the sweep is adjudicated
+    against the dominance DEFINITION itself rather than a mirror of the
+    same algorithm — the strongest oracle shape the registry has (same
+    philosophy as x_jaccard_prefix sharing the inverted-index oracle).
+
+    Cross-engine: both dimensions are exact integers; no float enters
+    any comparison.
+    """
+    from ..functions.text import tokens as _tokens
+    from ..operators.curation import skyline_2d
+
+    d = table(spark, sf, "documents")
+    s = d.select(
+        "doc_id", _tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        F.size("__toks").cast("int").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).cast("int").alias("n_distinct"),
+    )
+    return skyline_2d(s, "n_tokens", "n_distinct").select(
+        "doc_id", "n_tokens", "n_distinct"
+    )

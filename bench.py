@@ -181,6 +181,7 @@ HEADLINE = [
     "x_seq_transitions",
     "x_cuped",
     "x_mmr_diversify",
+    "x_skyline",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

@@ -450,3 +450,54 @@ def test_mmr_sparse_pairwise_table_zero_redundancy(spark):
     )
     out = {r.pos: r.vec_id for r in mmr_rerank(cand, sim_cc, k=3, lam=0.7).collect()}
     assert out == {1: 1, 2: 3, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# skyline
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_handbuilt_frontier(spark):
+    """Hand-built 2-D points: the frontier keeps exactly the undominated
+    set, equal-on-both ties survive TOGETHER, and a strictly-dominated
+    duplicate of a frontier point on one axis drops."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.curation import (
+        skyline_2d,
+    )
+
+    pts = [
+        (1, 10, 1),   # frontier (best d1)
+        (2, 8, 5),    # frontier
+        (3, 8, 5),    # exact tie of 2 -> BOTH survive
+        (4, 8, 4),    # dominated by 2 (same d1, smaller d2)
+        (5, 5, 9),    # frontier (best d2)
+        (6, 4, 9),    # dominated by 5 (smaller d1, same d2)
+        (7, 3, 3),    # dominated by everything above
+    ]
+    df = spark.createDataFrame(pts, ["id", "d1", "d2"])
+    got = sorted(r.id for r in skyline_2d(df, "d1", "d2").collect())
+    assert got == [1, 2, 3, 5]
+
+
+def test_skyline_matches_naive_join_random(spark):
+    """Sweep == naive dominance anti-join on a random integer cloud."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.curation import (
+        skyline_2d,
+    )
+
+    rows = [(i, (i * 37) % 101, (i * 61) % 97) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "d1", "d2"]).localCheckpoint()
+    sweep = sorted(r.id for r in skyline_2d(df, "d1", "d2").collect())
+    a, b = df.alias("a"), df.alias("b")
+    dominated = a.join(
+        b,
+        (F.col("b.d1") >= F.col("a.d1"))
+        & (F.col("b.d2") >= F.col("a.d2"))
+        & ((F.col("b.d1") > F.col("a.d1")) | (F.col("b.d2") > F.col("a.d2"))),
+        "left_semi",
+    )
+    naive = sorted(
+        r.id for r in df.join(dominated.select("id"), "id", "left_anti").collect()
+    )
+    assert sweep == naive
+    assert len(sweep) > 0
