@@ -1045,3 +1045,94 @@ def x_skyline(spark: SparkSession, sf: str) -> DataFrame:
     return skyline_2d(s, "n_tokens", "n_distinct").select(
         "doc_id", "n_tokens", "n_distinct"
     )
+
+
+# ---------------------------------------------------------------------------
+# nearest-station geo join (bounded radius, broadcast dim)
+# ---------------------------------------------------------------------------
+
+# Shared haversine fragment over fixed column names (lat/lon = point,
+# slat/slon = station) — embedded verbatim in both plans; libm sin/cos/
+# asin may differ by 1 ulp across engines, so the distance is rounded to
+# 3 decimals (~1 m) before ANY comparison or ranking.
+_HAV_KM = (
+    "2 * 6371.0 * asin(sqrt("
+    "pow(sin(radians(slat - lat) / 2), 2) + "
+    "cos(radians(lat)) * cos(radians(slat)) * "
+    "pow(sin(radians(slon - lon) / 2), 2)))"
+)
+_GEO_R_KM = 2000.0
+_GEO_N_STATIONS = 50
+
+
+@register(
+    "x_geo_nearest",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             (event_id % 180) - 90 + 0.5 AS lat,
+             ((event_id * 7) % 360) - 180 + 0.5 AS lon
+      FROM events),
+    st AS (
+      SELECT s AS station_id,
+             ((s * 37) % 180) - 90 + 0.25 AS slat,
+             ((s * 53) % 360) - 180 + 0.25 AS slon
+      FROM (SELECT unnest(range(0, {_GEO_N_STATIONS})) AS s)),
+    scored AS (
+      SELECT p.event_id, st.station_id,
+             round({_HAV_KM}, 3) AS dist_r
+      FROM pts p, st
+      WHERE round({_HAV_KM}, 3) <= {_GEO_R_KM!r})
+    SELECT event_id, CAST(station_id AS INT) AS station_id, dist_r
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY event_id
+                               ORDER BY dist_r, station_id) = 1
+    """,
+)
+def x_geo_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-radius nearest-station join: each event position (the
+    op_geocode_join derivation) matched to its nearest of 50
+    deterministic stations by haversine distance, kept only within
+    2,000 km — the "assign each NMEA fix to its nearest port" workload
+    completing the geo family (q_fn_haversine = the metric,
+    op_geocode_join = cell equi-join, this = distance argmin).
+
+    Cross-engine: the haversine is ONE shared fragment; libm sin/cos/
+    asin can differ by 1 ulp across engines, so the distance is rounded
+    to 3 decimals (~1 m) BEFORE the radius filter and the argmin, and
+    ties break on station_id — the winner is identical by construction.
+    The oracle picks it with row_number; the engine with
+    min(struct(dist, id)) — different mechanism, same definition.
+
+    Scale: the station dim broadcasts (50 rows; any realistic port table
+    fits), scoring is a map-side fanout with NO shuffle of the corpus,
+    and the argmin is min(struct(...)) — an ALGEBRAIC aggregate whose
+    partials collapse map-side, so the one exchange carries ≤ one row
+    per event.  A points-to-POINTS nearest join (both sides large) needs
+    the lat-band grid screen instead; documented here as the scale path,
+    not needed for a dim-sized right side.
+    """
+    ev = table(spark, sf, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") % 180) - 90 + 0.5).alias("lat"),
+        (((F.col("event_id") * 7) % 360) - 180 + 0.5).alias("lon"),
+    )
+    st = spark.range(_GEO_N_STATIONS).select(
+        F.col("id").cast("int").alias("station_id"),
+        (((F.col("id") * 37) % 180) - 90 + 0.25).alias("slat"),
+        (((F.col("id") * 53) % 360) - 180 + 0.25).alias("slon"),
+    )
+    scored = (
+        pts.join(F.broadcast(st))
+        .withColumn("dist_r", F.expr(f"round({_HAV_KM}, 3)"))
+        .filter(F.col("dist_r") <= F.lit(_GEO_R_KM))
+    )
+    best = scored.groupBy("event_id").agg(
+        F.min(F.struct("dist_r", "station_id")).alias("__b")
+    )
+    return best.select(
+        "event_id",
+        F.col("__b.station_id").cast("int").alias("station_id"),
+        F.col("__b.dist_r").alias("dist_r"),
+    )

@@ -182,6 +182,7 @@ HEADLINE = [
     "x_cuped",
     "x_mmr_diversify",
     "x_skyline",
+    "x_geo_nearest",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

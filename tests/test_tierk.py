@@ -501,3 +501,31 @@ def test_skyline_matches_naive_join_random(spark):
     )
     assert sweep == naive
     assert len(sweep) > 0
+
+
+def test_geo_nearest_radius_and_tiebreak(spark):
+    """The registered key's rows all sit within the radius, every event
+    appears at most once, and the winner is the true argmin: spot-check
+    one event against a brute-force python haversine over all stations."""
+    import math as m
+
+    out = REGISTRY["x_geo_nearest"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    assert len(rows) == len({r.event_id for r in rows})
+    assert all(r.dist_r <= 2000.0 for r in rows)
+
+    def hav(lat, lon, slat, slon):
+        return 2 * 6371.0 * m.asin(m.sqrt(
+            m.sin(m.radians(slat - lat) / 2) ** 2
+            + m.cos(m.radians(lat)) * m.cos(m.radians(slat))
+            * m.sin(m.radians(slon - lon) / 2) ** 2))
+
+    sample = rows[0]
+    eid = sample.event_id
+    lat, lon = (eid % 180) - 90 + 0.5, ((eid * 7) % 360) - 180 + 0.5
+    dists = sorted(
+        (round(hav(lat, lon, ((s * 37) % 180) - 90 + 0.25,
+                   ((s * 53) % 360) - 180 + 0.25), 3), s)
+        for s in range(50)
+    )
+    assert (sample.dist_r, sample.station_id) == dists[0]
