@@ -412,3 +412,137 @@ def test_snm_blocking_output_is_subset_of_exhaustive_join(spark, texts):
     truth = set(map(tuple, ngram_jaccard_pairs(docs, threshold=0.6)
                     .select("id_a", "id_b").collect()))
     assert got <= truth
+
+
+# ---------------------------------------------------------------------------
+# Tier K properties: skyline == naive dominance; EWMA fragment == pure
+# Python (bit-exact); Adamic–Adar == pure-Python reference on random graphs
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_skyline_sweep_equals_naive_dominance(spark, pts):
+    """The sort-sweep skyline equals the dominance definition applied
+    literally, on arbitrary integer clouds (duplicates included)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.curation import (
+        skyline_2d,
+    )
+
+    rows = [(i, d1, d2) for i, (d1, d2) in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["id", "d1", "d2"])
+    got = sorted(r.id for r in skyline_2d(df, "d1", "d2").collect())
+    expected = sorted(
+        i
+        for i, (a1, a2) in enumerate(pts)
+        if not any(
+            b1 >= a1 and b2 >= a2 and (b1 > a1 or b2 > a2)
+            for j, (b1, b2) in enumerate(pts)
+            if j != i
+        )
+    )
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_ewma_fragment_matches_python_bit_exact(spark, values):
+    """The registered EWMA fragment over lag columns equals a pure-Python
+    accumulation in the same order — EXACT float equality, the same
+    property the streaming twin's equivalence test relies on."""
+    from pyspark.sql.window import Window
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierk import (
+        _EWMA_BETA,
+        _EWMA_DEN,
+        _EWMA_K,
+        _EWMA_NUM,
+    )
+
+    rows = [(1, i, float(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, ["user_id", "seq", "value"])
+    w = Window.partitionBy("user_id").orderBy("seq")
+    lagged = df.select(
+        "seq",
+        "value",
+        *[
+            F.lag("value", j).over(w).alias(f"__lag{j}")
+            for j in range(1, _EWMA_K + 1)
+        ],
+    ).filter(F.col("__lag1").isNotNull())
+    got = {
+        r.seq: r.resid
+        for r in lagged.select(
+            "seq",
+            F.expr(f"value - ({_EWMA_NUM}) / ({_EWMA_DEN})").alias("resid"),
+        ).collect()
+    }
+    for i in range(1, len(values)):
+        hist = values[max(0, i - _EWMA_K):i][::-1]  # most recent first
+        num = 0.0
+        den = 0.0
+        for j, h in enumerate(hist):
+            wj = _EWMA_BETA ** j
+            num = num + h * wj
+            den = den + wj
+        assert got[i] == values[i] - num / den  # bit-exact
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_adamic_adar_matches_python_reference(spark, raw_edges):
+    """adamic_adar == a literal pure-Python implementation of the
+    definition on random small graphs."""
+    import math
+    from collections import defaultdict
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    edges = sorted({(min(u, v), max(u, v)) for u, v in raw_edges})
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {
+        (r.u, r.v): (r.aa, r.n_common) for r in adamic_adar(df).collect()
+    }
+
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    expected = {}
+    nodes = sorted(nbrs)
+    eset = set(edges)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) in eset:
+                continue
+            common = nbrs[u] & nbrs[v]
+            if common:
+                aa = sum(1.0 / math.log(len(nbrs[w])) for w in common)
+                expected[(u, v)] = (aa, len(common))
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k][1] == expected[k][1]
+        assert abs(got[k][0] - expected[k][0]) < 1e-9
