@@ -45,8 +45,17 @@ def salted_exact_distinct_count(df: DataFrame, keys: list[str], value_col: str,
                                 out_col: str = "n_distinct") -> DataFrame:
     """Exact COUNT(DISTINCT value) per key group via two-phase dedup —
     the explicit form of the expand rewrite, with a salt so one hot key's
-    distinct set is deduped across ``n_salt`` reducers first."""
-    salted = df.withColumn("__salt", _salt(df, F.col(value_col), n_salt))
+    distinct set is deduped across ``n_salt`` reducers first.
+
+    NULL values are excluded, matching SQL ``count(DISTINCT v)`` — the
+    unfiltered two-phase count would tally NULL as one extra "value"
+    per group (xxhash64(NULL) → NULL salt shard), silently one higher
+    than both Spark's count_distinct and any SQL oracle.  Groups whose
+    values are ALL NULL still appear, with 0 — GROUP BY keeps the key
+    even when the aggregate has nothing to count."""
+    salted = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "__salt", _salt(df, F.col(value_col), n_salt)
+    )
     partial = (
         salted.select(*keys, "__salt", value_col)
         .distinct()  # dedupe within (key, salt) shard
@@ -54,4 +63,10 @@ def salted_exact_distinct_count(df: DataFrame, keys: list[str], value_col: str,
         .agg(F.count("*").alias("__n"))
     )
     # value→salt assignment is deterministic (hash), so shards are disjoint
-    return partial.groupBy(*keys).agg(F.sum("__n").cast("bigint").alias(out_col))
+    counted = partial.groupBy(*keys).agg(
+        F.sum("__n").cast("bigint").alias(out_col)
+    )
+    all_keys = df.select(*keys).distinct()
+    return all_keys.join(counted, list(keys), "left").select(
+        *keys, F.coalesce(F.col(out_col), F.lit(0)).cast("bigint").alias(out_col)
+    )

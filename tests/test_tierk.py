@@ -529,3 +529,29 @@ def test_geo_nearest_radius_and_tiebreak(spark):
         for s in range(50)
     )
     assert (sample.dist_r, sample.station_id) == dists[0]
+
+
+def test_salted_distinct_null_semantics(spark):
+    """NULL values never count (SQL count(DISTINCT) semantics) and an
+    all-NULL group still appears with 0 — both were silent divergences
+    of the unfiltered two-phase count (review-pass fix)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.skew import (
+        salted_exact_distinct_count,
+    )
+
+    rows = [
+        ("a", 1), ("a", 1), ("a", 2), ("a", None),  # NULL must not add 1
+        ("b", None), ("b", None),                   # all-NULL -> 0, kept
+        ("c", 7),
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r.k: r.n
+        for r in salted_exact_distinct_count(df, ["k"], "v", out_col="n").collect()
+    }
+    assert got == {"a": 2, "b": 0, "c": 1}
+    direct = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    assert got == direct
