@@ -1155,3 +1155,111 @@ def x_geo_nearest(spark: SparkSession, sf: str) -> DataFrame:
         F.col("__b.station_id").cast("int").alias("station_id"),
         F.col("__b.dist_r").alias("dist_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis (MDE) + k-anonymity audit
+# ---------------------------------------------------------------------------
+
+# Standard normal quantiles for alpha = 0.05 (two-sided) and power = 0.80,
+# as repr-exact float64 literals shared by both plans.
+_Z_ALPHA = "1.959963984540054"  # z_{0.975}
+_Z_BETA = "0.8416212335729143"  # z_{0.80}
+
+
+@register(
+    "x_abtest_mde",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, count(*) AS n, avg(value) AS m,
+             var_samp(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(m, 4) AS mean_r,
+           round(({_Z_ALPHA} + {_Z_BETA}) * sqrt(2.0 * v / n), 4) AS mde_abs_r,
+           round(({_Z_ALPHA} + {_Z_BETA}) * sqrt(2.0 * v / n) / m, 4) AS mde_rel_r
+    FROM s
+    """,
+)
+def x_abtest_mde(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum Detectable Effect per experiment arm — the power-analysis
+    readout completing the experiment family (x_ttest_welch adjudicates,
+    x_srm_chisq gates, x_cuped shrinks variance, x_bootstrap_ci bounds,
+    THIS sizes): at alpha = 0.05 two-sided and power = 0.80, an equal-n
+    two-sample test detects  MDE = (z_0.975 + z_0.80) · sqrt(2·v/n)
+    (the standard two-sample power formula, e.g. van Belle,
+    "Statistical Rules of Thumb"), reported absolute and relative to
+    the arm mean.  Reading: any effect smaller than mde_rel_r of the
+    mean is invisible to an experiment of this arm's size.
+
+    Cross-engine: the z quantiles are repr-exact shared literals; the
+    MDE is fixed-order arithmetic over the engine moments, rounded at
+    the end (registry.py float rules).
+
+    Scale: one map-side-combinable moments pass; the MDE is
+    control-plane arithmetic on five rows.
+    """
+    s = (
+        table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    mde = F.expr(f"({_Z_ALPHA} + {_Z_BETA}) * sqrt(2.0 * v / n)")
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("m", 4).alias("mean_r"),
+        F.round(mde, 4).alias("mde_abs_r"),
+        F.round(mde / F.col("m"), 4).alias("mde_rel_r"),
+    )
+
+
+_KANON_K = 5
+
+
+@register(
+    "x_k_anonymity",
+    oracle=f"""
+    SELECT CAST(c_nationkey AS INT) AS nationkey,
+           c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS group_n,
+           CAST(count(*) >= {_KANON_K} AS INT) AS meets_k
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def x_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit (Sweeney, IJUFKS '02) over the customer table
+    with quasi-identifiers (nationkey, mktsegment): every QI equivalence
+    class with its size and a meets-k flag at k = {_KANON_K}.  A release
+    is k-anonymous iff every class meets k; classes below k are the
+    re-identification risk and the rows a suppression/generalization
+    pass must treat.  The privacy-audit row next to x_text_pii's
+    content-level detection: THIS is the structural-linkage side.
+
+    Cross-engine: pure integer counts — nothing can drift.
+
+    Scale: one map-side-combinable count keyed by the QI tuple; the
+    audit output is |QI-space|-sized (≤ 125 rows here) regardless of
+    corpus size.  The follow-up suppression join broadcasts the
+    violating-class list back against the corpus.
+    """
+    c = table(spark, sf, "customer")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(F.count("*").alias("group_n"))
+        .select(
+            "nationkey",
+            "mktsegment",
+            F.col("group_n").cast("bigint").alias("group_n"),
+            (F.col("group_n") >= _KANON_K).cast("int").alias("meets_k"),
+        )
+    )

@@ -183,6 +183,8 @@ HEADLINE = [
     "x_mmr_diversify",
     "x_skyline",
     "x_geo_nearest",
+    "x_abtest_mde",
+    "x_k_anonymity",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

@@ -555,3 +555,40 @@ def test_salted_distinct_null_semantics(spark):
         for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
     }
     assert got == direct
+
+
+def test_mde_formula_and_monotonicity(spark):
+    """MDE matches the textbook two-sample power formula on hand-built
+    moments and shrinks with sample size (the whole point)."""
+    import tempfile, os
+
+    rows = []
+    eid = 0
+    for arm, n, spread in (("A", 40, 3.0), ("B", 400, 3.0)):
+        for k in range(n):
+            rows.append((arm, eid, datetime(2024, 1, 1), 50.0 + spread * ((k % 5) - 2), "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_type", "event_id", "ts", "value", "props"]
+    ).withColumn("user_id", F.col("event_id") % 7)
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r.event_type: r for r in REGISTRY["x_abtest_mde"].fn(spark, td).collect()}
+    import statistics
+    vals = [50.0 + 3.0 * ((k % 5) - 2) for k in range(40)]
+    v = statistics.variance(vals)
+    expected_a = (1.959963984540054 + 0.8416212335729143) * math.sqrt(2 * v / 40)
+    assert abs(out["A"].mde_abs_r - round(expected_a, 4)) < 1e-9
+    # 10x the sample -> sqrt(10)x smaller MDE (same variance)
+    assert out["B"].mde_abs_r < out["A"].mde_abs_r / 3.0
+    assert out["B"].mde_abs_r > out["A"].mde_abs_r / 3.4
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    """Groups below k are flagged; counts are exact; every QI class in
+    the data appears exactly once."""
+    out = REGISTRY["x_k_anonymity"].fn(spark, SF_SMALL).collect()
+    assert len(out) == len({(r.nationkey, r.mktsegment) for r in out})
+    for r in out:
+        assert r.meets_k == int(r.group_n >= 5)
+    assert sum(r.group_n for r in out) == 150  # sf0.001 customer count
