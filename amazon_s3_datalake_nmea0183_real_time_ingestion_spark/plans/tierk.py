@@ -1263,3 +1263,119 @@ def x_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("group_n") >= _KANON_K).cast("int").alias("meets_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier calibration audit (reliability bins + ECE)
+# ---------------------------------------------------------------------------
+
+# Fixed logistic scorer: z = 8 * en-stopword-ratio - 1 (the x_quality_model
+# convention of fixed public coefficients — no training step to replay).
+_CAL_STOPS = "['the','a','of','and','to','in','is','it','that','for']"
+
+
+@register(
+    "x_calibration",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+             CAST(lang = 'en' AS INT) AS label,
+             1.0 / (1.0 + exp(-(8.0 * (len(list_filter(t, x -> list_contains(
+               {_CAL_STOPS}, x))) / greatest(len(t), 1)) - 1.0))) AS prob
+      FROM toks),
+    b AS (
+      SELECT least(CAST(floor(prob * 10) AS INT), 9) AS bin, prob, label
+      FROM p),
+    g AS (
+      SELECT bin, count(*) AS n, avg(prob) AS conf, avg(CAST(label AS DOUBLE)) AS acc
+      FROM b GROUP BY bin),
+    e AS (SELECT sum(n * abs(acc - conf)) / sum(n) AS ece FROM g)
+    SELECT g.bin, CAST(g.n AS BIGINT) AS n,
+           round(g.conf, 4) AS conf_r, round(g.acc, 4) AS acc_r,
+           round(e.ece, 4) AS ece_r
+    FROM g, e
+    """,
+)
+def x_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier calibration audit — reliability bins + Expected
+    Calibration Error (Naeini et al., AAAI '15; Guo et al., ICML '17):
+    a fixed logistic scorer (sigmoid of 8·en-stopword-ratio − 1, the
+    x_quality_model fixed-coefficient convention) predicts P(lang='en')
+    per document; predictions are decile-binned by confidence and each
+    bin reports (count, mean confidence, observed accuracy), plus
+    ECE = Σ (n_b/N)·|acc_b − conf_b|.  The model-eval-ops row of the
+    quality stack: x_quality_model SCORES, x_label_noise flags
+    disagreements, THIS audits whether scores can be read as
+    probabilities — the gate before using them as sampling weights
+    (x_sample_weighted) or mixture temperatures (x_data_temperature).
+
+    Cross-engine: libm exp differs by ≤1 ulp, so probabilities agree to
+    ~1e-16 — a bin flip needs prob·10 within 1e-15 of an integer, which
+    only z = 0 (prob exactly 0.5, exp(0) exact in both engines) can
+    produce, and floor(5.0) agrees; every reported float is rounded
+    after the final aggregate.
+
+    Scale: one map-side token projection, one ≤10-group aggregate, one
+    1-row ECE broadcast back — a single corpus scan, everything after
+    it control-plane.
+    """
+    from ..functions.text import tokens as _tokens
+
+    d = table(spark, sf, "documents")
+    stops = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+    p = d.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("label"),
+        _tokens("text").alias("__t"),
+    ).select(
+        "doc_id",
+        "label",
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.lit(8.0)
+                        * (
+                            F.size(
+                                F.filter(
+                                    F.col("__t"),
+                                    lambda x: x.isin(*stops),
+                                )
+                            )
+                            / F.greatest(F.size("__t"), F.lit(1))
+                        )
+                        - F.lit(1.0)
+                    )
+                )
+            )
+        ).alias("prob"),
+    )
+    b = p.select(
+        F.least(F.floor(F.col("prob") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "prob",
+        "label",
+    )
+    g = b.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.avg("prob").alias("conf"),
+        F.avg(F.col("label").cast("double")).alias("acc"),
+    )
+    e = g.agg(
+        (F.sum(F.col("n") * F.abs(F.col("acc") - F.col("conf"))) / F.sum("n")).alias(
+            "ece"
+        )
+    )
+    return g.crossJoin(F.broadcast(e)).select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("conf", 4).alias("conf_r"),
+        F.round("acc", 4).alias("acc_r"),
+        F.round("ece", 4).alias("ece_r"),
+    )

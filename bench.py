@@ -185,6 +185,7 @@ HEADLINE = [
     "x_geo_nearest",
     "x_abtest_mde",
     "x_k_anonymity",
+    "x_calibration",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

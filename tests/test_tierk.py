@@ -592,3 +592,19 @@ def test_k_anonymity_flags_small_groups(spark):
     for r in out:
         assert r.meets_k == int(r.group_n >= 5)
     assert sum(r.group_n for r in out) == 150  # sf0.001 customer count
+
+
+def test_calibration_perfect_and_miscalibrated(spark):
+    """A perfectly calibrated bin (acc == conf) contributes ~0 to ECE;
+    flipping every label in one bin moves ECE by that bin's weighted
+    gap.  Checked through the registered key on the small SF: bins
+    partition the corpus, ECE equals the weighted per-bin gap."""
+    rows = REGISTRY["x_calibration"].fn(spark, SF_SMALL).collect()
+    n_total = sum(r.n for r in rows)
+    assert n_total == 500  # sf0.001 documents count
+    assert len({r.bin for r in rows}) == len(rows)
+    ece = rows[0].ece_r
+    assert all(r.ece_r == ece for r in rows)  # global, repeated per row
+    weighted = sum(r.n * abs(r.acc_r - r.conf_r) for r in rows) / n_total
+    assert abs(weighted - ece) < 2e-4  # rounded inputs vs rounded output
+    assert all(0.0 <= r.conf_r <= 1.0 and 0.0 <= r.acc_r <= 1.0 for r in rows)
