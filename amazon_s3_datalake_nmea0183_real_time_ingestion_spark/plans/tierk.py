@@ -1,20 +1,36 @@
-"""Tier K — round-7 third wave: windowed EWMA anomaly detection (the
-partition-local streaming-shaped monitor next to x_outlier_mad's global
-robust screen), salted exact distinct-count aggregation (adjudicating
-operators/skew.py's two-phase rewrite against the plain GROUP BY), HLL
-inclusion–exclusion set intersection (the audience-overlap estimate the
-union sketch of x_hll_union cannot answer alone), and Adamic–Adar link
-prediction over the support-thresholded co-purchase affinity graph
-(completing the graph family with "which links are MISSING").
+"""Tier K — round-7 third wave, fifteen keys in five families:
+
+- monitoring: EWMA anomaly detection (`x_ewma_anomaly`, the
+  partition-local streaming-shaped monitor next to x_outlier_mad's
+  global robust screen; streaming twin in streaming/stateful.py),
+  bounded-radius nearest-station geo join (`x_geo_nearest`);
+- skew / sketch infrastructure: salted exact distinct count
+  (`x_agg_salted`, adjudicating operators/skew.py), HLL
+  inclusion–exclusion intersection (`x_hll_intersect`, the
+  audience-overlap estimate x_hll_union's rollup cannot answer alone);
+- graph: Adamic–Adar link prediction over the support-thresholded
+  co-purchase affinity graph (`x_link_adamic` — "which links are
+  MISSING", completing CC/PageRank/LPA/triangles/k-core);
+- experiment analysis: Welch t-test (`x_ttest_welch`), SRM chi-square
+  (`x_srm_chisq`), deterministic Poisson-bootstrap CI
+  (`x_bootstrap_ci`), CUPED variance reduction (`x_cuped`), minimum
+  detectable effect (`x_abtest_mde`) — adjudicate, gate, bound,
+  shrink, size;
+- curation / eval-ops: first-order transition lift
+  (`x_seq_transitions`), MMR diversity re-ranking (`x_mmr_diversify`),
+  skyline Pareto front (`x_skyline`), k-anonymity audit
+  (`x_k_anonymity`), calibration reliability + ECE (`x_calibration`).
 
 Every key follows the registry's cross-engine hash rules (registry.py
-docstring).  The EWMA key additionally relies on a stronger property the
+docstring).  Several additionally rely on a stronger property the
 registry only implies: an arithmetic expression built from the SAME
 literal text over the SAME float64 inputs — only +, *, /, coalesce and
-CASE, association order fixed by the shared fragment — is bit-identical
-across engines, because IEEE 754 fully specifies those operations.  The
-fragment below is generated once and embedded verbatim in both the Spark
-plan and the DuckDB oracle.
+CASE, association order fixed by a shared fragment — is bit-identical
+across engines, because IEEE 754 fully specifies those operations.
+Such fragments (EWMA weights, SRM chi2, haversine, bootstrap weights)
+are generated once and embedded verbatim in BOTH the Spark plan and the
+DuckDB oracle; float literals always go through repr() (1.0 − 0.7 is
+0.30000000000000004, never "0.3").
 """
 
 from __future__ import annotations

@@ -1,7 +1,11 @@
 """Tier K semantics: EWMA anomaly hand-built sequences (renormalized
 head, spike residual, per-user isolation), affinity-graph support
 thresholding, Adamic–Adar hand-built scores + anti-join of existing
-edges, and HLL inclusion–exclusion sanity on disjoint/identical sets."""
+edges, HLL inclusion–exclusion sanity on disjoint/identical sets,
+Welch/SRM/bootstrap/CUPED/MDE statistical mechanics on planted effects,
+MMR redundancy-skip + sparse-pool behavior, skyline frontier vs naive
+dominance, geo-nearest brute-force spot check, k-anonymity flags, and
+calibration bin/ECE consistency."""
 
 from __future__ import annotations
 
