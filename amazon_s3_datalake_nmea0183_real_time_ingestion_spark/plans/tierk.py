@@ -1395,3 +1395,194 @@ def x_calibration(spark: SparkSession, sf: str) -> DataFrame:
         F.round("acc", 4).alias("acc_r"),
         F.round("ece", 4).alias("ece_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series monitoring completion: CUSUM changepoints + forecast eval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(avg(value), 6) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, day, x,
+             round(avg(x) OVER (PARTITION BY event_type), 6) AS mu0,
+             round(stddev_samp(x) OVER (PARTITION BY event_type), 6) AS sd,
+             round(0.25 * round(stddev_samp(x) OVER (PARTITION BY event_type), 6), 6) AS k
+      FROM d),
+    s AS (
+      SELECT event_type, day, x, sd,
+             sum(x - mu0 - k) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp
+      FROM m),
+    c AS (
+      SELECT event_type, day, x, sd, sp,
+             sp - min(sp) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      FROM s)
+    SELECT event_type, day, x AS x_r,
+           round(cusum, 6) AS cusum_r,
+           CAST(round(cusum, 6) > round(3.0 * sd, 6) AS INT) AS alarm
+    FROM c
+    """,
+)
+def x_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection (Page, Biometrika '54) on
+    the per-type daily metric: with drift allowance k = 0.25σ, the
+    control statistic C_t = max(0, C_{t-1} + x_t − μ₀ − k) is computed
+    EXACTLY via the prefix-sum identity  C_t = S'_t − min_{j≤t} S'_j
+    with S'_t = Σ(x_i − μ₀ − k) — the recursive max becomes a cumulative
+    sum and a running min, two frames riding ONE per-type window sort,
+    no recursion and no UDF.  Alarm at C_t > 3σ: the upward-mean-shift
+    monitor completing the time-series family (EWMA = level residuals,
+    THIS = sustained shifts; a mirrored S'' detects downward).
+
+    Cross-engine (this key found TWO real boundaries, both fixed by
+    grid discipline): (1) μ₀/σ carry engine summation ULP drift, and
+    window cumulative sums are NOT bit-identical either (DuckDB sums
+    via segment tree, Spark sequentially), so x/μ₀/σ AND the drift term
+    k are each rounded to the 1e-6 grid before entering the prefix sum
+    — every summand on the grid ⇒ every C_t on the grid, never halfway;
+    (2) re-rounding the 6-decimal x to 4 decimals CREATED a decimal
+    halfway tie (38.37875 → Spark HALF_UP 38.3788 vs DuckDB binary
+    38.3787), so outputs carry the 6-decimal values directly.  On the
+    driver's iid metric alarms are 0 by construction — the adjudicated
+    content is the full statistic trajectory, which any broken window
+    frame flips.
+
+    Scale: one shuffle (hash by type), a day-level aggregate first, then
+    two frames over the tiny per-type day series — the corpus-sized work
+    is the daily rollup, which is map-side combinable.
+    """
+    ev = table(spark, sf, "events").filter(F.col("value").isNotNull())
+    # x, mu0 and sd are engine-summed (order-dependent final ULPs); round
+    # each to 6 BEFORE they enter the prefix sum, so S' accumulates the
+    # IDENTICAL doubles in the identical (day) order on both engines and
+    # the cumsum is bit-exact — without this, a 1e-13 drift in mu0 flipped
+    # a round(·, 4) half-way case at sf0.001 (caught by the oracle gate).
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    wt = Window.partitionBy("event_type")
+    # The drift term k must ALSO live on the 1e-6 grid: 0.25 × a
+    # 6-decimal sd has 8-decimal granularity, which put cusum values
+    # exactly halfway on the 1e-6 grid (3.3664615 → engines split on a
+    # segment-tree-vs-sequential window-sum ULP).  With every summand on
+    # the grid, cusum lands on grid points only — never halfway.
+    m = d.select(
+        "event_type", "day", "x",
+        F.round(F.avg("x").over(wt), 6).alias("mu0"),
+        F.round(F.stddev_samp("x").over(wt), 6).alias("sd"),
+        F.round(
+            F.lit(0.25) * F.round(F.stddev_samp("x").over(wt), 6), 6
+        ).alias("k"),
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = m.select(
+        "event_type", "day", "x", "sd",
+        F.sum(F.col("x") - F.col("mu0") - F.col("k"))
+        .over(wo)
+        .alias("sp"),
+    )
+    c = s.select(
+        "event_type", "day", "x", "sd",
+        (F.col("sp") - F.min("sp").over(wo)).alias("cusum"),
+    )
+    # x is already the 6-decimal value; re-rounding it to 4 CREATED a
+    # decimal halfway tie (38.37875 -> Spark HALF_UP 38.3788, DuckDB
+    # binary 38.3787 — the registry's documented round() boundary, and
+    # the same re-rounding trap x_linreg_gd hit).  Output the 6-decimal
+    # doubles directly; cusum's round(·, 6) lands on grid points, never
+    # halfway (it sums 6-decimal-rounded doubles bit-exactly).
+    return c.select(
+        "event_type",
+        "day",
+        F.col("x").alias("x_r"),
+        F.round("cusum", 6).alias("cusum_r"),
+        (F.round("cusum", 6) > F.round(F.lit(3.0) * F.col("sd"), 6))
+        .cast("int")
+        .alias("alarm"),
+    )
+
+
+@register(
+    "x_forecast_mase",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, day, x,
+             lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS f_seasonal,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS f_naive
+      FROM d)
+    SELECT event_type,
+           CAST(count(f_seasonal) AS BIGINT) AS n_scored,
+           round(avg(abs(x - f_seasonal)), 4) AS mae_r,
+           round(avg(CASE WHEN f_seasonal IS NOT NULL
+                          THEN abs(x - f_seasonal) END)
+                 / avg(CASE WHEN f_naive IS NOT NULL
+                            THEN abs(x - f_naive) END), 4) AS mase_r
+    FROM l GROUP BY event_type
+    """,
+)
+def x_forecast_mase(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation with MASE (Hyndman & Koehler,
+    IJF '06 "Another look at measures of forecast accuracy"): forecast
+    each day's per-type total as the value 7 days earlier, score MAE,
+    and scale by the one-step naive forecast's in-sample MAE —
+    MASE < 1 means the weekly-seasonal forecast beats last-value
+    carry-forward.  The forecast-eval readout of the time-series family
+    (gap-fill prepares, downsample aggregates, EWMA/CUSUM monitor, THIS
+    scores a predictor); scale-free, so comparable across metrics and
+    event types.
+
+    Cross-engine: both numerator and denominator are plain averages of
+    |lag differences| over identical day series; only the final ratio
+    is float-sensitive and it is rounded once at the end.
+
+    Scale: the corpus-sized work is one map-side-combinable daily
+    rollup; lags and both MAEs ride one per-type window sort over the
+    day series (30 rows per type here, a few thousand at years of
+    retention).
+    """
+    ev = table(spark, sf, "events").filter(F.col("value").isNotNull())
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type", "x",
+        F.lag("x", 7).over(w).alias("f_seasonal"),
+        F.lag("x", 1).over(w).alias("f_naive"),
+    )
+    return l.groupBy("event_type").agg(
+        F.count("f_seasonal").cast("bigint").alias("n_scored"),
+        F.round(F.avg(F.abs(F.col("x") - F.col("f_seasonal"))), 4).alias("mae_r"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("f_seasonal").isNotNull(),
+                    F.abs(F.col("x") - F.col("f_seasonal")),
+                )
+            )
+            / F.avg(
+                F.when(
+                    F.col("f_naive").isNotNull(),
+                    F.abs(F.col("x") - F.col("f_naive")),
+                )
+            ),
+            4,
+        ).alias("mase_r"),
+    )

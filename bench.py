@@ -186,6 +186,8 @@ HEADLINE = [
     "x_abtest_mde",
     "x_k_anonymity",
     "x_calibration",
+    "x_cusum_changepoint",
+    "x_forecast_mase",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

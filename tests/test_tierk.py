@@ -612,3 +612,59 @@ def test_calibration_perfect_and_miscalibrated(spark):
     weighted = sum(r.n * abs(r.acc_r - r.conf_r) for r in rows) / n_total
     assert abs(weighted - ece) < 2e-4  # rounded inputs vs rounded output
     assert all(0.0 <= r.conf_r <= 1.0 and 0.0 <= r.acc_r <= 1.0 for r in rows)
+
+
+def test_cusum_detects_planted_shift(spark):
+    """A planted sustained mean shift fires the CUSUM alarm after the
+    changepoint and not before; the statistic is non-negative."""
+    import tempfile, os
+    from datetime import timedelta
+
+    rows = []
+    eid = 0
+    base = datetime(2024, 1, 1)
+    for day in range(30):
+        level = 10.0 if day < 20 else 14.0  # +4 shift at day 20
+        for k in range(20):
+            rows.append(("A", eid, base + timedelta(days=day),
+                         level + 0.1 * ((eid * 7) % 5), "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_type", "event_id", "ts", "value", "props"]
+    ).withColumn("user_id", F.col("event_id") % 9)
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.parquet(os.path.join(td, "events.parquet"))
+        out = sorted(
+            REGISTRY["x_cusum_changepoint"].fn(spark, td).collect(),
+            key=lambda r: r.day,
+        )
+    assert all(r.cusum_r >= 0.0 for r in out)
+    alarms = [i for i, r in enumerate(out) if r.alarm == 1]
+    assert alarms and min(alarms) >= 20  # fires after the shift only
+    assert out[-1].alarm == 1  # still alarming at the end
+
+
+def test_mase_seasonal_signal(spark):
+    """On a strongly weekly-periodic series the seasonal-naive forecast
+    beats last-value carry-forward: MASE < 1; on a flat series both
+    forecasts are perfect and MASE is NULL-safe (0/0 avoided upstream
+    by the driver data; here we assert the periodic case only)."""
+    import tempfile, os
+    from datetime import timedelta
+
+    rows = []
+    eid = 0
+    base = datetime(2024, 1, 1)
+    for day in range(28):
+        level = [5.0, 50.0, 5.0, 5.0, 5.0, 5.0, 5.0][day % 7]  # weekly spike
+        rows.append(("A", eid, base + timedelta(days=day), level, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_type", "event_id", "ts", "value", "props"]
+    ).withColumn("user_id", F.lit(1))
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.parquet(os.path.join(td, "events.parquet"))
+        out = REGISTRY["x_forecast_mase"].fn(spark, td).collect()[0]
+    assert out.n_scored == 21  # 28 days - 7 unseeded
+    assert out.mae_r == 0.0    # perfectly periodic -> seasonal forecast exact
+    assert out.mase_r == 0.0
