@@ -44,13 +44,13 @@ _NEEDS_VERDICT = [
     "x_ttest_welch", "x_srm_chisq", "x_bootstrap_ci",
     "x_seq_transitions", "x_cuped", "x_mmr_diversify", "x_skyline",
     "x_geo_nearest", "x_abtest_mde", "x_k_anonymity", "x_calibration",
-    "x_cusum_changepoint", "x_forecast_mase",
+    "x_cusum_changepoint", "x_forecast_mase", "x_gini_concentration",
     # Oldest-r4 rows (CORRECTNESS_r04 insertion order) fill the remaining
     # slots — first-ever rows above outrank r4 re-greens, so the trailing
     # r4 keys drop just past the 50-slot cut and lead the r8 queue
     # --- 50-slot window would close at 51 with x_calibration; the driver
     # caps at 50; r8 re-front-loads any key that missed its first row.
-    # 18 r3 + 35 r7 = 53 listed, 50 adjudicated.
+    # 18 r3 + 36 r7 = 54 listed, 50 adjudicated.
     # next-stale (remaining r4 rows, same order) queue behind the window
     "x_dedup_best_guarded", "x_dedup_cluster_guarded",
     "cat_recover", "cat_register", "f_contains", "f_element_at", "f_split",

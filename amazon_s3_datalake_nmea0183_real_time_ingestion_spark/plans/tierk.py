@@ -1586,3 +1586,85 @@ def x_forecast_mase(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("mase_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of the per-source token distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_gini_concentration",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    f AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+    r AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c, tok) AS i
+      FROM f),
+    g AS (
+      SELECT source,
+             count(*) AS n,
+             sum(c) AS tot,
+             sum(i * c) AS wsum
+      FROM r GROUP BY source)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_distinct_tokens,
+           CAST(tot AS BIGINT) AS n_tokens,
+           round(2.0 * wsum / (n * CAST(tot AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini_r
+    FROM g
+    """,
+)
+def x_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of each source's token-frequency distribution
+    (Gini 1912; the sorted-rank identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n,
+    e.g. Dorfman, Rev. Econ. Stat. '79): the corpus-concentration
+    monitor next to x_source_kl (divergence BETWEEN sources) and
+    x_drift_psi (shift over time) — THIS measures inequality WITHIN a
+    source's vocabulary use.  Reading: a boilerplate/template-heavy
+    source concentrates its token mass on few types (Gini → 1); organic
+    text sits lower; a jump in one source's Gini between snapshots is
+    the "viral template entered this source" alarm, cheaper than a
+    dedup census.
+
+    Cross-engine: ranks are deterministic (freq, token) row_numbers;
+    Σ(i·xᵢ) and Σx are EXACT BIGINT sums (worst case here ~2e11, no
+    overflow), so the Gini is one fixed-order double expression over
+    exact integers — identical across engines before the final round.
+
+    Scale: one map-side-combinable (source, token) count, one rank
+    window riding a source-keyed sort of the VOCABULARY-sized table
+    (Heaps' law — not corpus-sized), one 4-column aggregate.  The
+    corpus is scanned once; everything ranked is vocabulary-sized.
+    """
+    from ..functions.text import tokens as _tokens
+
+    d = table(spark, sf, "documents")
+    f = (
+        d.select("source", F.explode(_tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").asc(), F.col("tok").asc())
+    r = f.select("source", "c", F.row_number().over(w).alias("i"))
+    g = r.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("tot"),
+        F.sum(F.col("i") * F.col("c")).alias("wsum"),
+    )
+    return g.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_distinct_tokens"),
+        F.col("tot").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.lit(2.0) * F.col("wsum") / (F.col("n") * F.col("tot").cast("double"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini_r"),
+    )

@@ -188,6 +188,7 @@ HEADLINE = [
     "x_calibration",
     "x_cusum_changepoint",
     "x_forecast_mase",
+    "x_gini_concentration",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

@@ -668,3 +668,32 @@ def test_mase_seasonal_signal(spark):
     assert out.n_scored == 21  # 28 days - 7 unseeded
     assert out.mae_r == 0.0    # perfectly periodic -> seasonal forecast exact
     assert out.mase_r == 0.0
+
+
+def test_gini_extremes_and_bounds(spark):
+    """Uniform frequencies give Gini 0; a maximally concentrated
+    distribution approaches (n-1)/n·(1 - 1/total-ish); registered key's
+    values stay in [0, 1) and the identity is checked against a direct
+    python computation on one source."""
+    import tempfile, os
+
+    docs = [
+        # src 'u': four tokens, each exactly 3 times -> perfectly uniform
+        (1, "a b c d a b c d a b c d", "en", "u", 23),
+        # src 'c': one dominant token + three singletons -> concentrated
+        (2, "x x x x x x x x x y z w", "en", "c", 23),
+    ]
+    df = spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r.source: r for r in REGISTRY["x_gini_concentration"].fn(spark, td).collect()}
+    assert out["u"].gini_r == 0.0
+    # direct python for src 'c': freqs sorted asc with token tiebreak
+    freqs = sorted([(1, "w"), (1, "y"), (1, "z"), (9, "x")])
+    n = len(freqs); tot = sum(c for c, _ in freqs)
+    wsum = sum((i + 1) * c for i, (c, _) in enumerate(freqs))
+    gini = 2.0 * wsum / (n * float(tot)) - (n + 1.0) / n
+    assert out["c"].gini_r == round(gini, 6)
+    assert 0.0 < out["c"].gini_r < 1.0
