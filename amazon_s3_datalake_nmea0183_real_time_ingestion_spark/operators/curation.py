@@ -311,7 +311,9 @@ def chunk_documents(df: DataFrame, token_col: str = "n_tokens",
     )
 
 
-def skyline_2d(df: DataFrame, d1: str, d2: str) -> DataFrame:
+def skyline_2d(
+    df: DataFrame, d1: str, d2: str, prepeel_buckets: int = 64
+) -> DataFrame:
     """2-D skyline / Pareto front (Börzsönyi, Kossmann & Stocker,
     ICDE '01): rows not DOMINATED by any other row, where p dominates q
     iff p is ≥ q on both dimensions and > on at least one (bigger =
@@ -330,16 +332,62 @@ def skyline_2d(df: DataFrame, d1: str, d2: str) -> DataFrame:
     ``RANGE .. 1 PRECEDING`` under the DESC ordering, which needs a
     discrete gap (floats would need a tie-aware two-pass sweep).
 
-    Scale: one global range-partitioned sort + two frames over it — at
-    100 TB this is a single totalorder exchange, versus the naive
-    self-join's n² pair generation.  (For d > 2 the sweep does not
-    apply; the standard distributed move is grid-cell pre-peel — local
-    skylines per cell eliminate the bulk map-side, the small survivor
-    union cross-checks — same screen-then-verify economics as the dedup
-    guards.)  Adjudication: the oracle runs the NAIVE dominance
-    anti-join, so the sweep's correctness is checked against the
-    definition itself, not a reimplementation of the same algorithm.
+    Scale (two phases — the r7 ADVICE finding was that a bare
+    unpartitioned window is SINGLE-TASK; this is the documented
+    grid-cell pre-peel, now actually implemented):
+
+    1. **Parallel pre-peel**: bucket rows into ``prepeel_buckets``
+       equal-width ranges of d1 (one broadcast min/max agg) and run the
+       SAME sweep per bucket, with both windows partitioned — fully
+       parallel.  Dominance is transitive, so a row eliminated by a
+       same-bucket dominator is eliminated by SOME surviving candidate:
+       the candidate set is a superset of the global skyline and
+       preserves every dominance verdict.  On non-adversarial data this
+       discards the overwhelming bulk map-side (each bucket keeps only
+       its local Pareto staircase).
+    2. **Global sweep over candidates**: the original unpartitioned
+       two-frame sweep, now over the pre-peeled survivor set only.
+       This stage IS single-partition — by construction it processes
+       O(|skyline candidates|) rows, not the corpus; when the skyline
+       itself is corpus-sized (all points on one diagonal) no algorithm
+       avoids materializing it.
+
+    Adjudication: the oracle runs the NAIVE dominance anti-join, so the
+    sweep's correctness is checked against the definition itself, not a
+    reimplementation of the same algorithm.
     """
+    if prepeel_buckets and prepeel_buckets > 1:
+        rng = df.agg(
+            F.min(d1).cast("double").alias("__lo"),
+            F.max(d1).cast("double").alias("__hi"),
+        )
+        w_hi_loc = (
+            Window.partitionBy("__bucket")
+            .orderBy(F.col(d1).desc())
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_tie_loc = Window.partitionBy(d1)
+        df = (
+            df.crossJoin(F.broadcast(rng))
+            .withColumn(
+                "__bucket",
+                F.when(F.col("__hi") <= F.col("__lo"), F.lit(1)).otherwise(
+                    F.width_bucket(
+                        F.col(d1).cast("double"),
+                        F.col("__lo"),
+                        F.col("__hi") + F.lit(1.0),
+                        F.lit(prepeel_buckets),
+                    )
+                ),
+            )
+            .withColumn("__max_hi", F.max(d2).over(w_hi_loc))
+            .withColumn("__max_tie", F.max(d2).over(w_tie_loc))
+            .filter(
+                (F.col("__max_hi").isNull() | (F.col(d2) > F.col("__max_hi")))
+                & (F.col(d2) == F.col("__max_tie"))
+            )
+            .drop("__lo", "__hi", "__bucket", "__max_hi", "__max_tie")
+        )
     w_hi = (
         Window.orderBy(F.col(d1).desc())
         .rangeBetween(Window.unboundedPreceding, -1)

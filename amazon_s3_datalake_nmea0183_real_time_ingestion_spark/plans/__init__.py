@@ -16,42 +16,24 @@ from . import tierj  # noqa: F401,E402
 from . import tierk  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
-# keys per round.  After round 6: all 168 keys green at their latest check,
-# 0 failures ever.  Round 7 (per VERDICT.md r6 "Next round" #2) front-loads:
-#   1. the 18 r3-era keys whose latest driver row is three rounds stale
-#      (tierb.py:293-711) — the r6 window cut just before them;
-#   2. round-7 new / re-registered keys (PQ, heavy hitters, BPE,
-#      semantic-dedup rewired through the 2-level BLAS kernel) — names
-#      listed ahead of registration; _front_load skips unknown keys;
-#   3. oldest-r4 rows (CORRECTNESS_r04 insertion order) fill the rest.
-# Keys adjudicated in r5/r6 are green on current data and pay no window rent.
+# keys per round.  After round 7: 199/203 keys have a green driver row at
+# their latest check, 0 failures ever.  Round 8 (VERDICT.md r7 "Next round"
+# #1/#2) front-loads:
+#   1. slots 1-4 = the ONLY 4 keys with no driver row ever (Tier K slots
+#      51-54 of the r7 window; judge-verified locally in r7, and
+#      x_cusum_changepoint's min-floor fix this round needs adjudication);
+#   2. round-8 new keys (theta/KMV sketch intersection) — names listed
+#      ahead of registration; _front_load skips unknown keys;
+#   3. the 50 r4-era stale rows (3 rounds old; must cycle in r8/r9).
+#      4 + new + 50 > 50, so the trailing few r4 keys slip past the cut
+#      and lead the r9 queue — no first-ever row can be displaced.
 _NEEDS_VERDICT = [
-    # r3-era stale rows (VERDICT r6 "What's wrong #2") — first in line
-    "q_agg_distinct", "q_agg_approx", "q_agg_rollup",
-    "q_agg_cube", "q_win_rank", "q_win_lag", "q_win_rolling",
-    "q_topk", "q_union", "q_intersect", "q_except",
-    "q_fn_string", "q_fn_datetime", "q_fn_math", "q_fn_haversine",
-    "q_fn_array", "q_fn_json", "q_subquery",
-    # Round-7 new / re-registered keys — first driver row needed
-    "x_dedup_semantic_guarded", "x_embed_pq", "x_sim_pq",
-    "x_heavy_hitters", "x_vocab_bpe", "x_sim_zero_norm",
-    "x_bpe_tokenize", "x_sim_ivfpq", "x_linreg_gd",
-    "x_kcore", "x_jaccard_prefix", "x_hll_union", "x_shuffle_epoch",
-    "x_block_sorted", "x_feature_mi", "x_scorer_spearman", "x_join_card",
-    "x_f2_countsketch",
-    # Tier K (round-7 third wave) — first driver row needed
-    "x_ewma_anomaly", "x_agg_salted", "x_hll_intersect", "x_link_adamic",
-    "x_ttest_welch", "x_srm_chisq", "x_bootstrap_ci",
-    "x_seq_transitions", "x_cuped", "x_mmr_diversify", "x_skyline",
-    "x_geo_nearest", "x_abtest_mde", "x_k_anonymity", "x_calibration",
-    "x_cusum_changepoint", "x_forecast_mase", "x_gini_concentration",
-    # Oldest-r4 rows (CORRECTNESS_r04 insertion order) fill the remaining
-    # slots — first-ever rows above outrank r4 re-greens, so the trailing
-    # r4 keys drop just past the 50-slot cut and lead the r8 queue
-    # --- 50-slot window would close at 51 with x_calibration; the driver
-    # caps at 50; r8 re-front-loads any key that missed its first row.
-    # 18 r3 + 36 r7 = 54 listed, 50 adjudicated.
-    # next-stale (remaining r4 rows, same order) queue behind the window
+    # never-adjudicated (r7 VERDICT #1) — MUST hold slots 1-4
+    "x_calibration", "x_cusum_changepoint", "x_forecast_mase",
+    "x_gini_concentration",
+    # round-8 new keys — first driver row needed
+    "x_theta_intersect",
+    # r4-era stale rows (r7 VERDICT #2), CORRECTNESS_r04 insertion order
     "x_dedup_best_guarded", "x_dedup_cluster_guarded",
     "cat_recover", "cat_register", "f_contains", "f_element_at", "f_split",
     "op_alert_filter", "op_error_route", "op_event_partition",

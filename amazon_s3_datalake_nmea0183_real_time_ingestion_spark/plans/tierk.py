@@ -609,7 +609,7 @@ _BOOT_W = (
     rk AS (
       SELECT event_type, rm_r,
              row_number() OVER (PARTITION BY event_type
-                                ORDER BY rm_r, r) AS pos
+                                ORDER BY rm_r NULLS LAST, r) AS pos
       FROM rm),
     base AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -680,11 +680,22 @@ def x_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("rm_r")
     )
+    # rm_r is NULL only when EVERY row of a group draws Poisson weight 0
+    # in one replicate — probability (1/e)^n, unreachable at driver group
+    # sizes but pinned anyway: Spark default-sorts NULLS FIRST ascending
+    # while DuckDB sorts NULLS LAST, which would shift pos 2/B-1 and flip
+    # the CI cross-engine (r7 ADVICE).  Both sides order NULLS LAST
+    # explicitly so a degenerate replicate can never displace the order
+    # statistics.
     rk = rm.select(
         "event_type",
         "rm_r",
         F.row_number()
-        .over(Window.partitionBy("event_type").orderBy("rm_r", "r"))
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("rm_r").asc_nulls_last(), "r"
+            )
+        )
         .alias("pos"),
     )
     base = ev.groupBy("event_type").agg(
@@ -1038,7 +1049,8 @@ def x_skyline(spark: SparkSession, sf: str) -> DataFrame:
     diversity must BOTH be defensible.
 
     Engine = the O(n log n) sort-sweep (operators/curation.py::
-    skyline_2d — two window frames over one total-order sort); oracle =
+    skyline_2d — a parallel per-bucket pre-peel followed by the global
+    two-frame sweep over the surviving candidates only); oracle =
     the NAIVE O(n²) dominance anti-join, so the sweep is adjudicated
     against the dominance DEFINITION itself rather than a mirror of the
     same algorithm — the strongest oracle shape the registry has (same
@@ -1423,9 +1435,9 @@ def x_calibration(spark: SparkSession, sf: str) -> DataFrame:
       FROM m),
     c AS (
       SELECT event_type, day, x, sd, sp,
-             sp - min(sp) OVER (
+             sp - least(0.0, min(sp) OVER (
                PARTITION BY event_type ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
       FROM s)
     SELECT event_type, day, x AS x_r,
            round(cusum, 6) AS cusum_r,
@@ -1437,9 +1449,11 @@ def x_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     """One-sided CUSUM changepoint detection (Page, Biometrika '54) on
     the per-type daily metric: with drift allowance k = 0.25σ, the
     control statistic C_t = max(0, C_{t-1} + x_t − μ₀ − k) is computed
-    EXACTLY via the prefix-sum identity  C_t = S'_t − min_{j≤t} S'_j
-    with S'_t = Σ(x_i − μ₀ − k) — the recursive max becomes a cumulative
-    sum and a running min, two frames riding ONE per-type window sort,
+    EXACTLY via the prefix-sum identity  C_t = S'_t − min_{0≤j≤t} S'_j
+    with S'_t = Σ(x_i − μ₀ − k) and S'_0 = 0 (the least(0, ·) floor —
+    dropping it forces the first day to 0 and understates any series
+    whose prefix sums never dip negative) — the recursive max becomes a
+    cumulative sum and a floored running min riding ONE per-type sort,
     no recursion and no UDF.  Alarm at C_t > 3σ: the upward-mean-shift
     monitor completing the time-series family (EWMA = level residuals,
     THIS = sustained shifts; a mirrored S'' detects downward).
@@ -1495,9 +1509,17 @@ def x_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
         .over(wo)
         .alias("sp"),
     )
+    # Page's recursion starts from C_0 = 0, i.e. S'_0 = 0 participates in
+    # the running min: C_t = S'_t − min(0, S'_1..S'_t).  Without the
+    # least(0, ·) floor the first scored day is forced to 0 and a series
+    # whose prefix sums stay positive (immediate upward shift above
+    # μ₀ + k) understates C_t — the r7 ADVICE finding; the floor is
+    # applied identically in the oracle so the fix is adjudicated.
     c = s.select(
         "event_type", "day", "x", "sd",
-        (F.col("sp") - F.min("sp").over(wo)).alias("cusum"),
+        (F.col("sp") - F.least(F.lit(0.0), F.min("sp").over(wo))).alias(
+            "cusum"
+        ),
     )
     # x is already the 6-decimal value; re-rounding it to 4 CREATED a
     # decimal halfway tie (38.37875 -> Spark HALF_UP 38.3788, DuckDB

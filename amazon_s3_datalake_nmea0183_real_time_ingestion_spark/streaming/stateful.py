@@ -409,7 +409,8 @@ _EWMA_STATE_SCHEMA = StructType(
 def ewma_anomaly_stream(stream: DataFrame, value_col: str = "battery_voltage",
                         threshold: float = 1.0, beta: float = 0.7,
                         k: int = 8, ts_col: str = "event_ts",
-                        delay: str = "1 hour") -> DataFrame:
+                        delay: str = "1 hour",
+                        state_ttl_ms: int = 30 * 24 * 3600 * 1000) -> DataFrame:
     """Per-device EWMA control chart over the stream (Roberts '59) — the
     streaming twin of the batch `x_ewma_anomaly` key: residual of each
     reading against the renormalized EWMA of the device's previous
@@ -428,15 +429,25 @@ def ewma_anomaly_stream(stream: DataFrame, value_col: str = "battery_voltage",
     Scale: state is an O(k) ring + one fence per device, keyed by the
     same partitioning the groupBy already shuffles on; micro-batches
     move only new rows.  Late rows behind the fence are skipped (the
-    battery_transitions convention); the watermark bounds state
-    retention.
+    battery_transitions convention).  The watermark only drops late
+    INPUT — it does not evict state — so retention is bounded by an
+    EventTimeTimeout: a device silent for ``state_ttl_ms`` past the
+    watermark has its ring+fence removed (the r7 ADVICE finding; without
+    it state grew with the all-time device count).  A re-appearing
+    device simply reseeds — the fence resets with the ring, so no stale
+    fence can drop its first new reading.
     """
     kk = int(k)
     b = float(beta)
+    ttl = int(state_ttl_ms)
 
     def _score(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle past TTL: drop the ring and fence; nothing to emit
+            state.remove()
+            return
         hist, last_seen = state.get if state.exists else ([], 0)
         hist = list(hist)
         out_rows = []
@@ -460,6 +471,8 @@ def ewma_anomaly_stream(stream: DataFrame, value_col: str = "battery_voltage",
             hist = [v] + hist[: kk - 1]
             last_seen = dt
         state.update((hist, int(last_seen)))
+        # evict if no new reading arrives before watermark + TTL
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl)
         if out_rows:
             yield pd.DataFrame(
                 out_rows,
@@ -474,6 +487,6 @@ def ewma_anomaly_stream(stream: DataFrame, value_col: str = "battery_voltage",
             outputStructType=_EWMA_OUT_SCHEMA,
             stateStructType=_EWMA_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -644,6 +644,43 @@ def test_cusum_detects_planted_shift(spark):
     assert out[-1].alarm == 1  # still alarming at the end
 
 
+def test_cusum_shift_at_day_zero(spark):
+    """r7 ADVICE regression: a series elevated FROM DAY 0 (prefix sums
+    never dip negative) must not have its statistic floored by a running
+    min that excludes S'_0 = 0.  With the least(0, ·) floor, day 0's
+    statistic equals x_0 − μ₀ − k exactly; the broken formula forced it
+    to 0 and understated every later C_t by S'_1."""
+    import tempfile, os
+    from datetime import timedelta
+    from statistics import mean, stdev
+
+    levels = [20.0] * 10 + [10.0] * 20  # high from day 0
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("A", day, base + timedelta(days=day), lv, "{}")
+        for day, lv in enumerate(levels)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_type", "event_id", "ts", "value", "props"]
+    ).withColumn("user_id", F.lit(1))
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.parquet(os.path.join(td, "events.parquet"))
+        out = sorted(
+            REGISTRY["x_cusum_changepoint"].fn(spark, td).collect(),
+            key=lambda r: r.day,
+        )
+    mu0 = round(mean(levels), 6)
+    k = round(0.25 * round(stdev(levels), 6), 6)
+    # Day 0: C_1 = max(0, x_1 - mu0 - k) = S'_1 since the series starts high.
+    assert out[0].cusum_r > 0.0
+    assert abs(out[0].cusum_r - round(levels[0] - mu0 - k, 6)) < 2e-6
+    # While prefix sums stay positive, C_t tracks S'_t (sum of increments).
+    run = 0.0
+    for i in range(10):
+        run += round(levels[i] - mu0 - k, 6)
+        assert abs(out[i].cusum_r - round(run, 6)) < 1e-5
+
+
 def test_mase_seasonal_signal(spark):
     """On a strongly weekly-periodic series the seasonal-naive forecast
     beats last-value carry-forward: MASE < 1; on a flat series both
