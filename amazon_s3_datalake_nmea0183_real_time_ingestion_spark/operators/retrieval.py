@@ -114,55 +114,76 @@ def mmr_rerank(cand: DataFrame, sim_cc: DataFrame, k: int,
     Scale: MMR is inherently SEQUENTIAL in k, so the distributed part is
     everything BEFORE it — the corpus-wide top-N candidate generation
     (cosine_topk / IVF) and the N² pairwise sims, both data-parallel.
-    The greedy loop itself runs on the N-sized pool: each round is one
-    argmax over ≤ N rows (a 1-row control-plane collect, the
-    x_vocab_bpe convention), never a corpus operation.  Ties break on
-    (rounded score DESC, vec_id ASC), making the whole selection
-    sequence deterministic and oracle-replayable.
+    The greedy loop is POOL-LOCAL (the r7 VERDICT efficiency item): the
+    N candidates and their ≤ N² pairwise rows are collected ONCE —
+    control-plane-sized by construction, since N is the top-N cut of the
+    upstream retrieval, never the corpus — and the k-round greedy runs
+    driver-side with zero further Spark jobs, replacing the previous
+    one-argmax-job-per-round shape (k−1 sequential job rounds of fixed
+    latency).  ``max_pool`` guards the contract: a caller passing an
+    un-cut corpus fails loudly instead of collecting it.
+
+    The selection trajectory is unchanged and oracle-replayable: scores
+    are  round6(lam·simq − (1−lam)·max_redundancy)  with the SAME IEEE
+    754 operation order as the previous Spark expression, round6 is
+    BigDecimal-style HALF_UP on the shortest decimal repr (exactly
+    Spark's ``F.round``), missing pairwise rows mean zero redundancy
+    (sparse top-M neighbor tables), and every argmax tie-breaks on
+    (score DESC, vec_id ASC).
     """
-    cand = cand.select("vec_id", "simq").localCheckpoint(eager=False)
-    sim_cc = sim_cc.localCheckpoint(eager=False)
-    first = (
-        cand.orderBy(F.col("simq").desc(), F.col("vec_id").asc())
-        .limit(1)
-        .collect()[0]
-        .vec_id
-    )
-    selected = [first]
-    for _ in range(2, k + 1):
-        sel_df = F.broadcast(
-            cand.sparkSession.createDataFrame(
-                [(int(s),) for s in selected], ["sel_id"]
+    from decimal import ROUND_HALF_UP, Decimal
+
+    mu = 1.0 - lam  # same float64 literal the Spark expression used
+
+    def _round6(x: float) -> float:
+        # Spark F.round on doubles = BigDecimal.valueOf(x) [shortest
+        # decimal repr, as Python's repr] .setScale(6, HALF_UP)
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
             )
         )
-        maxs = (
-            sim_cc.join(sel_df, sim_cc["ib"] == sel_df["sel_id"])
-            .groupBy("ia")
-            .agg(F.max("s").alias("maxs"))
-        )
-        pick = (
-            cand.filter(~F.col("vec_id").isin([int(s) for s in selected]))
-            # LEFT join: a candidate with no sim row to any selected item
-            # has zero redundancy (score = lam·simq), not a dropped row —
-            # an inner join would silently eliminate it from the pool when
-            # sim_cc is sparse (top-M-neighbors-only pairwise tables).
-            .join(maxs, cand["vec_id"] == maxs["ia"], "left")
-            .select(
-                "vec_id",
-                F.round(
-                    F.lit(lam) * F.col("simq")
-                    - F.lit(1.0 - lam) * F.coalesce(F.col("maxs"), F.lit(0.0)),
-                    6,
-                ).alias("score"),
-            )
-            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
-            .limit(1)
-            .collect()
-        )
-        if not pick:
-            break
-        selected.append(pick[0].vec_id)
+
     spark = cand.sparkSession
+    max_pool = 100_000
+    rows = cand.select("vec_id", "simq").collect()
+    if len(rows) > max_pool:
+        raise ValueError(
+            f"mmr_rerank pool has {len(rows)} rows (> {max_pool}): pass the "
+            "top-N retrieval cut, not the corpus — the greedy is pool-local"
+        )
+    pool = {int(r.vec_id): float(r.simq) for r in rows}
+    by_ib: dict[int, list[tuple[int, float]]] = {}
+    for r in sim_cc.select("ia", "ib", "s").collect():
+        if r.s is not None:
+            by_ib.setdefault(int(r.ib), []).append((int(r.ia), float(r.s)))
+    if not pool:
+        return spark.createDataFrame([], "vec_id bigint, pos bigint")
+
+    # round 1: pure relevance, simq DESC then vec_id ASC
+    first = max(pool, key=lambda d: (pool[d], -d))
+    selected = [first]
+    redun: dict[int, float] = {}
+    del pool[first]
+    for ia, s in by_ib.get(first, ()):
+        if s > redun.get(ia, float("-inf")):
+            redun[ia] = s
+    for _ in range(2, k + 1):
+        if not pool:
+            break
+        best_id = None
+        best_score = 0.0
+        for d, sq in pool.items():
+            sc = _round6(lam * sq - mu * redun.get(d, 0.0))
+            if best_id is None or sc > best_score or (
+                sc == best_score and d < best_id
+            ):
+                best_id, best_score = d, sc
+        selected.append(best_id)
+        del pool[best_id]
+        for ia, s in by_ib.get(best_id, ()):
+            if s > redun.get(ia, float("-inf")):
+                redun[ia] = s
     return spark.createDataFrame(
         [(int(v), i + 1) for i, v in enumerate(selected)], ["vec_id", "pos"]
     )
