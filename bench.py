@@ -189,6 +189,8 @@ HEADLINE = [
     "x_cusum_changepoint",
     "x_forecast_mase",
     "x_gini_concentration",
+    # round-8: theta/KMV sketch intersection (intersection-relative bound)
+    "x_theta_intersect",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

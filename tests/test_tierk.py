@@ -707,6 +707,36 @@ def test_mase_seasonal_signal(spark):
     assert out.mase_r == 0.0
 
 
+def test_theta_intersect_exact_below_k(spark):
+    """KMV/theta sharpness: when every source's distinct-shingle set is
+    smaller than k the sketch IS the set (θ = 1.0) and the intersection
+    estimate is exactly the true intersection — the estimator's
+    degenerate-exact regime, which any off-by-one in the θ cut or a
+    leaky sample join would break."""
+    import tempfile, os
+
+    docs = [
+        (1, "a b c d e", "en", "src0", 9),   # {a b c, b c d, c d e}
+        (2, "a b c d x", "en", "src1", 9),   # {a b c, b c d, c d x}
+        (3, "a b c q r", "en", "src2", 9),   # {a b c, b c q, c q r}
+    ]
+    df = spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        rows = REGISTRY["x_theta_intersect"].fn(spark, td).collect()
+    got = {(r.src_a, r.src_b): r for r in rows}
+    expect = {("src0", "src1"): 2, ("src0", "src2"): 1, ("src1", "src2"): 1}
+    assert set(got) == set(expect)
+    for pair, n in expect.items():
+        r = got[pair]
+        assert r.exact_inter == n
+        assert r.theta_r == 1.0
+        assert r.est_inter_r == float(n)  # exact in the below-k regime
+        assert r.ok == 1
+
+
 def test_gini_extremes_and_bounds(spark):
     """Uniform frequencies give Gini 0; a maximally concentrated
     distribution approaches (n-1)/n·(1 - 1/total-ish); registered key's
