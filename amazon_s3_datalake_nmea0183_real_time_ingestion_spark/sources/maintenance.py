@@ -254,6 +254,116 @@ def drift_psi_report(
     }
 
 
+def timeseries_monitor_report(
+    spark: SparkSession,
+    stage_path: str,
+    value_col: str = "battery_voltage",
+    key_col: str = "deviceid",
+    ts_col: str = "date_time",
+    cusum_k_sigma: float = 0.25,
+    cusum_alarm_sigma: float = 3.0,
+    season: int = 7,
+) -> dict:
+    """Per-device time-series health monitors at the maintenance cadence —
+    the streaming-maintenance twins of the batch ``x_cusum_changepoint``
+    and ``x_forecast_mase`` keys (plans/tierk.py), the way
+    ``drift_psi_report`` twins ``x_drift_psi``: a monitor that only runs
+    in batch mode isn't a monitor.
+
+    ONE stage scan feeds ONE daily rollup per device (map-side
+    combinable: avg for the CUSUM level series, sum for the MASE totals
+    series), then both statistics ride the tiny per-device day series:
+
+    - **CUSUM** (Page '54, identical formula to the batch key including
+      the S'_0 = 0 floor): C_t = S'_t − min(0, S'_1..S'_t) with drift
+      allowance k = ``cusum_k_sigma``·σ, alarm at C_t >
+      ``cusum_alarm_sigma``·σ — sustained upward mean shift per device.
+    - **MASE** (Hyndman–Koehler IJF'06): seasonal-naive (lag-``season``)
+      forecast of daily totals scored by MAE and scaled by the one-step
+      naive MAE — "is this device's daily volume still forecastable".
+
+    Returns ``{key: {"n_days": int, "cusum_alarms": int,
+    "alarm_latest": bool, "cusum_max": float, "mase": float|None,
+    "mase_n_scored": int}}`` (plain dict, foreachBatch-safe; one row per
+    device is control-plane at any corpus size).  ``mase`` is None until
+    a device has > ``season`` days of history or when both MAEs are 0.
+
+    Scale: the corpus-sized work is the single daily rollup; every
+    window after it runs over (devices × days) rows.  At 100 TB the
+    caller's cadence should partition-prune the stage scan to the
+    monitoring lookback window.
+    """
+    from pyspark.sql.window import Window as W
+
+    df = spark.read.parquet(stage_path).filter(F.col(value_col).isNotNull())
+    d = df.groupBy(
+        F.col(key_col).alias("k"),
+        F.to_date(F.from_unixtime(F.col(ts_col).cast("bigint"))).alias("day"),
+    ).agg(
+        F.avg(value_col).alias("x"),
+        F.sum(value_col).alias("tot"),
+    )
+    wk = W.partitionBy("k")
+    wo = W.partitionBy("k").orderBy("day")
+    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    m = d.select(
+        "k", "day", "x", "tot",
+        F.avg("x").over(wk).alias("mu0"),
+        F.stddev_samp("x").over(wk).alias("sd"),
+        F.lag("tot", season).over(wo).alias("f_seasonal"),
+        F.lag("tot", 1).over(wo).alias("f_naive"),
+    ).withColumn(
+        "sp",
+        F.sum(
+            F.col("x") - F.col("mu0") - F.lit(cusum_k_sigma) * F.col("sd")
+        ).over(wrun),
+    ).withColumn(
+        "cusum", F.col("sp") - F.least(F.lit(0.0), F.min("sp").over(wrun))
+    ).withColumn(
+        "alarm",
+        (
+            F.col("cusum") > F.lit(cusum_alarm_sigma) * F.col("sd")
+        ).cast("int"),
+    )
+    last = W.partitionBy("k").orderBy(F.col("day").desc())
+    rows = (
+        m.withColumn("rn", F.row_number().over(last))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.coalesce(F.col("alarm"), F.lit(0))).alias("cusum_alarms"),
+            F.max(F.when(F.col("rn") == 1, F.col("alarm"))).alias("alarm_latest"),
+            F.max("cusum").alias("cusum_max"),
+            F.avg(F.abs(F.col("tot") - F.col("f_seasonal"))).alias("mae"),
+            F.avg(F.abs(F.col("tot") - F.col("f_naive"))).alias("naive_mae"),
+            F.count(F.col("f_seasonal")).alias("mase_n_scored"),
+        )
+        .collect()  # control-plane: one row per monitored device
+    )
+    out: dict = {}
+    for r in rows:
+        mase = None
+        if (
+            r["mase_n_scored"] > 0
+            and r["naive_mae"] is not None
+            and r["naive_mae"] > 0.0
+        ):
+            mase = round(float(r["mae"]) / float(r["naive_mae"]), 6)
+        out[r["k"]] = {
+            "n_days": int(r["n_days"]),
+            "cusum_alarms": int(r["cusum_alarms"]),
+            "alarm_latest": bool(r["alarm_latest"]),
+            "cusum_max": (
+                round(float(r["cusum_max"]), 6)
+                if r["cusum_max"] is not None
+                else None
+            ),
+            "mase": mase,
+            "mase_n_scored": int(r["mase_n_scored"]),
+        }
+    return out
+
+
 def pipeline_maintenance(
     spark: SparkSession,
     stage_path: str,
@@ -261,6 +371,7 @@ def pipeline_maintenance(
     catalog_tables: list[str] | None = None,
     quality: bool = False,
     drift_profile_path: str | None = None,
+    monitor_timeseries: bool = False,
 ) -> dict:
     """One scheduled-maintenance pass — the in-engine analog of the
     reference's nightly crawler run (``cron(0 4 * * ? *)``,
@@ -274,6 +385,10 @@ def pipeline_maintenance(
     a ``drift_psi`` DISTRIBUTION drift block (see
     :func:`drift_psi_report`) next to the schema drift LOG — schema says
     the shape changed, PSI says the DATA changed under the same shape.
+    ``monitor_timeseries=True`` adds a ``timeseries`` block (see
+    :func:`timeseries_monitor_report`): per-device CUSUM changepoint +
+    MASE forecastability over the stage zone's daily series — schema
+    flags shape, PSI flags distribution, CUSUM/MASE flag the TREND.
     """
     import os as _os
 
@@ -295,6 +410,8 @@ def pipeline_maintenance(
         report["drift_psi"] = drift_psi_report(
             spark, stage_path, drift_profile_path
         )
+    if monitor_timeseries and _os.path.isdir(stage_path):
+        report["timeseries"] = timeseries_monitor_report(spark, stage_path)
     for t in catalog_tables or []:
         if spark.catalog.tableExists(t):
             spark.catalog.recoverPartitions(t)

@@ -247,6 +247,7 @@ def start_pipeline(
     maintenance_reports: list[dict] | None = None,
     maintain_quality: bool = False,
     maintain_drift: bool = False,
+    maintain_monitors: bool = False,
     geo_dim: DataFrame | None = None,
 ) -> StreamingQuery:
     """Wire source → foreachBatch → trigger → checkpoint and start.
@@ -267,6 +268,12 @@ def start_pipeline(
     pass persists the reference-period bucket profile under
     ``<lake>/maintenance/drift_profile``; every later pass scores the
     stage distribution against it and flags columns with PSI > 0.2.
+    ``maintain_monitors=True`` adds the per-device CUSUM + MASE
+    time-series monitors (timeseries_monitor_report — the maintenance
+    twins of the batch x_cusum_changepoint / x_forecast_mase keys) to
+    each pass: PSI says the DISTRIBUTION moved, CUSUM says the daily
+    LEVEL sustained a shift, MASE says the volume stopped being
+    forecastable.
 
     ``geo_dim`` lets callers running SEVERAL pipeline instances (see
     ``start_streams``) share one geocode dimension instead of rebuilding
@@ -305,6 +312,7 @@ def start_pipeline(
                     if maintain_drift
                     else None
                 ),
+                monitor_timeseries=maintain_monitors,
             )
             rep["batch_id"] = batch_id
             if maintenance_reports is not None:

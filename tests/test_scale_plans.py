@@ -501,6 +501,49 @@ def test_stage_quality_report_single_scan(spark, tmp_path):
     assert report["quality_violations"] == got
 
 
+def test_timeseries_monitor_cusum_and_mase(spark, tmp_path):
+    """The maintenance-cadence CUSUM/MASE monitors (streaming twins of
+    x_cusum_changepoint / x_forecast_mase): a planted sustained voltage
+    shift fires the per-device CUSUM alarm and is still alarming on the
+    latest day; a perfectly weekly-periodic device scores MASE 0; a
+    constant healthy device raises no alarm."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        timeseries_monitor_report,
+    )
+
+    day0 = 1_700_000_000
+    rows = []
+    # device 1: 20 days at 10 V then 10 days at 14 V, 3 readings/day
+    for day in range(30):
+        lv = 10.0 if day < 20 else 14.0
+        for k in range(3):
+            # minute offsets: day0 is 22:13 UTC, hour offsets would
+            # cross midnight and split a reading into the next day
+            rows.append((1, day0 + day * 86400 + k * 60, lv + 0.01 * k))
+    # device 2: 28 days, weekly-periodic daily value
+    for day in range(28):
+        lv = [5.0, 50.0, 5.0, 5.0, 5.0, 5.0, 5.0][day % 7]
+        rows.append((2, day0 + day * 86400, lv))
+    # device 3: constant
+    for day in range(10):
+        rows.append((3, day0 + day * 86400, 4.2))
+    path = str(tmp_path / "stage")
+    spark.createDataFrame(
+        rows, "deviceid int, date_time int, battery_voltage double"
+    ).write.parquet(path)
+    got = timeseries_monitor_report(spark, path)
+    assert set(got) == {1, 2, 3}
+    d1, d2, d3 = got[1], got[2], got[3]
+    assert d1["n_days"] == 30
+    assert d1["cusum_alarms"] >= 1 and d1["alarm_latest"]
+    assert d1["cusum_max"] > 0
+    assert d2["mase"] == 0.0  # seasonal-naive is exact on the periodic series
+    assert d2["mase_n_scored"] == 28 - 7
+    assert d2["cusum_alarms"] == 0
+    assert d3["cusum_alarms"] == 0 and not d3["alarm_latest"]
+    assert d3["mase"] is None  # naive MAE is 0 on a constant series
+
+
 def test_tiere_plans_have_no_cartesian_or_nested_loop(spark, queries):
     """Tier E candidate generation must stay keyed: the triangle wedge
     join, the SemDeDup pair join and the Bloom probe are all equi-joins —

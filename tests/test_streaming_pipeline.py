@@ -572,6 +572,74 @@ def test_maintenance_drift_monitor_flags_planted_voltage_shift(spark, tmp_path):
     assert cols2["battery_voltage"]["drifted"]
 
 
+def test_maintenance_timeseries_monitor_flags_sustained_shift(spark, tmp_path):
+    """maintain_monitors=True wires the CUSUM/MASE time-series monitors
+    (streaming twins of x_cusum_changepoint / x_forecast_mase) into the
+    foreachBatch maintenance cadence: a healthy 20-day voltage level
+    followed by a sustained 12.4 V shift must trip the per-device CUSUM
+    alarm in the post-shift maintenance pass, while the healthy-period
+    pass stays quiet."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.fixtures import (
+        soh_data,
+    )
+
+    day_noon = 1_699_963_200  # 2023-11-14 12:00 UTC — mid-day, no UTC-midnight straddle
+
+    def envs(days: range, bv: float) -> list[dict]:
+        rows = []
+        for day in days:
+            rows.append(
+                {
+                    "recordId": f"rec-{day:04d}",
+                    "packetId": 3000 + day,
+                    "deviceType": 1,
+                    "deviceId": 100,
+                    "userApplicationId": 7,
+                    "organizationId": 42,
+                    "len": 64,
+                    "status": 0,
+                    "hiveRxTime": "2023-11-14 22:00:00",
+                    "data": soh_data(0, bv=bv, d=day_noon + day * 86400),
+                }
+            )
+        return rows
+
+    import os as _os
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    batches = [
+        envs(range(0, 10), 4.2),    # healthy
+        envs(range(10, 20), 4.2),   # healthy
+        envs(range(20, 25), 12.4),  # sustained shift
+        envs(range(25, 30), 12.4),
+    ]
+    for b, rows in enumerate(batches):
+        p = landing / f"batch-{b:04d}.json"
+        with open(p, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+        _os.utime(p, (1_700_000_000 + b, 1_700_000_000 + b))
+    reports = []
+    q = start_pipeline(
+        spark, str(landing), str(tmp_path / "lake"), str(tmp_path / "ckpt"),
+        available_now=True, max_files_per_trigger=1,
+        maintain_every_n_batches=2, maintenance_reports=reports,
+        maintain_monitors=True,
+    )
+    q.awaitTermination(180)
+    assert [r["batch_id"] for r in reports] == [1, 3]
+    healthy = reports[0]["timeseries"][100]
+    assert healthy["n_days"] == 20
+    assert healthy["cusum_alarms"] == 0 and not healthy["alarm_latest"]
+    shifted = reports[1]["timeseries"][100]
+    assert shifted["n_days"] == 30
+    assert shifted["cusum_alarms"] >= 1 and shifted["alarm_latest"]
+    assert shifted["cusum_max"] > 0
+    assert shifted["mase_n_scored"] == 30 - 7
+    assert shifted["mase"] is not None  # daily totals scored once history > season
+
+
 def test_multi_stream_routing_isolated(spark, tmp_path):
     """POST /{stream-name} parity (cdk_datalake_mvp_stack.py:273-279,295):
     two device fleets ingest through one base endpoint but land in fully
