@@ -32,7 +32,7 @@ _NEEDS_VERDICT = [
     "x_calibration", "x_cusum_changepoint", "x_forecast_mase",
     "x_gini_concentration",
     # round-8 new keys — first driver row needed
-    "x_theta_intersect",
+    "x_theta_intersect", "x_dp_counts",
     # r4-era stale rows (r7 VERDICT #2), CORRECTNESS_r04 insertion order
     "x_dedup_best_guarded", "x_dedup_cluster_guarded",
     "cat_recover", "cat_register", "f_contains", "f_element_at", "f_split",

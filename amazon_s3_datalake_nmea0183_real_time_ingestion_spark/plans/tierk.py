@@ -1498,6 +1498,98 @@ def x_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# differentially-private count release (deterministic Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0  # privacy budget for the per-source count histogram
+_DP_TAU = 5.0  # post-noise suppression threshold
+
+
+@register(
+    "x_dp_counts",
+    oracle=f"""
+    WITH n AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source),
+    u AS (
+      SELECT source, n,
+             CAST(('0x' || substr(md5('dp:' || source), 1, 8))::BIGINT
+                  AS DOUBLE) / 4294967296.0 AS u
+      FROM n),
+    rel AS (
+      SELECT source, n,
+             n + -(1.0 / {_DP_EPS!r}) * sign(u - 0.5)
+                 * ln(greatest(1e-12, 1.0 - 2.0 * abs(u - 0.5))) AS released
+      FROM u)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_true,
+           round(released, 4) AS released_r,
+           CAST(released < {_DP_TAU!r} AS INT) AS suppressed
+    FROM rel
+    """,
+)
+def x_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Differentially-private count-histogram release (Dwork et al.,
+    TCC '06 Laplace mechanism) of per-source document counts: each true
+    count (sensitivity 1 for add/remove-one-document neighbors) gets
+    Laplace(1/ε) noise at ε = {_DP_EPS}, drawn DETERMINISTICALLY by
+    inverse-CDF on the repo's md5 uniform ('dp:'‖source → first 8 hex
+    / 2³²):  noise = −(1/ε)·sgn(u−½)·ln(1 − 2|u−½|).  Post-noise
+    τ = {_DP_TAU} thresholding flags groups too small to release — the
+    standard (ε,δ) count-release recipe, and the MECHANISM side of the
+    privacy family: x_k_anonymity audits structural linkage,
+    x_text_pii detects content, THIS releases aggregates with a proof.
+    (``n_true`` is the ADJUDICATION side, like the sketches' exact
+    columns — a production release emits only released_r/suppressed.)
+
+    Cross-engine: the uniform is exact integer arithmetic; sgn/abs/±
+    are IEEE-specified; the one libm call (ln) may differ by 1 ulp
+    between JVM Math.log and DuckDB's libm, which flips round(·, 4)
+    only if the unrounded value sits within ~1e-12 of a 5e-5 boundary
+    (the x_calibration risk analysis; no source hash lands there at
+    either SF — verified).  The 1e-12 floor guards the u = 0 or 1
+    corner (ln 0) at probability 2⁻³² per group.
+
+    Scale: one map-side-combinable count by source; the noise/release
+    arithmetic is |sources|-row control-plane.  At 100 TB the released
+    histogram costs exactly one corpus aggregate, and per-partition
+    partial counts compose because noise is added ONCE per group after
+    the final combine — never per partial (which would multiply the
+    variance by the partial count and break the ε accounting).
+    """
+    d = table(spark, sf, "documents")
+    n = d.groupBy("source").agg(F.count("*").alias("n"))
+    u = n.withColumn(
+        "u",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("source"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0),
+    )
+    rel = u.withColumn(
+        "released",
+        F.col("n")
+        + F.lit(-(1.0 / _DP_EPS))
+        * F.signum(F.col("u") - F.lit(0.5))
+        * F.log(
+            F.greatest(
+                F.lit(1e-12),
+                F.lit(1.0) - F.lit(2.0) * F.abs(F.col("u") - F.lit(0.5)),
+            )
+        ),
+    )
+    return rel.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_true"),
+        F.round("released", 4).alias("released_r"),
+        (F.col("released") < F.lit(_DP_TAU)).cast("int").alias("suppressed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # classifier calibration audit (reliability bins + ECE)
 # ---------------------------------------------------------------------------
 

@@ -190,7 +190,9 @@ HEADLINE = [
     "x_forecast_mase",
     "x_gini_concentration",
     # round-8: theta/KMV sketch intersection (intersection-relative bound)
+    # + deterministic-Laplace DP count release
     "x_theta_intersect",
+    "x_dp_counts",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

@@ -737,6 +737,38 @@ def test_theta_intersect_exact_below_k(spark):
         assert r.ok == 1
 
 
+def test_dp_counts_deterministic_laplace_and_threshold(spark):
+    """The DP release replays the exact inverse-CDF Laplace draw: for a
+    hand-built corpus the released value equals n + the python-computed
+    noise for that source's md5 uniform, and the tau threshold flags
+    exactly the groups whose NOISY count falls below tau."""
+    import hashlib
+    import math
+    import tempfile, os
+
+    docs = [(i, f"text {i}", "en", "big", 7) for i in range(100)]
+    docs += [(100 + i, f"t {i}", "en", "tiny", 3) for i in range(2)]
+    df = spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r.source: r for r in REGISTRY["x_dp_counts"].fn(spark, td).collect()}
+
+    def noise(source: str) -> float:
+        u = int(hashlib.md5(f"dp:{source}".encode()).hexdigest()[:8], 16) / 4294967296.0
+        return -(1.0 / 1.0) * math.copysign(1.0, u - 0.5) * math.log(
+            max(1e-12, 1.0 - 2.0 * abs(u - 0.5))
+        ) if u != 0.5 else 0.0
+
+    for src, n in (("big", 100), ("tiny", 2)):
+        r = out[src]
+        assert r.n_true == n
+        assert abs(r.released_r - round(n + noise(src), 4)) < 1e-9
+        assert r.suppressed == int(n + noise(src) < 5.0)
+    assert out["big"].suppressed == 0  # 100 ± a few Laplace(1) units never dips to 5
+
+
 def test_gini_extremes_and_bounds(spark):
     """Uniform frequencies give Gini 0; a maximally concentrated
     distribution approaches (n-1)/n·(1 - 1/total-ish); registered key's

@@ -82,9 +82,11 @@ def main() -> int:
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        # driver testdata ships flat files; make_sfscale.py perf dirs are
+        # Spark directory outputs — register whichever shape exists
+        p = f"{SF_DIR}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
     failures, passed, rows_only = [], 0, 0
     for key in keys:
