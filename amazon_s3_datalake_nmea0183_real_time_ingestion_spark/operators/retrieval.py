@@ -152,7 +152,10 @@ def mmr_rerank(cand: DataFrame, sim_cc: DataFrame, k: int,
             f"mmr_rerank pool has {len(rows)} rows (> {max_pool}): pass the "
             "top-N retrieval cut, not the corpus — the greedy is pool-local"
         )
-    pool = {int(r.vec_id): float(r.simq) for r in rows}
+    # NULL simq (zero-norm vectors under try_divide) sorted LAST under the
+    # previous orderBy(desc) shape, i.e. were never argmax winners — drop
+    # them from the pool rather than crash on float(None)
+    pool = {int(r.vec_id): float(r.simq) for r in rows if r.simq is not None}
     by_ib: dict[int, list[tuple[int, float]]] = {}
     for r in sim_cc.select("ia", "ib", "s").collect():
         if r.s is not None:

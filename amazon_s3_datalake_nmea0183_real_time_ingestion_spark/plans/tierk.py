@@ -494,7 +494,12 @@ def x_theta_intersect(spark: SparkSession, sf: str) -> DataFrame:
         th.select(F.col("source").alias("src_b"), F.col("theta").alias("thb"))
     )
     pairs = (
-        sa.join(sb, (F.col("shingle") == F.col("shb")) & (F.col("src_a") < F.col("src_b")))
+        # both sample sides are <= |sources| * k rows by construction —
+        # broadcast one so the sample intersection never shuffles
+        sa.join(
+            F.broadcast(sb),
+            (F.col("shingle") == F.col("shb")) & (F.col("src_a") < F.col("src_b")),
+        )
         .join(ta, "src_a")
         .join(tb, "src_b")
         .filter(F.col("ua") < F.least("tha", "thb"))
