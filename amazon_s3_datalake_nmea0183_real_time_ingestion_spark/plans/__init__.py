@@ -14,6 +14,7 @@ from . import tierh  # noqa: F401,E402
 from . import tieri  # noqa: F401,E402
 from . import tierj  # noqa: F401,E402
 from . import tierk  # noqa: F401,E402
+from . import tierl  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
 # keys per round.  After round 7: 199/203 keys have a green driver row at
@@ -33,6 +34,8 @@ _NEEDS_VERDICT = [
     "x_gini_concentration",
     # round-8 new keys — first driver row needed
     "x_theta_intersect", "x_dp_counts",
+    "x_benford", "x_autocorr", "x_l_diversity", "x_basket_rules",
+    "x_seasonality_strength",
     # r4-era stale rows (r7 VERDICT #2), CORRECTNESS_r04 insertion order
     "x_dedup_best_guarded", "x_dedup_cluster_guarded",
     "cat_recover", "cat_register", "f_contains", "f_element_at", "f_split",

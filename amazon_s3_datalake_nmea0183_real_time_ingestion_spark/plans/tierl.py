@@ -1,0 +1,538 @@
+"""Tier L — round-8 fourth wave, five keys in four families:
+
+- data-quality audit: Benford first-significant-digit conformance of the
+  order-value distribution (`x_benford`) — the fraud/synthetic-data
+  screen next to x_data_checks' structural assertions;
+- time-series diagnostics: autocorrelation function of the daily event
+  series (`x_autocorr`) and STL-lite seasonal-strength decomposition
+  (`x_seasonality_strength`) — completing the monitor family
+  (EWMA → CUSUM → MASE → ACF/seasonality: detect, locate, score,
+  EXPLAIN the structure the others condition on);
+- privacy: l-diversity audit (`x_l_diversity`) — the sensitive-attribute
+  side of x_k_anonymity's class-size audit (a k-anonymous class whose
+  members all share one salary band still leaks);
+- market-basket analytics: a-priori-guarded association rules with
+  support/confidence/lift (`x_basket_rules`) — the co-purchase rule
+  surface over the affinity graph x_link_adamic ranks.
+
+Reference parity: the reference (an NMEA-0183 → S3 ingestion CDK app,
+cdk_datalake_mvp_stack.py) exposes its stage table to arbitrary Athena
+SQL; these keys are the analytics workloads such a datalake serves,
+expressed Spark-first.  Cross-engine float contract follows tierk.py's
+module docstring: shared literal fragments via repr(), pin-then-derive
+(round intermediate window/aggregate outputs to 6 dp before reuse so
+both engines continue from identical doubles), integer counts wherever
+the semantics allow.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import register, table
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — shared expected-probability fragment
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) for d = 1..9, repr()'d so both engines parse the exact
+# same float64 (tierk.py module-docstring contract).  The explicit DOUBLE
+# cast matters: both parsers type a bare 17-digit literal as DECIMAL, and
+# DuckDB then keeps the whole chi-square chain in DECIMAL(38) arithmetic
+# (which overflows); 17 significant digits round-trip float64 exactly, so
+# the cast restores the identical double on both engines.
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(
+        f"WHEN {d} THEN CAST({math.log10(1.0 + 1.0 / d)!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    + " END"
+)
+
+
+@register(
+    "x_benford",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0),
+    g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT g.*, sum(n) OVER () AS big_n, {_BENFORD_CASE} AS p FROM g),
+    c AS (
+      SELECT digit, n, big_n,
+             round(big_n * p, 6) AS expected_r,
+             round((n - big_n * p) * (n - big_n * p) / (big_n * p), 6)
+               AS chi_r
+      FROM t)
+    SELECT digit, CAST(n AS BIGINT) AS n, expected_r, chi_r,
+           round(sum(chi_r) OVER (), 4) AS chi_total_r
+    FROM c
+    """,
+)
+def x_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit (Benford '38; Nigrini's
+    forensic-accounting screen) of ``o_totalprice``: per observed digit,
+    the count, the Benford-expected count N*log10(1+1/d), the chi-square
+    contribution, and the total statistic.  A value column that a human
+    (or a sloppy generator) invented drifts from the log-law; a natural
+    multiplicative process follows it.  The distributional data-quality
+    screen next to x_data_checks' structural assertions and
+    x_drift_psi's two-sample comparison — this one needs NO reference
+    sample, the law IS the reference.
+
+    Cross-engine: digit extraction goes floor → BIGINT → string → first
+    char (exact in both engines; float-to-string formatting is never
+    touched); expected probabilities are repr()'d shared literals;
+    counts are integers; the per-digit arithmetic is single-expression
+    IEEE-deterministic, and only the 9-term total is an order-unspecified
+    sum (rounded at 4 dp).
+
+    Scale: one map-side-combinable 9-group count; everything after the
+    groupBy is constant-size (≤ 9 rows).  The window-sum total is a
+    1-partition exchange over 9 rows — control-plane.
+    """
+    o = table(spark, sf, "orders")
+    g = (
+        o.filter(F.col("o_totalprice") >= 1.0)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    w_all = Window.partitionBy()
+    t = g.select(
+        "digit",
+        "n",
+        F.sum("n").over(w_all).alias("big_n"),
+        F.expr(_BENFORD_CASE).alias("p"),
+    )
+    c = t.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("big_n") * F.col("p"), 6).alias("expected_r"),
+        F.round(
+            (F.col("n") - F.col("big_n") * F.col("p"))
+            * (F.col("n") - F.col("big_n") * F.col("p"))
+            / (F.col("big_n") * F.col("p")),
+            6,
+        ).alias("chi_r"),
+    )
+    return c.select(
+        "digit",
+        "n",
+        "expected_r",
+        "chi_r",
+        F.round(F.sum("chi_r").over(w_all), 4).alias("chi_total_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation function of the daily event series
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "x_autocorr",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, day, x,
+             round(avg(x) OVER (PARTITION BY event_type), 6) AS mu
+      FROM d),
+    l AS (
+      SELECT event_type, day, x, mu,
+             {", ".join(f"lag(x, {k}) OVER w AS l{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+      FROM m WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    a AS (
+      SELECT event_type,
+             round(sum((x - mu) * (x - mu)), 6) AS den,
+             {", ".join(
+                 f"round(sum(CASE WHEN l{k} IS NOT NULL THEN (x - mu) * (l{k} - mu) END), 6) AS c{k}"
+                 for k in range(1, _ACF_MAX_LAG + 1)
+             )}
+      FROM l GROUP BY event_type)
+    SELECT event_type, lag_k,
+           round(c / nullif(den, 0.0), 6) AS acf_r
+    FROM a, (VALUES {", ".join(f"({k})" for k in range(1, _ACF_MAX_LAG + 1))}) v(lag_k),
+         LATERAL (SELECT CASE lag_k {" ".join(f"WHEN {k} THEN c{k}" for k in range(1, _ACF_MAX_LAG + 1))} END AS c)
+    """,
+)
+def x_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample autocorrelation function (Box–Jenkins) of the per-type
+    daily event-count series at lags 1..{_ACF_MAX_LAG}: r_k =
+    Σ(x_t−x̄)(x_{{t−k}}−x̄) / Σ(x_t−x̄)², the standard biased estimator
+    with the GLOBAL series mean in both numerator and denominator.  The
+    structure-diagnosis row of the monitor family: CUSUM says WHERE the
+    level shifted, MASE says how forecastable the series is, ACF says
+    what memory/periodicity the other monitors must condition on (a
+    spike at lag 7 = weekly seasonality → a daily-mean monitor will
+    false-alarm every weekend).
+
+    Cross-engine: the series is an integer daily count cast to double
+    (exact); x̄ is pinned at 6 dp before the deviation products, so every
+    product is bit-identical; the two order-unspecified sums (num, den)
+    are rounded at 6 dp; the final ratio is one IEEE division, rounded.
+    Constant series (den = 0) yield NULL via nullif/try-guard on both
+    engines.
+
+    Scale: one map-side-combinable (type, day) count, then ONE window
+    pass per type computes all {_ACF_MAX_LAG} lag columns (a single sort,
+    not {_ACF_MAX_LAG}), and the unpivot is an Expand node — no extra
+    shuffle.  Output is |types| × {_ACF_MAX_LAG} rows regardless of
+    corpus size; per-type series length is bounded by the calendar, not
+    the row count, so the window partition never skews.
+    """
+    e = table(spark, sf, "events")
+    d = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    m = d.select(
+        "event_type",
+        "day",
+        "x",
+        F.round(F.avg("x").over(Window.partitionBy("event_type")), 6).alias(
+            "mu"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = m.select(
+        "event_type",
+        "x",
+        "mu",
+        *[
+            F.lag("x", k).over(w).alias(f"l{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    dev = F.col("x") - F.col("mu")
+    a = lagged.groupBy("event_type").agg(
+        F.round(F.sum(dev * dev), 6).alias("den"),
+        *[
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col(f"l{k}").isNotNull(),
+                        dev * (F.col(f"l{k}") - F.col("mu")),
+                    )
+                ),
+                6,
+            ).alias(f"c{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    long = a.unpivot(
+        ["event_type", "den"],
+        [f"c{k}" for k in range(1, _ACF_MAX_LAG + 1)],
+        "lag_name",
+        "c",
+    )
+    return long.select(
+        "event_type",
+        F.substring("lag_name", 2, 2).cast("int").alias("lag_k"),
+        F.round(
+            F.try_divide(F.col("c"), F.nullif(F.col("den"), F.lit(0.0))), 6
+        ).alias("acf_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity privacy audit (companion to x_k_anonymity)
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3  # required distinct sensitive values per QI class
+_LDIV_BAND = 2000.0  # account-balance band width (the sensitive attribute)
+
+
+@register(
+    "x_l_diversity",
+    oracle=f"""
+    SELECT CAST(c_nationkey AS INT) AS nationkey,
+           c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS group_n,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / {_LDIV_BAND!r}) AS INT))
+                AS BIGINT) AS l_distinct,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / {_LDIV_BAND!r}) AS INT))
+                >= {_LDIV_L} AS INT) AS meets_l
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def x_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al., ICDE '06) over
+    the same QI classes as x_k_anonymity (nationkey, mktsegment), with
+    the account-balance band (width {_LDIV_BAND:g}) as the sensitive
+    attribute: a class where every member falls in ONE band leaks the
+    balance even when it meets k — l-diversity requires ≥ {_LDIV_L}
+    distinct sensitive values per class.  Together the two keys are the
+    release gate: k bounds re-identification, l bounds attribute
+    inference.
+
+    Cross-engine: floor(x / literal) is one IEEE division + floor (exact
+    both engines); everything else is integer counts.
+
+    Scale: one shuffle keyed by the QI tuple with a partial distinct
+    (Spark rewrites count(distinct) to a two-phase expand-aggregate);
+    output is |QI-space|-sized regardless of corpus size.
+    """
+    c = table(spark, sf, "customer")
+    band = F.floor(F.col("c_acctbal") / _LDIV_BAND).cast("int")
+    return c.groupBy(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(
+        F.count("*").cast("bigint").alias("group_n"),
+        F.countDistinct(band).cast("bigint").alias("l_distinct"),
+        (F.countDistinct(band) >= _LDIV_L).cast("int").alias("meets_l"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a-priori-guarded association rules over order baskets
+# ---------------------------------------------------------------------------
+
+_BASKET_MINSUP = 20  # min orders containing an item (a-priori prune)
+_BASKET_MINPAIR = 2  # min co-occurrences to emit a rule
+
+
+@register(
+    "x_basket_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    big_n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    sup AS (
+      SELECT l_partkey, count(*) AS s FROM items GROUP BY l_partkey
+      HAVING count(*) >= {_BASKET_MINSUP}),
+    fi AS (
+      SELECT i.l_orderkey, i.l_partkey, sup.s
+      FROM items i JOIN sup USING (l_partkey)),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             any_value(a.s) AS s_a, any_value(b.s) AS s_b,
+             count(*) AS pair_n
+      FROM fi a JOIN fi b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_BASKET_MINPAIR})
+    SELECT CAST(part_a AS BIGINT) AS part_a,
+           CAST(part_b AS BIGINT) AS part_b,
+           CAST(pair_n AS BIGINT) AS pair_n,
+           round(CAST(pair_n AS DOUBLE) / s_a, 6) AS conf_ab_r,
+           round(CAST(pair_n AS DOUBLE) / s_b, 6) AS conf_ba_r,
+           round(CAST(pair_n AS DOUBLE) * n_orders / (s_a * CAST(s_b AS DOUBLE)), 6)
+             AS lift_r
+    FROM pairs, big_n
+    """,
+)
+def x_basket_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Association rules (Agrawal–Srikant a-priori, VLDB '94) over order
+    baskets: for every frequent part pair, the co-occurrence count,
+    both directed confidences P(b|a)/P(a|b), and the lift
+    n_ab·N/(n_a·n_b).  The rule surface over the same co-purchase
+    structure x_link_adamic scores for MISSING links — this key scores
+    the links that exist.  min-support {_BASKET_MINSUP} is the a-priori
+    prune (no infrequent item can appear in a frequent pair); min-pair
+    {_BASKET_MINPAIR} keeps the rule set deterministic and
+    noise-floor-free.
+
+    Cross-engine: every count is an integer; confidences and lift are
+    single IEEE divisions over identical integers, rounded at 6 dp.
+
+    Scale: pair generation is a SELF-JOIN KEYED BY ORDER — cost
+    Σ_orders b² where b is basket width (~4 here, bounded by order size,
+    not corpus size), i.e. linear in rows, never |parts|² — with the
+    a-priori support prune applied BEFORE the join so every candidate
+    side is pre-shrunk.  The support table rides along the join inputs
+    (any_value re-read, no extra join); the 1-row basket count is a
+    broadcast.  Skewed baskets would be capped the same way
+    q_triangle_count_guarded caps hub degree; TPC-H orders are ≤ 7
+    lines so no cap is needed here.
+    """
+    li = table(spark, sf, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    sup = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= _BASKET_MINSUP)
+    )
+    fi = items.join(sup, "l_partkey").select("l_orderkey", "l_partkey", "s")
+    a = fi.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_a"),
+        F.col("s").alias("s_a"),
+    )
+    b = fi.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_b"),
+        F.col("s").alias("s_b"),
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.any_value("s_a").alias("s_a"),
+            F.any_value("s_b").alias("s_b"),
+            F.count("*").alias("pair_n"),
+        )
+        .filter(F.col("pair_n") >= _BASKET_MINPAIR)
+    )
+    return pairs.crossJoin(F.broadcast(n_orders)).select(
+        F.col("part_a").cast("bigint").alias("part_a"),
+        F.col("part_b").cast("bigint").alias("part_b"),
+        F.col("pair_n").cast("bigint").alias("pair_n"),
+        F.round(F.col("pair_n").cast("double") / F.col("s_a"), 6).alias(
+            "conf_ab_r"
+        ),
+        F.round(F.col("pair_n").cast("double") / F.col("s_b"), 6).alias(
+            "conf_ba_r"
+        ),
+        F.round(
+            F.col("pair_n").cast("double")
+            * F.col("n_orders")
+            / (F.col("s_a") * F.col("s_b").cast("double")),
+            6,
+        ).alias("lift_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite seasonal-strength decomposition of the daily series
+# ---------------------------------------------------------------------------
+
+_SEAS_HALF = 3  # centered moving-average half-width (7-day trend)
+
+
+@register(
+    "x_seasonality_strength",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1),
+    t AS (
+      SELECT day, x,
+             CASE WHEN count(*) OVER w = {2 * _SEAS_HALF + 1}
+                  THEN round(avg(x) OVER w, 6) END AS trend
+      FROM d
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN {_SEAS_HALF} PRECEDING AND {_SEAS_HALF} FOLLOWING)),
+    det AS (
+      SELECT day, isodow(day) - 1 AS dow, x - trend AS det
+      FROM t WHERE trend IS NOT NULL),
+    s AS (
+      SELECT day, dow, det,
+             round(avg(det) OVER (PARTITION BY dow), 6) AS seas_r,
+             CAST(count(*) OVER (PARTITION BY dow) AS BIGINT) AS n_days
+      FROM det),
+    v AS (
+      SELECT dow, seas_r, n_days,
+             round(var_samp(det - seas_r) OVER (), 6) AS var_rem,
+             round(var_samp(det) OVER (), 6) AS var_det
+      FROM s)
+    SELECT DISTINCT dow, seas_r, n_days,
+           round(greatest(0.0, 1.0 - var_rem / nullif(var_det, 0.0)), 4)
+             AS strength_r
+    FROM v
+    """,
+)
+def x_seasonality_strength(spark: SparkSession, sf: str) -> DataFrame:
+    """STL-lite seasonal decomposition (Cleveland et al. '90, strength
+    metric per Wang–Hyndman–Smith '06) of the global daily event-count
+    series: trend = centered {2 * _SEAS_HALF + 1}-day moving average
+    (full windows only), seasonal = day-of-week mean of the detrended
+    series, and seasonal STRENGTH = max(0, 1 − Var(remainder)/
+    Var(detrended)) — the fraction of non-trend variance the weekly
+    cycle explains.  One row per day-of-week (Monday = 0) with its
+    seasonal component, sample count, and the global strength.  The
+    quantitative answer to what x_autocorr's lag-7 spike hints at, and
+    the deseasonalization input a production CUSUM/EWMA monitor would
+    subtract first.
+
+    Cross-engine: the series is an integer count cast to double; trend
+    and the per-dow seasonal means are pinned at 6 dp before reuse
+    (pin-then-derive), so the remainder column is bit-identical;
+    var_samp over the ~constant-size interior-day set is the one
+    order-unspecified aggregate, rounded before the ratio.  Day-of-week
+    via Spark ``weekday`` = DuckDB ``isodow − 1`` (Monday = 0 both).
+
+    Scale: the daily rollup is map-side-combinable; everything after it
+    operates on a CALENDAR-sized frame (365 rows/year regardless of
+    corpus size), so the unpartitioned windows are control-plane, the
+    same justification as x_cusum_changepoint's per-type series.
+    """
+    e = table(spark, sf, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-_SEAS_HALF, _SEAS_HALF)
+    )
+    t = d.select(
+        "day",
+        "x",
+        F.when(
+            F.count("*").over(w) == 2 * _SEAS_HALF + 1,
+            F.round(F.avg("x").over(w), 6),
+        ).alias("trend"),
+    )
+    det = t.filter(F.col("trend").isNotNull()).select(
+        "day",
+        F.weekday("day").alias("dow"),
+        (F.col("x") - F.col("trend")).alias("det"),
+    )
+    s = det.select(
+        "dow",
+        "det",
+        F.round(F.avg("det").over(Window.partitionBy("dow")), 6).alias(
+            "seas_r"
+        ),
+        F.count("*").over(Window.partitionBy("dow")).cast("bigint").alias(
+            "n_days"
+        ),
+    )
+    w_all = Window.partitionBy()
+    v = s.select(
+        "dow",
+        "seas_r",
+        "n_days",
+        F.round(
+            F.var_samp(F.col("det") - F.col("seas_r")).over(w_all), 6
+        ).alias("var_rem"),
+        F.round(F.var_samp("det").over(w_all), 6).alias("var_det"),
+    )
+    return v.select(
+        "dow",
+        "seas_r",
+        "n_days",
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.try_divide(
+                    F.col("var_rem"), F.nullif(F.col("var_det"), F.lit(0.0))
+                ),
+            ),
+            4,
+        ).alias("strength_r"),
+    ).distinct()
