@@ -193,6 +193,13 @@ HEADLINE = [
     # + deterministic-Laplace DP count release
     "x_theta_intersect",
     "x_dp_counts",
+    # round-8 Tier L: Benford audit, daily-series ACF, l-diversity,
+    # a-priori basket rules, seasonal-strength decomposition
+    "x_benford",
+    "x_autocorr",
+    "x_l_diversity",
+    "x_basket_rules",
+    "x_seasonality_strength",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical
