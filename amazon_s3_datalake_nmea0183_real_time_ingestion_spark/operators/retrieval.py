@@ -120,16 +120,24 @@ def mmr_rerank(cand: DataFrame, sim_cc: DataFrame, k: int,
     upstream retrieval, never the corpus — and the k-round greedy runs
     driver-side with zero further Spark jobs, replacing the previous
     one-argmax-job-per-round shape (k−1 sequential job rounds of fixed
-    latency).  ``max_pool`` guards the contract: a caller passing an
-    un-cut corpus fails loudly instead of collecting it.
+    latency).  ``max_pool`` and ``max_pairs`` guard the contract: a
+    caller passing an un-cut corpus (either frame) fails loudly instead
+    of collecting it — the pairwise side gets its own guard because a
+    dense pool at the candidate limit is quadratically larger than the
+    pool itself.
 
-    The selection trajectory is unchanged and oracle-replayable: scores
-    are  round6(lam·simq − (1−lam)·max_redundancy)  with the SAME IEEE
+    The selection trajectory is oracle-replayable: scores are
+    round6(lam·simq − (1−lam)·max_redundancy)  with the SAME IEEE
     754 operation order as the previous Spark expression, round6 is
     BigDecimal-style HALF_UP on the shortest decimal repr (exactly
     Spark's ``F.round``), missing pairwise rows mean zero redundancy
     (sparse top-M neighbor tables), and every argmax tie-breaks on
-    (score DESC, vec_id ASC).
+    (score DESC, vec_id ASC).  One deliberate edge divergence from the
+    old job-per-round shape: NULL-``simq`` candidates (zero-norm vectors
+    under try_divide) are EXCLUDED from the pool, so when k exceeds the
+    non-NULL candidate count the result has fewer than k rows — the old
+    NULLS-LAST ordering would have padded the tail with relevance-less
+    picks, which is not a meaningful MMR selection.
     """
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -156,8 +164,18 @@ def mmr_rerank(cand: DataFrame, sim_cc: DataFrame, k: int,
     # previous orderBy(desc) shape, i.e. were never argmax winners — drop
     # them from the pool rather than crash on float(None)
     pool = {int(r.vec_id): float(r.simq) for r in rows if r.simq is not None}
+    # the pairwise side needs its own guard: at max_pool candidates a
+    # dense sim table is ~N² rows — limit(max_pairs+1) makes the probe
+    # and the collect one job, and overflow raises instead of OOMing
+    max_pairs = 5_000_000
+    pair_rows = sim_cc.select("ia", "ib", "s").limit(max_pairs + 1).collect()
+    if len(pair_rows) > max_pairs:
+        raise ValueError(
+            f"mmr_rerank pairwise table exceeds {max_pairs} rows: pass the "
+            "pool-local top-M neighbor cut, not an all-pairs corpus table"
+        )
     by_ib: dict[int, list[tuple[int, float]]] = {}
-    for r in sim_cc.select("ia", "ib", "s").collect():
+    for r in pair_rows:
         if r.s is not None:
             by_ib.setdefault(int(r.ib), []).append((int(r.ia), float(r.s)))
     if not pool:

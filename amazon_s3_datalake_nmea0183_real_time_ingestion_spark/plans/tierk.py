@@ -1540,11 +1540,21 @@ def x_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
     inverse-CDF on the repo's md5 uniform ('dp:'‖source → first 8 hex
     / 2³²):  noise = −(1/ε)·sgn(u−½)·ln(1 − 2|u−½|).  Post-noise
     τ = {_DP_TAU} thresholding flags groups too small to release — the
-    standard (ε,δ) count-release recipe, and the MECHANISM side of the
-    privacy family: x_k_anonymity audits structural linkage,
-    x_text_pii detects content, THIS releases aggregates with a proof.
+    standard (ε,δ) count-release recipe's SHAPE, and the MECHANISM side
+    of the privacy family: x_k_anonymity audits structural linkage,
+    x_text_pii detects content, THIS exercises the release pipeline.
     (``n_true`` is the ADJUDICATION side, like the sketches' exact
     columns — a production release emits only released_r/suppressed.)
+
+    PRIVACY CAVEAT (round-8 review): because the draw is a deterministic
+    public function of the group name, anyone can recompute and subtract
+    the noise — the determinism that makes the key cross-engine
+    hash-adjudicable also voids the actual DP guarantee (effective
+    ε = ∞).  This key adjudicates the MECHANICS (sensitivity-1 noise
+    placement after the final combine, inverse-CDF transform, τ
+    suppression); a real release must replace the md5 uniform with a
+    secret-seeded or true random draw, at which point the oracle pairing
+    necessarily degrades to a distributional test.
 
     Cross-engine: the uniform is exact integer arithmetic; sgn/abs/±
     are IEEE-specified; the one libm call (ln) may differ by 1 ulp

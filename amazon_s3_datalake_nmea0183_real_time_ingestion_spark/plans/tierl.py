@@ -63,7 +63,11 @@ _BENFORD_CASE = (
                          1, 1) AS INT) AS digit
       FROM orders WHERE o_totalprice >= 1.0),
     g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
-    t AS (SELECT g.*, sum(n) OVER () AS big_n, {_BENFORD_CASE} AS p FROM g),
+    spine AS (SELECT unnest(generate_series(1, 9)) AS digit),
+    f AS (
+      SELECT spine.digit, coalesce(g.n, 0) AS n
+      FROM spine LEFT JOIN g ON g.digit = spine.digit),
+    t AS (SELECT f.*, sum(n) OVER () AS big_n, {_BENFORD_CASE} AS p FROM f),
     c AS (
       SELECT digit, n, big_n,
              round(big_n * p, 6) AS expected_r,
@@ -77,8 +81,10 @@ _BENFORD_CASE = (
 )
 def x_benford(spark: SparkSession, sf: str) -> DataFrame:
     """Benford's-law first-significant-digit audit (Benford '38; Nigrini's
-    forensic-accounting screen) of ``o_totalprice``: per observed digit,
-    the count, the Benford-expected count N*log10(1+1/d), the chi-square
+    forensic-accounting screen) of ``o_totalprice``: for EVERY digit
+    1–9 (a spine join — absent digits contribute (0−N·p)²/(N·p) = N·p,
+    often the dominant term exactly when the data deviates most), the
+    count, the Benford-expected count N*log10(1+1/d), the chi-square
     contribution, and the total statistic.  A value column that a human
     (or a sloppy generator) invented drifts from the log-law; a natural
     multiplicative process follows it.  The distributional data-quality
@@ -109,6 +115,17 @@ def x_benford(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("digit")
         .agg(F.count("*").alias("n"))
+    )
+    # Digits that never occur still contribute (0 − N·p)²/(N·p) = N·p to
+    # the statistic — often the DOMINANT term exactly when the data
+    # deviates most from the law — so the 9-digit spine is joined in,
+    # not inferred from the observed group keys (round-8 review finding).
+    spine = (
+        g.sparkSession.range(1, 10)
+        .select(F.col("id").cast("int").alias("digit"))
+    )
+    g = spine.join(g, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
     w_all = Window.partitionBy()
     t = g.select(

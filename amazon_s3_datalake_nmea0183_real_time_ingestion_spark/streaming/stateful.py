@@ -471,8 +471,17 @@ def ewma_anomaly_stream(stream: DataFrame, value_col: str = "battery_voltage",
             hist = [v] + hist[: kk - 1]
             last_seen = dt
         state.update((hist, int(last_seen)))
-        # evict if no new reading arrives before watermark + TTL
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl)
+        # Evict when the device has been idle for TTL of EVENT time.  The
+        # anchor is the device's own last event time (date_time is epoch
+        # seconds), NOT the current watermark: the first batch's watermark
+        # is 0, so a watermark-anchored timeout (0 + ttl ≈ 1970+30d) would
+        # fire for every one-batch-idle device the moment the watermark
+        # jumps to real event time.  Floored at the watermark because
+        # EventTimeTimeout requires a timestamp strictly ahead of it
+        # (a device whose last reading is already behind the watermark
+        # still gets its full TTL measured from "now" in event time).
+        anchor = max(int(last_seen) * 1000, state.getCurrentWatermarkMs())
+        state.setTimeoutTimestamp(anchor + ttl)
         if out_rows:
             yield pd.DataFrame(
                 out_rows,

@@ -414,3 +414,53 @@ def test_ewma_anomaly_stream_matches_batch_fragment(spark, tmp_path):
     for k_ in got:
         assert got[k_] == expected[k_]  # exact float equality, no tolerance
     assert all(d == 1 for d, _ in got)  # the constant device stays quiet
+
+
+def test_ewma_ttl_anchored_to_event_time_survives_watermark_jump(
+    spark, tmp_path
+):
+    """Regression (round-8 review): the EWMA state TTL must anchor on the
+    device's LAST EVENT TIME, not the current watermark.  The first
+    batch's watermark is 0, so a watermark-anchored timeout (0 + ttl ≈
+    1970+30d) fires for any device that skips ONE batch the moment the
+    watermark jumps to real event time — wiping its ring and letting a
+    later spike pass unflagged.  Here device 1 seeds its ring in batch 1,
+    is silent in batch 2 (device 2 keeps the stream moving and the
+    watermark jumping), and spikes in batch 3: the spike must be scored
+    against the RETAINED ring."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.streaming.stateful import (
+        ewma_anomaly_stream,
+    )
+
+    b1 = [_row(1, i, T0 + i, bv=5.0) for i in range(4)] + [
+        _row(2, 100, T0, bv=4.0)
+    ]
+    b2 = [_row(2, 101, T0 + 1000, bv=4.0)]  # device 1 silent this batch
+    b3 = [_row(1, 10, T0 + 2000, bv=9.0)]  # spike: resid 4.0 vs ring of 5.0
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _write(landing / "b1.json", b1)
+    _write(landing / "b2.json", b2)
+    _write(landing / "b3.json", b3)
+    # FileStreamSource orders batches by MODIFICATION TIME with no path
+    # tie-break: three files written back-to-back tie and can run in any
+    # order (observed b3,b1,b2).  Pin strictly increasing mtimes.
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, f in enumerate(["b1.json", "b2.json", "b3.json"]):
+        _os.utime(landing / f, (now + 10 * i, now + 10 * i))
+
+    out = _run(
+        spark, landing,
+        lambda s: ewma_anomaly_stream(s, threshold=1.0),
+        "ewma_ttl_out",
+    ).collect()
+
+    spike = [r for r in out if r.deviceid == 1 and r.date_time == T0 + 2000]
+    assert len(spike) == 1, (
+        "device 1's ring was evicted across the one-batch gap "
+        f"(got rows: {sorted((r.deviceid, r.date_time) for r in out)})"
+    )
+    assert abs(spike[0].resid - 4.0) < 1e-9

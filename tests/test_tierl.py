@@ -15,8 +15,6 @@ from datetime import datetime
 
 from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans import REGISTRY
 
-SF_SMALL = "/root/testdata/sf0.001"
-
 
 def _write(spark, tmp_path, name, rows, schema):
     spark.createDataFrame(rows, schema).coalesce(1).write.mode(
@@ -47,12 +45,19 @@ def test_benford_digits_and_chi(spark, tmp_path):
         r.digit: r
         for r in REGISTRY["x_benford"].fn(spark, str(tmp_path)).collect()
     }
-    assert {d: out[d].n for d in sorted(out)} == {1: 3, 2: 2, 3: 1, 9: 1}
+    # the 9-digit spine emits every digit; absent ones carry n = 0
+    assert set(out) == set(range(1, 10))
+    assert {d: out[d].n for d in sorted(out)} == {
+        1: 3, 2: 2, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1,
+    }
     big_n = 7  # 0.42 dropped
     p1 = math.log10(2.0)
     assert out[1].expected_r == round(big_n * p1, 6)
     chi1 = (3 - big_n * p1) ** 2 / (big_n * p1)
     assert abs(out[1].chi_r - chi1) < 1e-6
+    # an absent digit's contribution is exactly N·p (its expected count)
+    p4 = math.log10(1.0 + 1.0 / 4)
+    assert abs(out[4].chi_r - big_n * p4) < 1e-6
     # total is the same in every row and equals the sum of contributions
     totals = {r.chi_total_r for r in out.values()}
     assert len(totals) == 1
