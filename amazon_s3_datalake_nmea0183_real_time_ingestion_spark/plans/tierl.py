@@ -1,4 +1,4 @@
-"""Tier L — round-8 fourth wave, five keys in four families:
+"""Tier L — round-8 fourth wave, eight keys in six families:
 
 - data-quality audit: Benford first-significant-digit conformance of the
   order-value distribution (`x_benford`) — the fraud/synthetic-data
@@ -13,7 +13,13 @@
   members all share one salary band still leaks);
 - market-basket analytics: a-priori-guarded association rules with
   support/confidence/lift (`x_basket_rules`) — the co-purchase rule
-  surface over the affinity graph x_link_adamic ranks.
+  surface over the affinity graph x_link_adamic ranks;
+- customer analytics: RFM quintile segmentation (`x_rfm`) and the
+  cohort lifetime-value triangle (`x_cohort_ltv`, q_retention's
+  revenue-weighted twin, exact BIGINT-cents money arithmetic);
+- supervised data prep: smoothed leave-one-out target encoding
+  (`x_target_encoding`) — the categorical-feature transform whose
+  self-leakage trap x_split_leakage audits at the split level.
 
 Reference parity: the reference (an NMEA-0183 → S3 ingestion CDK app,
 cdk_datalake_mvp_stack.py) exposes its stage table to arbitrary Athena
@@ -553,3 +559,285 @@ def x_seasonality_strength(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("strength_r"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_BUCKETS = 5
+
+
+@register(
+    "x_rfm",
+    oracle=f"""
+    WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+    c AS (
+      SELECT o_custkey AS custkey,
+             (SELECT ref_day FROM ref) - max(CAST(o_orderdate AS DATE))
+               AS recency_days,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 4) AS monetary_r
+      FROM orders GROUP BY o_custkey)
+    SELECT custkey, CAST(recency_days AS INT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary_r,
+           ntile({_RFM_BUCKETS}) OVER (ORDER BY recency_days ASC, custkey)
+             AS r_score,
+           ntile({_RFM_BUCKETS}) OVER (ORDER BY frequency DESC, custkey)
+             AS f_score,
+           ntile({_RFM_BUCKETS}) OVER (ORDER BY monetary_r DESC, custkey)
+             AS m_score
+    FROM c
+    """,
+)
+def x_rfm(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation (Hughes '94, the classic
+    recency/frequency/monetary direct-marketing model): per customer,
+    days since last order relative to the corpus's newest order, order
+    count, revenue sum, and quintile scores on each axis (quintile 1 =
+    most recent / most frequent / highest spend, the conventional "555
+    is best" read inverted to "111 is best" for a deterministic
+    ascending tie-break).  The behavioral-segmentation row of the
+    analytics surface, feeding the same mixture/quota machinery
+    x_domain_quota applies to document sources.
+
+    Cross-engine: recency/frequency are integers (DATE subtraction is
+    exact); monetary is rounded at 4 dp BEFORE the ranking windows so
+    both engines rank identical doubles; every ntile ordering carries a
+    custkey tie-break (total order → identical bucket assignment, since
+    ANSI ntile is fully determined by the order and the row count).
+
+    Scale: one map-side-combinable customer rollup; the three ntile
+    windows run over the CUSTOMER-aggregate table (orders of magnitude
+    smaller than the order corpus).  They are unpartitioned — exact
+    global quantiles need a global rank — so at extreme customer counts
+    the production move is approxQuantile cut points broadcast as a
+    width_bucket screen (the x_percentile_norm economics); the exact
+    ntile here is the adjudicable contract.
+    """
+    o = table(spark, sf, "orders")
+    ref = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("ref_day")
+    )
+    c = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 4).alias("monetary_r"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "custkey",
+            F.datediff(F.col("ref_day"), F.col("last_day"))
+            .cast("int")
+            .alias("recency_days"),
+            F.col("frequency").cast("bigint").alias("frequency"),
+            "monetary_r",
+        )
+    )
+    return c.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_r",
+        F.ntile(_RFM_BUCKETS)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("custkey")))
+        .alias("r_score"),
+        F.ntile(_RFM_BUCKETS)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("custkey")))
+        .alias("f_score"),
+        F.ntile(_RFM_BUCKETS)
+        .over(Window.orderBy(F.col("monetary_r").desc(), F.col("custkey")))
+        .alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort lifetime-value curves
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_cohort_ltv",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+             o_totalprice
+      FROM orders),
+    first AS (
+      SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY o_custkey),
+    sizes AS (
+      SELECT cohort_ym, count(*) AS cohort_n FROM first GROUP BY cohort_ym),
+    cell AS (
+      SELECT f.cohort_ym, o.ym - f.cohort_ym AS age_months,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM o JOIN first f USING (o_custkey)
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_ym, age_months, rev_cents,
+             CAST(sum(rev_cents) OVER (
+               PARTITION BY cohort_ym ORDER BY age_months
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cents
+      FROM cell)
+    SELECT cohort_ym, CAST(age_months AS INT) AS age_months,
+           round(CAST(rev_cents AS DOUBLE) / 100.0, 2) AS rev_r,
+           round(CAST(cum_cents AS DOUBLE) / 100.0, 2) AS cum_rev_r,
+           CAST(cohort_n AS BIGINT) AS cohort_n,
+           round(CAST(cum_cents AS DOUBLE) / (100.0 * cohort_n), 6)
+             AS ltv_per_cust_r
+    FROM cum JOIN sizes USING (cohort_ym)
+    """,
+)
+def x_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers are cohorted by the
+    calendar month of their FIRST order (ym = year·12 + month, integer-
+    exact), and each (cohort, months-since-first) cell carries the
+    cohort's revenue that month, the running cumulative revenue, and
+    cumulative LTV per cohort member — the revenue-weighted companion of
+    q_retention's activity counts (retention says WHO came back, this
+    says what their return was WORTH; the curve flattening is the
+    payback horizon).
+
+    Cross-engine: cohort assignment and ages are pure integer
+    arithmetic — and so is the MONEY: prices carry exactly 2 decimals,
+    so every sum runs in exact BIGINT CENTS (round(price·100) per row,
+    no .5 ties since the true value is integer).  Two float boundaries
+    were measured live before landing on cents: (1) round-4 of the LTV
+    quotient hit an exact decimal halfway tie (70008621.57/72 =
+    972341.96625 — Spark BigDecimal-HALF_UP gave .9662, DuckDB's
+    scaled-double half-away gave .9663); (2) a double running sum at
+    cohort magnitudes (~1e9 with 6 decimals ≈ 16 significant digits)
+    differs between DuckDB's segment-tree association and Spark's
+    sequential frame by ~1e-6 — NOT absorbable by any rounding grid at
+    that magnitude.  Integer cents eliminate both: the only doubles are
+    two final single IEEE divisions of exact integers, rounded at 2/6.
+
+    Scale note on the cents sum: BIGINT overflows at ~9.2e18 cents
+    (~9.2e16 dollars) per (cohort, age) cell — five orders of magnitude
+    above world GDP; at genuine risk of that, sum DECIMAL(38,0).
+
+    Scale: one shuffle keyed by customer for first-order month (map-side
+    combinable min), one broadcast-joinable cohort-size table, one
+    (cohort, age) rollup; the running-sum window rides the
+    calendar²-sized triangle (≤ months² rows at ANY corpus size).
+    """
+    o = table(spark, sf, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        "o_totalprice",
+    )
+    first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    sizes = first.groupBy("cohort_ym").agg(F.count("*").alias("cohort_n"))
+    cell = (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("age_months")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cell.withColumn(
+        "cum_cents", F.sum("rev_cents").over(w).cast("bigint")
+    )
+    return cum.join(F.broadcast(sizes), "cohort_ym").select(
+        "cohort_ym",
+        F.col("age_months").cast("int").alias("age_months"),
+        F.round(F.col("rev_cents").cast("double") / 100.0, 2).alias("rev_r"),
+        F.round(F.col("cum_cents").cast("double") / 100.0, 2).alias(
+            "cum_rev_r"
+        ),
+        F.col("cohort_n").cast("bigint").alias("cohort_n"),
+        F.round(
+            F.col("cum_cents").cast("double")
+            / (F.lit(100.0) * F.col("cohort_n")),
+            6,
+        ).alias("ltv_per_cust_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# leave-one-out target encoding (supervised data prep)
+# ---------------------------------------------------------------------------
+
+_TENC_M = 10.0  # smoothing pseudo-count toward the global prior
+
+
+@register(
+    "x_target_encoding",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(lang = 'en' AS INT) AS y
+      FROM documents),
+    g AS (
+      SELECT source, count(*) AS n, sum(y) AS sum_y
+      FROM d GROUP BY source),
+    p AS (
+      SELECT CAST(sum(sum_y) AS DOUBLE) / sum(n) AS prior FROM g)
+    SELECT d.doc_id, d.source, d.y,
+           round((CAST(g.sum_y - d.y AS DOUBLE) + {_TENC_M!r} * p.prior)
+                 / (CAST(g.n - 1 AS DOUBLE) + {_TENC_M!r}), 6) AS enc_r
+    FROM d JOIN g USING (source), p
+    """,
+)
+def x_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing (the
+    standard supervised categorical-feature prep, Micci-Barreca SIGKDD
+    Expl. '01): each document's ``source`` is replaced by the smoothed
+    mean of the label over the OTHER documents of that source,
+    enc = (Σy − y_i + m·prior)/(n − 1 + m), m = {_TENC_M:g} — excluding
+    the row's own label is what keeps the feature from leaking the
+    target it encodes (the fit/transform-on-same-data trap), the exact
+    concern x_split_leakage audits at the split level.  Label here:
+    lang = 'en', the same fixed classifier target x_calibration scores.
+
+    Cross-engine: counts and label sums are integers; prior is one IEEE
+    division of exact BIGINTs; the encoding is a single shared-shape
+    expression over (int − int) + literal·prior, rounded at 6 dp.
+
+    Scale: one map-side-combinable per-category rollup, a 1-row prior
+    broadcast, and a broadcast-joinable category table mapped back over
+    the corpus — no corpus shuffle at all when the category cardinality
+    is dimension-sized, the textbook "aggregate once, broadcast back"
+    shape (x_outlier_mad's economics).
+    """
+    d = table(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    g = d.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("y").alias("sum_y")
+    )
+    p = g.agg(
+        (F.sum("sum_y").cast("double") / F.sum("n")).alias("prior")
+    )
+    return (
+        d.join(F.broadcast(g), "source")
+        .crossJoin(F.broadcast(p))
+        .select(
+            "doc_id",
+            "source",
+            "y",
+            F.round(
+                (
+                    (F.col("sum_y") - F.col("y")).cast("double")
+                    + F.lit(_TENC_M) * F.col("prior")
+                )
+                / ((F.col("n") - F.lit(1)).cast("double") + F.lit(_TENC_M)),
+                6,
+            ).alias("enc_r"),
+        )
+    )

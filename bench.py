@@ -200,6 +200,10 @@ HEADLINE = [
     "x_l_diversity",
     "x_basket_rules",
     "x_seasonality_strength",
+    # round-8 Tier L wave 2: customer analytics + supervised data prep
+    "x_rfm",
+    "x_cohort_ltv",
+    "x_target_encoding",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

@@ -231,3 +231,105 @@ def test_seasonality_pure_weekly_cycle(spark, tmp_path):
         assert out[dow].strength_r == 1.0
     # 22 interior days (28 - 2*3) split across dows
     assert sum(r.n_days for r in out.values()) == 22
+
+
+# ---------------------------------------------------------------------------
+# x_rfm
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_scores_and_recency(spark, tmp_path):
+    # 5 customers, strictly ordered on every axis -> each lands in its
+    # own quintile; customer 1 is best on all three (score 1,1,1).
+    rows = []
+    ok = 0
+    for cust in range(1, 6):
+        # customer c: last order (6-c) days before ref, c orders total,
+        # 100*c revenue per order
+        for i in range(cust):
+            rows.append(
+                (ok, cust, "O", 100.0 * cust,
+                 datetime(2024, 1, 26 - (5 - cust) - (i * 3), 0), "1-URGENT")
+            )
+            ok += 1
+    _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = {
+        r.custkey: r for r in REGISTRY["x_rfm"].fn(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 5
+    # ref day = newest order = customer 5's latest (2024-01-26)
+    assert out[5].recency_days == 0 and out[1].recency_days == 4
+    assert out[5].frequency == 5 and out[5].monetary_r == 2500.0
+    # one customer per quintile on each axis
+    assert [out[c].r_score for c in range(1, 6)] == [5, 4, 3, 2, 1]
+    assert [out[c].f_score for c in range(1, 6)] == [5, 4, 3, 2, 1]
+    assert [out[c].m_score for c in range(1, 6)] == [5, 4, 3, 2, 1]
+
+
+# ---------------------------------------------------------------------------
+# x_cohort_ltv
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_ltv_triangle(spark, tmp_path):
+    # cohort 2024-01 (ym 24289): custs 1,2; cohort 2024-02: cust 3.
+    # cohort-1 revenue: age 0 -> 10.00 + 20.00, age 1 -> 5.50 (cust 2)
+    rows = [
+        (1, 1, "O", 10.00, datetime(2024, 1, 5), "x"),
+        (2, 2, "O", 20.00, datetime(2024, 1, 20), "x"),
+        (3, 2, "O", 5.50, datetime(2024, 2, 1), "x"),
+        (4, 3, "O", 7.25, datetime(2024, 2, 10), "x"),
+    ]
+    _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = {
+        (r.cohort_ym, r.age_months): r
+        for r in REGISTRY["x_cohort_ltv"].fn(spark, str(tmp_path)).collect()
+    }
+    ym_jan = 2024 * 12 + 1
+    a0 = out[(ym_jan, 0)]
+    a1 = out[(ym_jan, 1)]
+    assert a0.rev_r == 30.0 and a0.cum_rev_r == 30.0 and a0.cohort_n == 2
+    assert a1.rev_r == 5.5 and a1.cum_rev_r == 35.5
+    assert a1.ltv_per_cust_r == 17.75
+    b0 = out[(ym_jan + 1, 0)]
+    assert b0.rev_r == 7.25 and b0.cohort_n == 1 and b0.ltv_per_cust_r == 7.25
+
+
+# ---------------------------------------------------------------------------
+# x_target_encoding
+# ---------------------------------------------------------------------------
+
+
+def test_target_encoding_loo_and_singleton(spark, tmp_path):
+    # source A: docs 1,2 en + doc 3 fr; source B: doc 4 en (singleton).
+    rows = [
+        (1, "t", "en", "A", 1),
+        (2, "t", "en", "A", 1),
+        (3, "t", "fr", "A", 1),
+        (4, "t", "en", "B", 1),
+    ]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["x_target_encoding"].fn(spark, str(tmp_path)).collect()
+    }
+    prior = 3.0 / 4.0
+    m = 10.0
+    # doc 1 (A, y=1): LOO mean of {doc2=1, doc3=0} smoothed
+    assert abs(out[1].enc_r - round((2 - 1 + m * prior) / (3 - 1 + m), 6)) < 1e-12
+    # doc 3 (A, y=0): LOO mean of {1, 1} smoothed
+    assert abs(out[3].enc_r - round((2 - 0 + m * prior) / (3 - 1 + m), 6)) < 1e-12
+    # singleton source: denominator is 0 + m, encoding collapses to prior
+    assert abs(out[4].enc_r - round((1 - 1 + m * prior) / (0 + m), 6)) < 1e-12
+    assert out[4].enc_r == prior
