@@ -1,4 +1,4 @@
-"""Tier L — round-8 fourth wave, eight keys in six families:
+"""Tier L — round-8 fourth wave, eleven keys in eight families:
 
 - data-quality audit: Benford first-significant-digit conformance of the
   order-value distribution (`x_benford`) — the fraud/synthetic-data
@@ -19,7 +19,13 @@
   revenue-weighted twin, exact BIGINT-cents money arithmetic);
 - supervised data prep: smoothed leave-one-out target encoding
   (`x_target_encoding`) — the categorical-feature transform whose
-  self-leakage trap x_split_leakage audits at the split level.
+  self-leakage trap x_split_leakage audits at the split level;
+- engagement / sequential monitoring: rolling DAU/WAU/MAU distinct
+  rollups (`x_active_users`) and the Wald SPRT peeking-safe
+  conversion monitor (`x_sprt`), completing the experiment family;
+- spatial: 10° grid-cell hotspot table over the fleet's positions
+  (`x_geo_grid`) — stage one of the documented points-to-points
+  geo-join screen.
 
 Reference parity: the reference (an NMEA-0183 → S3 ingestion CDK app,
 cdk_datalake_mvp_stack.py) exposes its stage table to arbitrary Athena
@@ -839,5 +845,295 @@ def x_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
                 / ((F.col("n") - F.lit(1)).cast("double") + F.lit(_TENC_M)),
                 6,
             ).alias("enc_r"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling active users (DAU / WAU / MAU)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (
+      SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau
+      FROM days d JOIN ud u
+        ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+      GROUP BY d.day),
+    mau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS mau
+      FROM days d JOIN ud u
+        ON u.day <= d.day AND u.day >= d.day - INTERVAL 29 DAY
+      GROUP BY d.day)
+    SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           CAST(mau AS BIGINT) AS mau,
+           round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness_r
+    FROM dau JOIN wau USING (day) JOIN mau USING (day)
+    """,
+)
+def x_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling active-user rollup: per day, DAU plus trailing-7-day WAU
+    and trailing-30-day MAU distinct user counts and the DAU/MAU
+    stickiness ratio — THE standing engagement dashboard query, and the
+    one whose naive form (count distinct per overlapping window) rescans
+    the corpus 30×.  Here the corpus collapses ONCE to the distinct
+    (user, day) table; each horizon is that small table joined to the
+    day spine.
+
+    Cross-engine: pure integer distinct counts; stickiness is one IEEE
+    division.  (Spark disallows DISTINCT aggregates over window frames,
+    so the spine-join formulation is also the only portable one.)
+
+    Scale: the corpus-sized work is the one map-side-combinable
+    (user, day) distinct; the day spine is calendar-sized and BROADCAST,
+    so each horizon is a broadcast nested-loop fan-out of the user-day
+    table (≤ 30 copies of a table already ~|users|·|days| small) into a
+    two-phase distinct.  At 100 TB the documented alternative is the
+    mergeable per-day HLL sketch store (`x_hll_union`): union 7 or 30
+    daily 4 KB sketches per readout instead of re-expanding rows —
+    exactness traded for O(days) state.
+    """
+    e = table(spark, sf, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+
+    def _trailing(n_days: int, name: str) -> DataFrame:
+        d = days.select(F.col("day").alias("d"))
+        return (
+            F.broadcast(d)
+            .join(
+                ud,
+                (F.col("day") <= F.col("d"))
+                & (F.col("day") >= F.date_sub(F.col("d"), n_days - 1)),
+            )
+            .groupBy(F.col("d").alias("day"))
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    out = (
+        dau.join(_trailing(7, "wau"), "day")
+        .join(_trailing(30, "mau"), "day")
+    )
+    return out.select(
+        "day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        F.col("mau").cast("bigint").alias("mau"),
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+            "stickiness_r"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT sequential conversion-rate monitor
+# ---------------------------------------------------------------------------
+
+_SPRT_P0 = 0.18  # H0 conversion rate
+_SPRT_P1 = 0.22  # H1 conversion rate
+_SPRT_ALPHA = 0.05
+_SPRT_BETA = 0.05
+# log-likelihood increments and Wald boundaries as repr-exact shared
+# literals — no libm call at query time on either engine.
+_SPRT_C1 = repr(math.log(_SPRT_P1 / _SPRT_P0))
+_SPRT_C2 = repr(math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0)))
+_SPRT_UP = repr(math.log((1.0 - _SPRT_BETA) / _SPRT_ALPHA))
+_SPRT_LO = repr(math.log(_SPRT_BETA / (1.0 - _SPRT_ALPHA)))
+
+
+@register(
+    "x_sprt",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+             sum(CAST(event_type = 'purchase' AS INT)) AS k
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT day,
+             CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+             CAST(sum(k) OVER w AS BIGINT) AS cum_k
+      FROM d
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    l AS (
+      SELECT day, cum_n, cum_k,
+             cum_k * CAST({_SPRT_C1} AS DOUBLE)
+               + (cum_n - cum_k) * CAST({_SPRT_C2} AS DOUBLE) AS llr
+      FROM c)
+    SELECT day, cum_n, cum_k, round(llr, 6) AS llr_r,
+           CASE WHEN llr >= CAST({_SPRT_UP} AS DOUBLE) THEN 'reject_h0'
+                WHEN llr <= CAST({_SPRT_LO} AS DOUBLE) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM l
+    """,
+)
+def x_sprt(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald sequential probability ratio test (Wald '45) on the daily
+    conversion stream: cumulative LLR of H1 (p = {_SPRT_P1}) against H0
+    (p = {_SPRT_P0}) for the purchase rate, with the α = β = 0.05 Wald
+    boundaries — the PEEKING-SAFE sequential readout completing the
+    experiment family (x_ttest_welch adjudicates a fixed horizon, THIS
+    is what you may look at every day without inflating false positives;
+    decision column says continue / accept / reject as of each day).
+
+    Cross-engine: daily and cumulative counts are exact integers; the
+    LLR is computed FROM THE CUMULATIVE COUNTS in one shared-shape
+    expression (never as a window sum of per-day doubles — no
+    association-order exposure), with the log-likelihood increments and
+    boundaries as repr-exact Python literals (no libm at query time);
+    the decision compares the bit-identical raw LLR against literal
+    boundaries.
+
+    Scale: one map-side-combinable daily rollup; the running sums and
+    the decision ride the calendar-sized day series.
+    """
+    e = table(spark, sf, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("k"),
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select(
+        "day",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("k").over(w).cast("bigint").alias("cum_k"),
+    )
+    llr = F.col("cum_k") * F.expr(f"CAST({_SPRT_C1} AS DOUBLE)") + (
+        F.col("cum_n") - F.col("cum_k")
+    ) * F.expr(f"CAST({_SPRT_C2} AS DOUBLE)")
+    return c.select(
+        "day",
+        "cum_n",
+        "cum_k",
+        F.round(llr, 6).alias("llr_r"),
+        F.when(llr >= F.expr(f"CAST({_SPRT_UP} AS DOUBLE)"), "reject_h0")
+        .when(llr <= F.expr(f"CAST({_SPRT_LO} AS DOUBLE)"), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# geo grid-cell density (hotspot table)
+# ---------------------------------------------------------------------------
+
+_GRID_DEG = 10  # cell width in degrees
+
+
+@register(
+    "x_geo_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id, user_id, event_type,
+             (event_id % 180) - 90 + 0.5 AS lat,
+             ((event_id * 7) % 360) - 180 + 0.5 AS lon
+      FROM events),
+    cells AS (
+      SELECT CAST(floor((lat + 90.0) / {_GRID_DEG}) AS INT) AS cell_lat,
+             CAST(floor((lon + 180.0) / {_GRID_DEG}) AS INT) AS cell_lon,
+             user_id, event_type
+      FROM pts),
+    g AS (
+      SELECT cell_lat, cell_lon, count(*) AS n,
+             count(DISTINCT user_id) AS n_users
+      FROM cells GROUP BY 1, 2),
+    dom AS (
+      SELECT cell_lat, cell_lon, event_type AS top_type FROM (
+        SELECT cell_lat, cell_lon, event_type,
+               row_number() OVER (
+                 PARTITION BY cell_lat, cell_lon
+                 ORDER BY count(*) DESC, event_type) AS rn
+        FROM cells GROUP BY cell_lat, cell_lon, event_type)
+      WHERE rn = 1)
+    SELECT g.cell_lat, g.cell_lon, CAST(n AS BIGINT) AS n,
+           CAST(n_users AS BIGINT) AS n_users, dom.top_type,
+           CAST(row_number() OVER (ORDER BY n DESC, g.cell_lat, g.cell_lon)
+                AS INT) AS density_rank
+    FROM g JOIN dom USING (cell_lat, cell_lon)
+    """,
+)
+def x_geo_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-cell density / hotspot table over the fleet's positions (the
+    same deterministic event_id-derived lat/lon as x_geo_nearest —
+    TESTDATA.md events carry no real coordinates): {_GRID_DEG}°×
+    {_GRID_DEG}° cells with event count, distinct devices, the dominant
+    event type (count-desc, type-asc tie-break), and a global density
+    rank — "where is the fleet and what is it doing there", the spatial
+    aggregation a position datalake serves constantly (and stage one of
+    the two-stage points-to-points join x_geo_nearest documents: the
+    grid IS the candidate screen).
+
+    Cross-engine: cell assignment is integer modular arithmetic + one
+    exact floor division; everything aggregated is integers; tie-breaks
+    are total.
+
+    Scale: one map-side-combinable (cell, type) count; the grid is
+    BOUNDED (18×36 cells at {_GRID_DEG}°) so the dominant-type window
+    and the global rank ride constant-size frames — the rank's
+    unpartitioned window is 648 rows max, control-plane by construction.
+    """
+    e = table(spark, sf, "events")
+    cells = e.select(
+        F.floor(
+            (((F.col("event_id") % 180) - 90 + 0.5) + 90.0) / _GRID_DEG
+        )
+        .cast("int")
+        .alias("cell_lat"),
+        F.floor(
+            ((((F.col("event_id") * 7) % 360) - 180 + 0.5) + 180.0)
+            / _GRID_DEG
+        )
+        .cast("int")
+        .alias("cell_lon"),
+        "user_id",
+        "event_type",
+    )
+    g = cells.groupBy("cell_lat", "cell_lon").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    dom = (
+        cells.groupBy("cell_lat", "cell_lon", "event_type")
+        .agg(F.count("*").alias("tn"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cell_lat", "cell_lon").orderBy(
+                    F.col("tn").desc(), F.col("event_type")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cell_lat", "cell_lon", F.col("event_type").alias("top_type"))
+    )
+    return (
+        g.join(dom, ["cell_lat", "cell_lon"])
+        .select(
+            "cell_lat",
+            "cell_lon",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            "top_type",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("n").desc(), F.col("cell_lat"), F.col("cell_lon")
+                )
+            )
+            .cast("int")
+            .alias("density_rank"),
         )
     )

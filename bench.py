@@ -204,6 +204,10 @@ HEADLINE = [
     "x_rfm",
     "x_cohort_ltv",
     "x_target_encoding",
+    # round-8 Tier L wave 3: engagement rollups, sequential testing, geo grid
+    "x_active_users",
+    "x_sprt",
+    "x_geo_grid",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

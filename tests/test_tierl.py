@@ -333,3 +333,133 @@ def test_target_encoding_loo_and_singleton(spark, tmp_path):
     # singleton source: denominator is 0 + m, encoding collapses to prior
     assert abs(out[4].enc_r - round((1 - 1 + m * prior) / (0 + m), 6)) < 1e-12
     assert out[4].enc_r == prior
+
+
+# ---------------------------------------------------------------------------
+# x_active_users
+# ---------------------------------------------------------------------------
+
+
+def test_active_users_rolling_horizons(spark, tmp_path):
+    # user 1 active days 1..10; user 2 active day 1 only; user 3 day 8.
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        rows.append((eid, datetime(2024, 1, day), 1, "click", 1.0, "{}"))
+        eid += 1
+    rows.append((eid, datetime(2024, 1, 1), 2, "click", 1.0, "{}")); eid += 1
+    rows.append((eid, datetime(2024, 1, 8), 3, "click", 1.0, "{}")); eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        str(r.day): r
+        for r in REGISTRY["x_active_users"].fn(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 10
+    assert out["2024-01-01"].dau == 2  # users 1, 2
+    assert out["2024-01-01"].wau == 2 and out["2024-01-01"].mau == 2
+    # day 7: trailing week = days 1..7 -> users 1, 2
+    assert out["2024-01-07"].dau == 1 and out["2024-01-07"].wau == 2
+    # day 8: trailing week = days 2..8 -> users 1, 3 (user 2 aged out)
+    assert out["2024-01-08"].wau == 2
+    # MAU covers everything within 30 days
+    assert out["2024-01-10"].mau == 3
+    assert abs(out["2024-01-10"].stickiness_r - round(1 / 3, 6)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# x_sprt
+# ---------------------------------------------------------------------------
+
+
+def test_sprt_boundaries_and_llr(spark, tmp_path):
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans.tierl import (
+        _SPRT_P0, _SPRT_P1,
+    )
+
+    # day 1: 10 events, 0 purchases (evidence for H0);
+    # day 2: 10 events, all purchases (strong evidence for H1).
+    rows = []
+    eid = 0
+    for _ in range(10):
+        rows.append((eid, datetime(2024, 1, 1), 1, "click", 1.0, "{}")); eid += 1
+    for _ in range(10):
+        rows.append((eid, datetime(2024, 1, 2), 1, "purchase", 1.0, "{}")); eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        str(r.day): r
+        for r in REGISTRY["x_sprt"].fn(spark, str(tmp_path)).collect()
+    }
+    c1 = math.log(_SPRT_P1 / _SPRT_P0)
+    c2 = math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert (d1.cum_n, d1.cum_k) == (10, 0)
+    assert abs(d1.llr_r - round(10 * c2, 6)) < 1e-12
+    assert (d2.cum_n, d2.cum_k) == (20, 10)
+    assert abs(d2.llr_r - round(10 * c1 + 10 * c2, 6)) < 1e-9
+    # 10*c1 + 10*c2 = 10*ln(22/18) + 10*ln(78/82) ~ 1.50 -> still inside
+    # the (+-2.944) Wald boundaries
+    assert d1.decision == "continue" and d2.decision == "continue"
+
+
+def test_sprt_rejects_h0_on_sustained_high_rate(spark, tmp_path):
+    # 30 days x 20 events all purchases: LLR = n*ln(p1/p0) grows ~0.2/event,
+    # crossing the upper boundary (2.944) within the first two days.
+    rows = []
+    eid = 0
+    for day in range(1, 31):
+        for _ in range(20):
+            rows.append(
+                (eid, datetime(2024, 1, day), 1, "purchase", 1.0, "{}")
+            )
+            eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = sorted(
+        REGISTRY["x_sprt"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.day,
+    )
+    assert out[0].decision == "reject_h0"  # 20*ln(22/18) ~ 4.0 > 2.944
+    assert all(r.decision == "reject_h0" for r in out)
+
+
+# ---------------------------------------------------------------------------
+# x_geo_grid
+# ---------------------------------------------------------------------------
+
+
+def test_geo_grid_cells_and_dominant_type(spark, tmp_path):
+    # event_id 0: lat 0.5 - 90 = -89.5, lon 0.5 - 180 = -179.5 -> cell (0,0)
+    # event_id 90: lat 0.5, lon (630%360)-180+0.5 = 90.5 -> cell (9, 27)
+    rows = [
+        (0, datetime(2024, 1, 1), 1, "click", 1.0, "{}"),
+        (360, datetime(2024, 1, 1), 2, "view", 1.0, "{}"),   # same cell as 0
+        (360, datetime(2024, 1, 1), 2, "view", 1.0, "{}"),   # dup event_id ok
+        (90, datetime(2024, 1, 2), 3, "purchase", 1.0, "{}"),
+    ]
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        (r.cell_lat, r.cell_lon): r
+        for r in REGISTRY["x_geo_grid"].fn(spark, str(tmp_path)).collect()
+    }
+    # event_id 0 and 360: lat=-89.5 lon=-179.5 -> cell (0, 0)
+    c00 = out[(0, 0)]
+    assert c00.n == 3 and c00.n_users == 2
+    assert c00.top_type == "view"  # 2 views beat 1 click
+    assert c00.density_rank == 1
+    c9 = out[(9, 27)]
+    assert c9.n == 1 and c9.top_type == "purchase" and c9.density_rank == 2
