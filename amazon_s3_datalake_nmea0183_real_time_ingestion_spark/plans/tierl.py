@@ -693,8 +693,8 @@ def x_rfm(spark: SparkSession, sf: str) -> DataFrame:
            round(CAST(rev_cents AS DOUBLE) / 100.0, 2) AS rev_r,
            round(CAST(cum_cents AS DOUBLE) / 100.0, 2) AS cum_rev_r,
            CAST(cohort_n AS BIGINT) AS cohort_n,
-           round(CAST(cum_cents AS DOUBLE) / (100.0 * cohort_n), 6)
-             AS ltv_per_cust_r
+           CAST((cum_cents * 20000 + cohort_n) // (2 * cohort_n)
+                AS DOUBLE) / 1000000.0 AS ltv_per_cust_r
     FROM cum JOIN sizes USING (cohort_ym)
     """,
 )
@@ -719,12 +719,18 @@ def x_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
     cohort magnitudes (~1e9 with 6 decimals ≈ 16 significant digits)
     differs between DuckDB's segment-tree association and Spark's
     sequential frame by ~1e-6 — NOT absorbable by any rounding grid at
-    that magnitude.  Integer cents eliminate both: the only doubles are
-    two final single IEEE divisions of exact integers, rounded at 2/6.
+    that magnitude.  Integer cents eliminate both — AND the final LTV
+    round stays integer too: the r8 review proved round(cents/(100n), 6)
+    STILL ties for whole input families (any odd cum_cents with
+    n = 32 terminates at exactly 7 decimals ending in 5 — 49/4000
+    random cases diverged live), so the 6-dp half-up round is computed
+    as BIGINT (cum_cents·20000 + n) DIV (2n) and only THEN divided by
+    10⁶ — one IEEE division by a power of ten of identical integers.
 
-    Scale note on the cents sum: BIGINT overflows at ~9.2e18 cents
-    (~9.2e16 dollars) per (cohort, age) cell — five orders of magnitude
-    above world GDP; at genuine risk of that, sum DECIMAL(38,0).
+    Scale note on the cents sums: the DIV numerator overflows BIGINT at
+    cum_cents ≈ 4.6e14 (≈ 4.6 trillion dollars per cohort) — far above
+    any real cohort; at genuine risk of that, move the cents columns to
+    DECIMAL(38,0).
 
     Scale: one shuffle keyed by customer for first-order month (map-side
     combinable min), one broadcast-joinable cohort-size table, one
@@ -765,10 +771,10 @@ def x_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
             "cum_rev_r"
         ),
         F.col("cohort_n").cast("bigint").alias("cohort_n"),
-        F.round(
-            F.col("cum_cents").cast("double")
-            / (F.lit(100.0) * F.col("cohort_n")),
-            6,
+        (
+            F.expr("(cum_cents * 20000 + cohort_n) DIV (2 * cohort_n)")
+            .cast("double")
+            / F.lit(1000000.0)
         ).alias("ltv_per_cust_r"),
     )
 
@@ -969,12 +975,23 @@ _SPRT_LO = repr(math.log(_SPRT_BETA / (1.0 - _SPRT_ALPHA)))
       SELECT day, cum_n, cum_k,
              cum_k * CAST({_SPRT_C1} AS DOUBLE)
                + (cum_n - cum_k) * CAST({_SPRT_C2} AS DOUBLE) AS llr
-      FROM c)
+      FROM c),
+    x AS (
+      SELECT day, cum_n, cum_k, llr,
+             min(CASE WHEN llr >= CAST({_SPRT_UP} AS DOUBLE) THEN day END)
+               OVER wrun AS day_up,
+             min(CASE WHEN llr <= CAST({_SPRT_LO} AS DOUBLE) THEN day END)
+               OVER wrun AS day_lo
+      FROM l
+      WINDOW wrun AS (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
     SELECT day, cum_n, cum_k, round(llr, 6) AS llr_r,
-           CASE WHEN llr >= CAST({_SPRT_UP} AS DOUBLE) THEN 'reject_h0'
-                WHEN llr <= CAST({_SPRT_LO} AS DOUBLE) THEN 'accept_h0'
+           CASE WHEN day_up IS NOT NULL
+                     AND (day_lo IS NULL OR day_up <= day_lo)
+                  THEN 'reject_h0'
+                WHEN day_lo IS NOT NULL THEN 'accept_h0'
                 ELSE 'continue' END AS decision
-    FROM l
+    FROM x
     """,
 )
 def x_sprt(spark: SparkSession, sf: str) -> DataFrame:
@@ -983,8 +1000,13 @@ def x_sprt(spark: SparkSession, sf: str) -> DataFrame:
     (p = {_SPRT_P0}) for the purchase rate, with the α = β = 0.05 Wald
     boundaries — the PEEKING-SAFE sequential readout completing the
     experiment family (x_ttest_welch adjudicates a fixed horizon, THIS
-    is what you may look at every day without inflating false positives;
-    decision column says continue / accept / reject as of each day).
+    is what you may look at every day without inflating false positives).
+    The decision is STICKY — the test STOPS at its first boundary
+    crossing, and every later row reports that verdict (the r8 review
+    caught the instantaneous-position version: an LLR that crossed and
+    then drifted back would have read 'continue', which has no α/β
+    control); precedence on the running min of each boundary's first
+    crossing day.
 
     Cross-engine: daily and cumulative counts are exact integers; the
     LLR is computed FROM THE CUMULATIVE COUNTS in one shared-shape
@@ -1014,13 +1036,41 @@ def x_sprt(spark: SparkSession, sf: str) -> DataFrame:
     llr = F.col("cum_k") * F.expr(f"CAST({_SPRT_C1} AS DOUBLE)") + (
         F.col("cum_n") - F.col("cum_k")
     ) * F.expr(f"CAST({_SPRT_C2} AS DOUBLE)")
-    return c.select(
+    wrun = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = c.select(
         "day",
         "cum_n",
         "cum_k",
-        F.round(llr, 6).alias("llr_r"),
-        F.when(llr >= F.expr(f"CAST({_SPRT_UP} AS DOUBLE)"), "reject_h0")
-        .when(llr <= F.expr(f"CAST({_SPRT_LO} AS DOUBLE)"), "accept_h0")
+        llr.alias("llr"),
+        F.min(
+            F.when(
+                llr >= F.expr(f"CAST({_SPRT_UP} AS DOUBLE)"), F.col("day")
+            )
+        )
+        .over(wrun)
+        .alias("day_up"),
+        F.min(
+            F.when(
+                llr <= F.expr(f"CAST({_SPRT_LO} AS DOUBLE)"), F.col("day")
+            )
+        )
+        .over(wrun)
+        .alias("day_lo"),
+    )
+    return x.select(
+        "day",
+        "cum_n",
+        "cum_k",
+        F.round("llr", 6).alias("llr_r"),
+        F.when(
+            F.col("day_up").isNotNull()
+            & (F.col("day_lo").isNull() | (F.col("day_up") <= F.col("day_lo"))),
+            "reject_h0",
+        )
+        .when(F.col("day_lo").isNotNull(), "accept_h0")
         .otherwise("continue")
         .alias("decision"),
     )

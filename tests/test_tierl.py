@@ -463,3 +463,52 @@ def test_geo_grid_cells_and_dominant_type(spark, tmp_path):
     assert c00.density_rank == 1
     c9 = out[(9, 27)]
     assert c9.n == 1 and c9.top_type == "purchase" and c9.density_rank == 2
+
+
+def test_cohort_ltv_halfway_tie_rounds_half_up(spark, tmp_path):
+    # r8 review regression: 32 customers, odd total cents -> the exact
+    # LTV quotient 1121/3200 = 0.35031250 terminates at exactly 7
+    # decimals ending in 5 (the class where float round() diverges
+    # between engines); the BIGINT half-up DIV must give 0.350313.
+    rows = [
+        (c, c, "O", 0.36 if c == 0 else 0.35, datetime(2024, 1, 5), "x")
+        for c in range(32)
+    ]
+    _write(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = REGISTRY["x_cohort_ltv"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].cohort_n == 32 and out[0].cum_rev_r == 11.21
+    assert out[0].ltv_per_cust_r == 0.350313
+
+
+def test_sprt_decision_is_sticky_after_crossing(spark, tmp_path):
+    # day 1: 20/20 purchases -> LLR = 20*ln(22/18) ~ 4.01 crosses +2.944
+    # (reject_h0).  days 2-40: zero purchases drag the cumulative LLR
+    # deep negative -- the instantaneous position would read 'continue'
+    # then 'accept_h0', but the SPRT STOPPED on day 1: every later row
+    # must still report reject_h0.
+    rows = []
+    eid = 0
+    for _ in range(20):
+        rows.append((eid, datetime(2024, 1, 1), 1, "purchase", 1.0, "{}"))
+        eid += 1
+    for day in range(2, 31):
+        for _ in range(20):
+            rows.append((eid, datetime(2024, 1, day), 1, "click", 1.0, "{}"))
+            eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = sorted(
+        REGISTRY["x_sprt"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.day,
+    )
+    assert out[0].decision == "reject_h0"
+    assert out[-1].llr_r < -2.944  # position DID cross the lower boundary
+    assert all(r.decision == "reject_h0" for r in out)
