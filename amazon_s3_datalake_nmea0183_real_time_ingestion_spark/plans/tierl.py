@@ -1187,3 +1187,146 @@ def x_geo_grid(spark: SparkSession, sf: str) -> DataFrame:
             .alias("density_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact two-sample Kolmogorov–Smirnov test
+# ---------------------------------------------------------------------------
+
+_KS_TYPE_A = "click"
+_KS_TYPE_B = "view"
+_KS_CALPHA = repr(1.3581015157406195)  # c(0.05) = sqrt(-ln(0.025)/2)
+
+
+@register(
+    "x_ks_test",
+    oracle=f"""
+    WITH e AS (
+      SELECT value,
+             CAST(event_type = '{_KS_TYPE_A}' AS INT) AS i1,
+             CAST(event_type = '{_KS_TYPE_B}' AS INT) AS i2
+      FROM events
+      WHERE value IS NOT NULL
+        AND event_type IN ('{_KS_TYPE_A}', '{_KS_TYPE_B}')),
+    g AS (
+      SELECT value, CAST(sum(i1) AS BIGINT) AS c1,
+             CAST(sum(i2) AS BIGINT) AS c2
+      FROM e GROUP BY value),
+    c AS (
+      SELECT value,
+             CAST(sum(c1) OVER wcum AS BIGINT) AS cum1,
+             CAST(sum(c2) OVER wcum AS BIGINT) AS cum2,
+             CAST(sum(c1) OVER () AS BIGINT) AS n1,
+             CAST(sum(c2) OVER () AS BIGINT) AS n2
+      FROM g
+      WINDOW wcum AS (ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    d AS (
+      SELECT value, n1, n2,
+             abs(cum1 * n2 - cum2 * n1) AS d_num,
+             max(abs(cum1 * n2 - cum2 * n1)) OVER () AS d_max
+      FROM c)
+    SELECT CAST(any_value(n1) AS BIGINT) AS n1,
+           CAST(any_value(n2) AS BIGINT) AS n2,
+           round(CAST(any_value(d_max) AS DOUBLE)
+                 / (any_value(n1) * CAST(any_value(n2) AS DOUBLE)), 6)
+             AS ks_d_r,
+           round(CAST({_KS_CALPHA} AS DOUBLE)
+                 * sqrt((any_value(n1) + CAST(any_value(n2) AS DOUBLE))
+                        / (any_value(n1) * CAST(any_value(n2) AS DOUBLE))), 6)
+             AS crit_r,
+           CAST(CAST(any_value(d_max) AS DOUBLE)
+                  / (any_value(n1) * CAST(any_value(n2) AS DOUBLE))
+                > CAST({_KS_CALPHA} AS DOUBLE)
+                  * sqrt((any_value(n1) + CAST(any_value(n2) AS DOUBLE))
+                         / (any_value(n1) * CAST(any_value(n2) AS DOUBLE)))
+                AS INT) AS reject,
+           min(value) AS at_value
+    FROM d WHERE d_num = d_max
+    """,
+)
+def x_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test (Kolmogorov '33,
+    Smirnov '39) between the '{_KS_TYPE_A}' and '{_KS_TYPE_B}' metric
+    distributions: D = sup|F₁−F₂| over the pooled support, the α = 0.05
+    two-sample critical value c(α)·√((n₁+n₂)/(n₁n₂)), a reject flag,
+    and the metric value where the gap peaks (smallest such value on
+    ties).  The BINLESS distribution comparison next to x_drift_psi's
+    10-bucket PSI — KS sees a shape difference PSI's coarse bins can
+    wash out, and its statistic is distribution-free.
+
+    Cross-engine: the supremum is found in EXACT INTEGER arithmetic —
+    at each pooled value, |cum₁·n₂ − cum₂·n₁| is a BIGINT, so the argmax
+    and the tie-break are integer comparisons with zero float exposure;
+    only the final normalization D = d_max/(n₁n₂) and the critical
+    value (repr-exact c(α), IEEE-correctly-rounded sqrt) are doubles,
+    and the reject flag compares those two bit-identical doubles.
+
+    Scale: one conditional-count rollup keyed by metric value (map-side
+    combinable), one running sum over the sorted DISTINCT-value table
+    (support-sized, not corpus-sized), one integer max.  The BIGINT
+    cross-product bound: d_num ≤ n₁·n₂ overflows past n ≈ 3e9 per
+    side — at that scale normalize per-row in DECIMAL(38,0) or subsample
+    (the KS statistic stabilizes long before 10⁹ points).
+    """
+    e = (
+        table(spark, sf, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(_KS_TYPE_A, _KS_TYPE_B)
+        )
+        .select(
+            "value",
+            (F.col("event_type") == _KS_TYPE_A).cast("int").alias("i1"),
+            (F.col("event_type") == _KS_TYPE_B).cast("int").alias("i2"),
+        )
+    )
+    g = e.groupBy("value").agg(
+        F.sum("i1").cast("bigint").alias("c1"),
+        F.sum("i2").cast("bigint").alias("c2"),
+    )
+    wcum = (
+        Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    c = g.select(
+        "value",
+        F.sum("c1").over(wcum).cast("bigint").alias("cum1"),
+        F.sum("c2").over(wcum).cast("bigint").alias("cum2"),
+        F.sum("c1").over(w_all).cast("bigint").alias("n1"),
+        F.sum("c2").over(w_all).cast("bigint").alias("n2"),
+    )
+    d = c.select(
+        "value",
+        "n1",
+        "n2",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias(
+            "d_num"
+        ),
+    ).withColumn("d_max", F.max("d_num").over(w_all))
+    ks = F.col("d_max").cast("double") / (
+        F.col("n1") * F.col("n2").cast("double")
+    )
+    crit = F.expr(f"CAST({_KS_CALPHA} AS DOUBLE)") * F.sqrt(
+        (F.col("n1") + F.col("n2").cast("double"))
+        / (F.col("n1") * F.col("n2").cast("double"))
+    )
+    return (
+        d.filter(F.col("d_num") == F.col("d_max"))
+        .groupBy()
+        .agg(
+            F.any_value("n1").alias("n1"),
+            F.any_value("n2").alias("n2"),
+            F.any_value("d_max").alias("d_max"),
+            F.min("value").alias("at_value"),
+        )
+        .select(
+            "n1",
+            "n2",
+            F.round(ks, 6).alias("ks_d_r"),
+            F.round(crit, 6).alias("crit_r"),
+            (ks > crit).cast("int").alias("reject"),
+            "at_value",
+        )
+    )

@@ -208,6 +208,8 @@ HEADLINE = [
     "x_active_users",
     "x_sprt",
     "x_geo_grid",
+    # round-8 Tier L wave 4: exact two-sample KS distribution test
+    "x_ks_test",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

@@ -512,3 +512,53 @@ def test_sprt_decision_is_sticky_after_crossing(spark, tmp_path):
     assert out[0].decision == "reject_h0"
     assert out[-1].llr_r < -2.944  # position DID cross the lower boundary
     assert all(r.decision == "reject_h0" for r in out)
+
+
+# ---------------------------------------------------------------------------
+# x_ks_test
+# ---------------------------------------------------------------------------
+
+
+def test_ks_disjoint_distributions_reject(spark, tmp_path):
+    # clicks all at value 1.0, views all at 2.0: F1 jumps to 1 while
+    # F2 is still 0 -> D = 1.0 at value 1.0, far past the critical value.
+    rows = []
+    eid = 0
+    for _ in range(50):
+        rows.append((eid, datetime(2024, 1, 1), 1, "click", 1.0, "{}")); eid += 1
+    for _ in range(40):
+        rows.append((eid, datetime(2024, 1, 1), 1, "view", 2.0, "{}")); eid += 1
+    # an unrelated type must be excluded entirely
+    rows.append((eid, datetime(2024, 1, 1), 1, "purchase", 9.0, "{}"))
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = REGISTRY["x_ks_test"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n1, r.n2) == (50, 40)
+    assert r.ks_d_r == 1.0 and r.reject == 1
+    assert r.at_value == 1.0
+    crit = 1.3581015157406195 * math.sqrt((50 + 40) / (50 * 40.0))
+    assert abs(r.crit_r - round(crit, 6)) < 1e-12
+
+
+def test_ks_identical_distributions_accept(spark, tmp_path):
+    # same empirical distribution for both types -> D = 0, no rejection
+    rows = []
+    eid = 0
+    for v in [1.0, 2.0, 3.0, 4.0]:
+        for t in ["click", "view"]:
+            for _ in range(10):
+                rows.append((eid, datetime(2024, 1, 1), 1, t, v, "{}"))
+                eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = REGISTRY["x_ks_test"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.ks_d_r == 0.0 and r.reject == 0
+    assert r.at_value == 1.0  # all values tie at d_num = 0; min wins
