@@ -36,7 +36,7 @@ _NEEDS_VERDICT = [
     "x_theta_intersect", "x_dp_counts",
     "x_benford", "x_autocorr", "x_l_diversity", "x_basket_rules",
     "x_seasonality_strength", "x_rfm", "x_cohort_ltv", "x_target_encoding",
-    "x_active_users", "x_sprt", "x_geo_grid", "x_ks_test",
+    "x_active_users", "x_sprt", "x_geo_grid", "x_ks_test", "x_conformal",
     # r4-era stale rows (r7 VERDICT #2), CORRECTNESS_r04 insertion order
     "x_dedup_best_guarded", "x_dedup_cluster_guarded",
     "cat_recover", "cat_register", "f_contains", "f_element_at", "f_split",

@@ -1330,3 +1330,191 @@ def x_ks_test(spark: SparkSession, sf: str) -> DataFrame:
             "at_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# split-conformal prediction coverage audit
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA_NUM = 9  # target coverage 1 - alpha = 9/10 (kept as integers)
+_CONF_STOPS = "['the','a','of','and','to','in','is','it','that','for']"
+
+
+@register(
+    "x_conformal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(lang = 'en' AS INT) AS label,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    p AS (
+      SELECT doc_id, source, label,
+             1.0 / (1.0 + exp(-(8.0 * (len(list_filter(t, x -> list_contains(
+               {_CONF_STOPS}, x))) / greatest(len(t), 1)) - 1.0))) AS prob
+      FROM toks),
+    s AS (
+      SELECT doc_id, source,
+             round(CASE WHEN label = 1 THEN 1.0 - prob ELSE prob END, 6)
+               AS s_r,
+             CAST(('0x' || substr(md5('conf:' || doc_id), 1, 8))::BIGINT
+                  AS DOUBLE) / 4294967296.0 < 0.5 AS is_cal
+      FROM p),
+    cal AS (
+      SELECT s_r, row_number() OVER (ORDER BY s_r, doc_id) AS rn
+      FROM s WHERE is_cal),
+    q AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cal,
+             ({_CONF_ALPHA_NUM} * (count(*) + 1) + 9) // 10 AS k
+      FROM cal),
+    qhat AS (
+      SELECT q.n_cal,
+             CASE WHEN q.k > q.n_cal THEN 1.0
+                  ELSE max(CASE WHEN cal.rn = q.k THEN cal.s_r END) END
+               AS qhat
+      FROM q LEFT JOIN cal ON cal.rn = q.k
+      GROUP BY q.n_cal, q.k)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CAST(s.s_r <= qhat.qhat AS INT)) AS BIGINT) AS n_covered,
+           round(CAST(sum(CAST(s.s_r <= qhat.qhat AS INT)) AS DOUBLE)
+                 / count(*), 6) AS coverage_r,
+           round(qhat.qhat, 6) AS qhat_r,
+           qhat.n_cal
+    FROM s, qhat WHERE NOT s.is_cal
+    GROUP BY source, qhat.qhat, qhat.n_cal
+    """,
+)
+def x_conformal(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal prediction coverage audit (Vovk et al. '05;
+    Angelopoulos–Bates '21 tutorial convention): the fixed logistic
+    scorer from x_calibration yields a nonconformity score s = 1−p(true
+    class); a deterministic md5 half-split holds out a calibration set;
+    q̂ is the ⌈(n+1)(1−α)⌉-th smallest calibration score (α = 0.1); the
+    eval split then reports PER-SOURCE empirical coverage of the
+    guarantee P(s ≤ q̂) ≥ 90 %.  Conformal's promise is MARGINAL — the
+    per-source breakdown shows exactly where exchangeability breaks
+    (a source whose documents score systematically differently
+    under-covers), the same per-slice honesty x_calibration's bins give
+    ECE.  Completes the uncertainty column of the eval-ops stack:
+    calibration audits probabilities, THIS audits distribution-free
+    set-coverage.
+
+    Cross-engine: scores are pinned at 6 dp BEFORE ranking (the libm
+    exp ≤1-ulp drift cannot reorder the rank unless two docs' true
+    scores differ by <1e-12 across a 5e-7 boundary — the x_dp_counts
+    risk class); the rank k = ⌈(n+1)·9/10⌉ is exact integer arithmetic
+    ((9(n+1)+9) DIV 10); q̂ is one order statistic under a total
+    (s_r, doc_id) order; coverage counts are integers.  k > n (tiny
+    calibration split) degenerates to q̂ = 1.0 — everything covered,
+    the conformal convention for an undefined quantile.
+
+    Scale: one corpus scan scores and splits; the rank window sorts the
+    CALIBRATION HALF — in production the calibration set is a fixed-size
+    sample (conformal guarantees need ~10³–10⁴ points, not a corpus
+    share), making the sort control-plane; q̂ is a 1-row broadcast and
+    the per-source coverage is a map-side-combinable conditional count.
+    """
+    from ..functions.text import tokens as _tokens
+
+    d = table(spark, sf, "documents")
+    stops = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+    p = d.select(
+        "doc_id",
+        "source",
+        (F.col("lang") == "en").cast("int").alias("label"),
+        _tokens("text").alias("__t"),
+    ).select(
+        "doc_id",
+        "source",
+        "label",
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.lit(8.0)
+                        * (
+                            F.size(
+                                F.filter(
+                                    F.col("__t"), lambda x: x.isin(*stops)
+                                )
+                            )
+                            / F.greatest(F.size("__t"), F.lit(1))
+                        )
+                        - F.lit(1.0)
+                    )
+                )
+            )
+        ).alias("prob"),
+    )
+    s = p.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.when(F.col("label") == 1, F.lit(1.0) - F.col("prob")).otherwise(
+                F.col("prob")
+            ),
+            6,
+        ).alias("s_r"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("conf:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .cast("double")
+            / F.lit(4294967296.0)
+            < 0.5
+        ).alias("is_cal"),
+    )
+    cal = (
+        s.filter("is_cal")
+        .select(
+            "s_r",
+            F.row_number()
+            .over(Window.orderBy("s_r", "doc_id"))
+            .alias("rn"),
+        )
+    )
+    q = cal.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_cal"),
+        F.expr(f"({_CONF_ALPHA_NUM} * (count(*) + 1) + 9) DIV 10").alias("k"),
+    )
+    qhat = (
+        q.join(cal, q["k"] == cal["rn"], "left")
+        .groupBy("n_cal", "k")
+        .agg(
+            F.when(F.col("k") > F.col("n_cal"), F.lit(1.0))
+            .otherwise(F.max("s_r"))
+            .alias("qhat")
+        )
+        .select("n_cal", "qhat")
+    )
+    ev = s.filter(~F.col("is_cal")).crossJoin(F.broadcast(qhat))
+    return ev.groupBy("source", "qhat", "n_cal").agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.sum((F.col("s_r") <= F.col("qhat")).cast("int"))
+        .cast("bigint")
+        .alias("n_covered"),
+    ).select(
+        "source",
+        "n_eval",
+        "n_covered",
+        F.round(
+            F.col("n_covered").cast("double") / F.col("n_eval"), 6
+        ).alias("coverage_r"),
+        F.round("qhat", 6).alias("qhat_r"),
+        "n_cal",
+    )

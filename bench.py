@@ -210,6 +210,8 @@ HEADLINE = [
     "x_geo_grid",
     # round-8 Tier L wave 4: exact two-sample KS distribution test
     "x_ks_test",
+    # round-8 Tier L wave 4b: split-conformal coverage audit
+    "x_conformal",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

@@ -562,3 +562,53 @@ def test_ks_identical_distributions_accept(spark, tmp_path):
     r = REGISTRY["x_ks_test"].fn(spark, str(tmp_path)).collect()[0]
     assert r.ks_d_r == 0.0 and r.reject == 0
     assert r.at_value == 1.0  # all values tie at d_num = 0; min wins
+
+
+# ---------------------------------------------------------------------------
+# x_conformal
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_coverage_guarantee_on_iid_data(spark, tmp_path):
+    # 200 identically-shaped docs (iid by construction): empirical eval
+    # coverage must be >= ~90% (the conformal guarantee) and q-hat one of
+    # the observed score values.  Alternate en/fr so both label branches
+    # of the nonconformity are exercised; vary stopword density so the
+    # scores spread.
+    rows = []
+    for i in range(200):
+        body = ("the and of " * (i % 7 + 1)) + ("xyz " * (7 - i % 7))
+        rows.append((i, body, "en" if i % 2 == 0 else "fr", "s", len(body)))
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = REGISTRY["x_conformal"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_cal + r.n_eval == 200 and r.n_cal > 20
+    assert 0.0 <= r.qhat_r <= 1.0
+    # marginal guarantee: coverage >= 1 - alpha - small-sample slack
+    assert r.coverage_r >= 0.85
+    assert r.n_covered <= r.n_eval
+
+
+def test_conformal_tiny_calibration_degenerates_to_full_coverage(
+    spark, tmp_path
+):
+    # with ~2 docs the calibration half can be smaller than the rank
+    # k = ceil((n+1)*0.9): q-hat degenerates to 1.0 and every eval doc
+    # is covered (the conformal convention for an undefined quantile).
+    rows = [
+        (1, "the and of", "en", "s", 10),
+        (2, "xyz xyz", "fr", "s", 7),
+    ]
+    _write(
+        spark, tmp_path, "documents", rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = REGISTRY["x_conformal"].fn(spark, str(tmp_path)).collect()
+    for r in out:
+        if r.n_cal == 0 or (9 * (r.n_cal + 1) + 9) // 10 > r.n_cal:
+            assert r.qhat_r == 1.0
+        assert r.n_covered <= r.n_eval
