@@ -1,4 +1,4 @@
-"""Tier L — round-8 fourth wave, eleven keys in eight families:
+"""Tier L — round-8 fourth wave, thirteen keys in nine families:
 
 - data-quality audit: Benford first-significant-digit conformance of the
   order-value distribution (`x_benford`) — the fraud/synthetic-data
@@ -25,7 +25,12 @@
   conversion monitor (`x_sprt`), completing the experiment family;
 - spatial: 10° grid-cell hotspot table over the fleet's positions
   (`x_geo_grid`) — stage one of the documented points-to-points
-  geo-join screen.
+  geo-join screen;
+- exact distribution testing / uncertainty: binless two-sample KS
+  test with BIGINT-exact supremum (`x_ks_test`, next to PSI's binned
+  comparison) and the split-conformal per-source coverage audit
+  (`x_conformal`, the distribution-free set-coverage side of
+  x_calibration's probability audit).
 
 Reference parity: the reference (an NMEA-0183 → S3 ingestion CDK app,
 cdk_datalake_mvp_stack.py) exposes its stage table to arbitrary Athena
