@@ -17,41 +17,40 @@ from . import tierk  # noqa: F401,E402
 from . import tierl  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
-# keys per round.  After round 7: 199/203 keys have a green driver row at
-# their latest check, 0 failures ever.  Round 8 (VERDICT.md r7 "Next round"
-# #1/#2) front-loads:
-#   1. slots 1-4 = the ONLY 4 keys with no driver row ever (Tier K slots
-#      51-54 of the r7 window; judge-verified locally in r7, and
-#      x_cusum_changepoint's min-floor fix this round needs adjudication);
-#   2. round-8 new keys (theta/KMV sketch intersection) — names listed
-#      ahead of registration; _front_load skips unknown keys;
-#   3. the 50 r4-era stale rows (3 rounds old; must cycle in r8/r9).
-#      4 + new + 50 > 50, so the trailing few r4 keys slip past the cut
-#      and lead the r9 queue — no first-ever row can be displaced.
+# keys per round.  After round 8: ALL 218 keys are green at their latest
+# driver check, 0 failures ever.  Round 9 (VERDICT.md r8 "Next round" #1)
+# front-loads:
+#   1. slots 1-19 = the 19 r4-era rows that slipped past r8's 50-key cut
+#      (4 rounds stale; the ONLY keys whose latest driver evidence is
+#      r4) — nothing may displace them;
+#   2. keys whose OUTPUT changed this round (x_benford order-pinned
+#      chi_total_r; x_dp_counts mechanics_only marker column) plus the
+#      plan-shape-changed x_theta_intersect (hash-stable, re-adjudicated
+#      out of caution) and the round-9 new key x_active_users_hll —
+#      names may be listed ahead of registration; _front_load skips
+#      unknown keys;
+#   3. the r5-era rows (now also 4 rounds old), CORRECTNESS_r05
+#      insertion order, minus x_dedup_semantic_guarded (fresh r7 row).
+#      19 + 4 + 27 = 50; the trailing r5 keys (q_agg_percentile …
+#      x_minhash_calibration) lead the r10 queue.
 _NEEDS_VERDICT = [
-    # never-adjudicated (r7 VERDICT #1) — MUST hold slots 1-4
-    "x_calibration", "x_cusum_changepoint", "x_forecast_mase",
-    "x_gini_concentration",
-    # round-8 new keys — first driver row needed
-    "x_theta_intersect", "x_dp_counts",
-    "x_benford", "x_autocorr", "x_l_diversity", "x_basket_rules",
-    "x_seasonality_strength", "x_rfm", "x_cohort_ltv", "x_target_encoding",
-    "x_active_users", "x_sprt", "x_geo_grid", "x_ks_test", "x_conformal",
-    # r4-era stale rows (r7 VERDICT #2), CORRECTNESS_r04 insertion order
-    "x_dedup_best_guarded", "x_dedup_cluster_guarded",
-    "cat_recover", "cat_register", "f_contains", "f_element_at", "f_split",
-    "op_alert_filter", "op_error_route", "op_event_partition",
-    "op_flatten_soh", "op_geocode_join", "op_nmea_latlon", "q_agg_modern",
-    "snk_raw_json", "snk_stage_parquet", "x_data_mix", "x_data_upsample",
-    "x_decontaminate", "x_dedup_cluster", "x_dedup_embed", "x_dedup_exact",
-    "x_dedup_near", "x_dedup_ngram", "x_dedup_simhash", "x_domain_quota",
-    "x_embed_reduce", "x_kmeans_assign", "x_kmeans_iter", "x_multimodal",
-    "x_multimodal_binary", "x_pack_sequences", "x_quality_model",
-    "x_session", "x_sim_ivf", "x_sim_lsh", "x_sim_topk", "x_split_hash",
-    "x_text_curate", "x_text_fingerprint", "x_text_langid",
-    "x_text_line_dedup", "x_text_pii", "x_text_quality",
-    "x_text_repetition", "x_text_tf", "x_text_tfidf", "x_text_tokens",
-    "x_url_parse", "x_vocab_topk",
+    # r4-era stale rows (r8 VERDICT #1) — MUST hold slots 1-19
+    "x_pack_sequences", "x_quality_model", "x_session", "x_sim_ivf",
+    "x_sim_lsh", "x_sim_topk", "x_split_hash", "x_text_curate",
+    "x_text_fingerprint", "x_text_langid", "x_text_line_dedup",
+    "x_text_pii", "x_text_quality", "x_text_repetition", "x_text_tf",
+    "x_text_tfidf", "x_text_tokens", "x_url_parse", "x_vocab_topk",
+    # round-9 changed / new keys — fresh row needed
+    "x_benford", "x_dp_counts", "x_theta_intersect", "x_active_users_hll",
+    # r5-era rows (next-oldest), CORRECTNESS_r05 insertion order
+    "q_triangle_count", "x_outlier_mad", "q_ts_downsample",
+    "x_sample_weighted", "x_decontaminate_bloom", "x_dedup_semantic",
+    "x_dedup_lev", "x_sample_stratified", "x_winsorize",
+    "x_dedup_containment", "x_drift_psi", "x_dedup_containment_guarded",
+    "x_novelty", "x_hard_negatives", "x_lpa", "x_dedup_substring",
+    "x_data_temperature", "x_dsir", "x_dedup_substring_guarded",
+    "x_label_noise", "x_sim_ivf2", "agg_class_count", "f_from_json",
+    "f_isbase64", "f_unbase64", "op_classify", "q_agg_grouping_sets",
 ]
 
 
