@@ -146,6 +146,17 @@ def mmr_rerank(cand: DataFrame, sim_cc: DataFrame, k: int,
     def _round6(x: float) -> float:
         # Spark F.round on doubles = BigDecimal.valueOf(x) [shortest
         # decimal repr, as Python's repr] .setScale(6, HALF_UP)
+        #
+        # JVM-version boundary (r8 ADVICE): Double.toString is shortest-
+        # repr-exact (Ryu) only from JDK 19 (JDK-4511638); older JVMs emit
+        # "enough digits to round-trip", which can exceed shortest repr
+        # and make BigDecimal HALF_UP diverge from this Python replica
+        # when the true value sits EXACTLY on a 5e-7 halfway boundary of
+        # the extra digit — a measure-zero set no rounded-input product
+        # lam·sq − mu·redun has hit at any tested SF (the oracle replay
+        # is bit-identical on the Java 17 runtime this repo pins).  If a
+        # deployment sees a 1-ulp trajectory fork on pre-19 JDKs, pin the
+        # scores upstream with F.round before they enter the greedy.
         return float(
             Decimal(repr(float(x))).quantize(
                 Decimal("0.000001"), rounding=ROUND_HALF_UP
@@ -153,11 +164,16 @@ def mmr_rerank(cand: DataFrame, sim_cc: DataFrame, k: int,
         )
 
     spark = cand.sparkSession
+    # limit(max_pool+1) makes the probe and the collect one job and caps
+    # what can ever reach the driver — an un-cut corpus raises after
+    # materializing max_pool+1 rows, not after collecting all of it
+    # (r8 ADVICE: the previous shape collected the full frame BEFORE
+    # checking, so the guard's own probe could OOM the driver)
     max_pool = 100_000
-    rows = cand.select("vec_id", "simq").collect()
+    rows = cand.select("vec_id", "simq").limit(max_pool + 1).collect()
     if len(rows) > max_pool:
         raise ValueError(
-            f"mmr_rerank pool has {len(rows)} rows (> {max_pool}): pass the "
+            f"mmr_rerank pool exceeds {max_pool} rows: pass the "
             "top-N retrieval cut, not the corpus — the greedy is pool-local"
         )
     # NULL simq (zero-norm vectors under try_divide) sorted LAST under the

@@ -1536,7 +1536,8 @@ _DP_TAU = 5.0  # post-noise suppression threshold
     SELECT source,
            CAST(n AS BIGINT) AS n_true,
            round(released, 4) AS released_r,
-           CAST(released < {_DP_TAU!r} AS INT) AS suppressed
+           CAST(released < {_DP_TAU!r} AS INT) AS suppressed,
+           1 AS mechanics_only
     FROM rel
     """,
 )
@@ -1562,7 +1563,10 @@ def x_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
     placement after the final combine, inverse-CDF transform, τ
     suppression); a real release must replace the md5 uniform with a
     secret-seeded or true random draw, at which point the oracle pairing
-    necessarily degrades to a distributional test.
+    necessarily degrades to a distributional test.  The constant
+    ``mechanics_only`` output column carries this caveat into the result
+    schema itself (r8 ADVICE) — downstream consumers see the marker even
+    if they never read this docstring.
 
     Cross-engine: the uniform is exact integer arithmetic; sgn/abs/±
     are IEEE-specified; the one libm call (ln) may differ by 1 ulp
@@ -1609,6 +1613,10 @@ def x_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_true"),
         F.round("released", 4).alias("released_r"),
         (F.col("released") < F.lit(_DP_TAU)).cast("int").alias("suppressed"),
+        # structural not-a-real-DP-release marker (r8 ADVICE): a constant
+        # column every consumer sees, so released_r can't be mistaken for
+        # privatized output without reading the docstring
+        F.lit(1).alias("mechanics_only"),
     )
 
 

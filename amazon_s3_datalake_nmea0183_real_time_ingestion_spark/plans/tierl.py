@@ -92,7 +92,8 @@ _BENFORD_CASE = (
                AS chi_r
       FROM t)
     SELECT digit, CAST(n AS BIGINT) AS n, expected_r, chi_r,
-           round(sum(chi_r) OVER (), 4) AS chi_total_r
+           round(CAST(sum(CAST(round(chi_r * 1000000.0) AS BIGINT)) OVER ()
+                      AS DOUBLE) / 1000000.0, 4) AS chi_total_r
     FROM c
     """,
 )
@@ -113,8 +114,11 @@ def x_benford(spark: SparkSession, sf: str) -> DataFrame:
     char (exact in both engines; float-to-string formatting is never
     touched); expected probabilities are repr()'d shared literals;
     counts are integers; the per-digit arithmetic is single-expression
-    IEEE-deterministic, and only the 9-term total is an order-unspecified
-    sum (rounded at 4 dp).
+    IEEE-deterministic, and the 9-term total is ORDER-PINNED (r8
+    ADVICE): each already-rounded chi_r converts to exact BIGINT
+    micro-units, the sum is associative integer addition, and one IEEE
+    division + round(4) finishes — no order-unspecified double sum
+    anywhere in the key.
 
     Scale: one map-side-combinable 9-group count; everything after the
     groupBy is constant-size (≤ 9 rows).  The window-sum total is a
@@ -162,12 +166,23 @@ def x_benford(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("chi_r"),
     )
+    # Order-pinned total (r8 ADVICE): the 9 chi_r terms are already exact
+    # 6-dp doubles, so chi_r·10⁶ is within 1 ulp of an integer — round to
+    # BIGINT micro-units, sum EXACTLY (integer addition is associative),
+    # then one IEEE division + round(4).  No association-order exposure
+    # remains anywhere in the module.
     return c.select(
         "digit",
         "n",
         "expected_r",
         "chi_r",
-        F.round(F.sum("chi_r").over(w_all), 4).alias("chi_total_r"),
+        F.round(
+            F.sum(F.round(F.col("chi_r") * 1000000.0).cast("bigint"))
+            .over(w_all)
+            .cast("double")
+            / 1000000.0,
+            4,
+        ).alias("chi_total_r"),
     )
 
 

@@ -272,7 +272,10 @@ def timeseries_monitor_report(
 
     ONE stage scan feeds ONE daily rollup per device (map-side
     combinable: avg for the CUSUM level series, sum for the MASE totals
-    series), then both statistics ride the tiny per-device day series:
+    series), then both statistics ride the tiny per-device day series.
+    Days are UTC epoch-day integers (floor(epoch/86400)) so boundaries —
+    and therefore alarms — are identical under every deployment session
+    timezone (r8 ADVICE):
 
     - **CUSUM** (Page '54, identical formula to the batch key including
       the S'_0 = 0 floor): C_t = S'_t − min(0, S'_1..S'_t) with drift
@@ -296,9 +299,16 @@ def timeseries_monitor_report(
     from pyspark.sql.window import Window as W
 
     df = spark.read.parquet(stage_path).filter(F.col(value_col).isNotNull())
+    # Day buckets are UTC epoch-days (floor(epoch/86400)) — a pure integer
+    # with NO session-timezone dependency.  The previous
+    # to_date(from_unixtime(...)) rendered in the Spark session timezone,
+    # so the same stage data produced different day boundaries (and a
+    # different alarm_latest) per deployment TZ (r8 ADVICE).
     d = df.groupBy(
         F.col(key_col).alias("k"),
-        F.to_date(F.from_unixtime(F.col(ts_col).cast("bigint"))).alias("day"),
+        F.floor(F.col(ts_col).cast("bigint") / F.lit(86400))
+        .cast("bigint")
+        .alias("day"),
     ).agg(
         F.avg(value_col).alias("x"),
         F.sum(value_col).alias("tot"),

@@ -543,6 +543,19 @@ def test_timeseries_monitor_cusum_and_mase(spark, tmp_path):
     assert d3["cusum_alarms"] == 0 and not d3["alarm_latest"]
     assert d3["mase"] is None  # naive MAE is 0 on a constant series
 
+    # Deployment-timezone independence (r8 ADVICE): the readings sit at
+    # 22:13 UTC, so a session-timezone rendering (the old
+    # to_date(from_unixtime(...)) shape) would shift them into the NEXT
+    # local day in an east-of-UTC zone and change day boundaries, MASE
+    # pairing and alarm_latest.  Epoch-day bucketing must make the report
+    # identical under any session timezone.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        assert timeseries_monitor_report(spark, path) == got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
 
 def test_tiere_plans_have_no_cartesian_or_nested_loop(spark, queries):
     """Tier E candidate generation must stay keyed: the triangle wedge
