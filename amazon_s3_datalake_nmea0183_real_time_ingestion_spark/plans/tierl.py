@@ -1037,7 +1037,11 @@ def x_sprt(spark: SparkSession, sf: str) -> DataFrame:
     boundaries.
 
     Scale: one map-side-combinable daily rollup; the running sums and
-    the decision ride the calendar-sized day series.
+    the decision ride the calendar-sized day series.  The maintenance-
+    cadence twin is ``sources/maintenance.py::sprt_monitor_report``
+    (same LLR, same sticky first-crossing precedence, replayed over the
+    append-only stage zone each pass) — a sequential test that only
+    runs in batch mode misses its whole point.
     """
     e = table(spark, sf, "events")
     d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(

@@ -374,6 +374,105 @@ def timeseries_monitor_report(
     return out
 
 
+def sprt_monitor_report(
+    spark: SparkSession,
+    stage_path: str,
+    success_expr: str = "battery_voltage < 11.0",
+    ts_col: str = "date_time",
+    p0: float = 0.18,
+    p1: float = 0.22,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> dict:
+    """Wald SPRT sequential rate monitor at the maintenance cadence — the
+    streaming-maintenance twin of the batch ``x_sprt`` key
+    (plans/tierl.py), the way ``timeseries_monitor_report`` twins
+    x_cusum_changepoint/x_forecast_mase: the sequential test's native
+    habitat IS the stream, where someone peeks at every batch.
+
+    Tests H1: P(``success_expr``) = ``p1`` against H0: = ``p0`` on the
+    daily fleet rollup (default: the low-battery-reading rate), with the
+    Wald boundaries log((1−β)/α) / log(β/(1−α)).  The decision is STICKY
+    exactly as in the batch key: the test STOPS at its first boundary
+    crossing — recomputing over the append-only stage zone replays the
+    full daily sequence, so the first-crossing day (and therefore the
+    verdict) can never un-happen even if later data drags the LLR back
+    across the boundary (precedence on the running min of each
+    boundary's first crossing day; reject wins a same-day tie, matching
+    x_sprt).
+
+    Days are UTC epoch-days (floor(epoch/86400)) like the CUSUM/MASE
+    monitor — no session-timezone dependence.
+
+    Returns ``{"n_days": int, "cum_n": int, "cum_k": int, "llr": float,
+    "decision": "continue"|"reject_h0"|"accept_h0",
+    "decided_day": int | None}`` (plain dict, foreachBatch-safe).
+
+    Scale: the corpus-sized work is ONE map-side-combinable daily count;
+    the cumulative LLR and crossing scan ride the calendar-sized day
+    series, and only the final row is collected.  At 100 TB the caller's
+    cadence should partition-prune the scan to the monitoring window —
+    or fold the daily (n, k) pairs into a persisted rollup and replay
+    the LLR from that, since the statistic depends on the data only
+    through the per-day counts.
+    """
+    import math as _math
+
+    from pyspark.sql.window import Window as W
+
+    c1 = _math.log(p1 / p0)
+    c2 = _math.log((1.0 - p1) / (1.0 - p0))
+    up = _math.log((1.0 - beta) / alpha)
+    lo = _math.log(beta / (1.0 - alpha))
+    df = spark.read.parquet(stage_path)
+    d = df.groupBy(
+        F.floor(F.col(ts_col).cast("bigint") / F.lit(86400))
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr(success_expr).cast("int")).alias("k"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = d.select(
+        "day",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("k").over(w).cast("bigint").alias("cum_k"),
+    )
+    llr = F.col("cum_k") * F.lit(c1) + (F.col("cum_n") - F.col("cum_k")) * F.lit(c2)
+    x = c.select(
+        "day",
+        "cum_n",
+        "cum_k",
+        llr.alias("llr"),
+        F.min(F.when(llr >= F.lit(up), F.col("day"))).over(w).alias("day_up"),
+        F.min(F.when(llr <= F.lit(lo), F.col("day"))).over(w).alias("day_lo"),
+        F.count("*").over(w).alias("n_days"),
+    )
+    rows = x.orderBy(F.col("day").desc()).limit(1).collect()
+    if not rows:
+        return {
+            "n_days": 0, "cum_n": 0, "cum_k": 0, "llr": 0.0,
+            "decision": "continue", "decided_day": None,
+        }
+    r = rows[0]
+    day_up, day_lo = r["day_up"], r["day_lo"]
+    if day_up is not None and (day_lo is None or day_up <= day_lo):
+        decision, decided = "reject_h0", int(day_up)
+    elif day_lo is not None:
+        decision, decided = "accept_h0", int(day_lo)
+    else:
+        decision, decided = "continue", None
+    return {
+        "n_days": int(r["n_days"]),
+        "cum_n": int(r["cum_n"]),
+        "cum_k": int(r["cum_k"]),
+        "llr": round(float(r["llr"]), 6),
+        "decision": decision,
+        "decided_day": decided,
+    }
+
+
 def pipeline_maintenance(
     spark: SparkSession,
     stage_path: str,
@@ -382,6 +481,7 @@ def pipeline_maintenance(
     quality: bool = False,
     drift_profile_path: str | None = None,
     monitor_timeseries: bool = False,
+    monitor_sprt: bool = False,
 ) -> dict:
     """One scheduled-maintenance pass — the in-engine analog of the
     reference's nightly crawler run (``cron(0 4 * * ? *)``,
@@ -399,6 +499,10 @@ def pipeline_maintenance(
     :func:`timeseries_monitor_report`): per-device CUSUM changepoint +
     MASE forecastability over the stage zone's daily series — schema
     flags shape, PSI flags distribution, CUSUM/MASE flag the TREND.
+    ``monitor_sprt=True`` adds a ``sprt`` block (see
+    :func:`sprt_monitor_report`): the sequential rate test with its
+    sticky stop-at-first-crossing decision — the peeking-safe verdict
+    layer on top of the trend monitors.
     """
     import os as _os
 
@@ -422,6 +526,8 @@ def pipeline_maintenance(
         )
     if monitor_timeseries and _os.path.isdir(stage_path):
         report["timeseries"] = timeseries_monitor_report(spark, stage_path)
+    if monitor_sprt and _os.path.isdir(stage_path):
+        report["sprt"] = sprt_monitor_report(spark, stage_path)
     for t in catalog_tables or []:
         if spark.catalog.tableExists(t):
             spark.catalog.recoverPartitions(t)

@@ -557,6 +557,67 @@ def test_timeseries_monitor_cusum_and_mase(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def test_sprt_monitor_sticky_across_batches(spark, tmp_path):
+    """The maintenance-cadence SPRT monitor (streaming twin of x_sprt):
+    the low-battery rate starts ambiguous (continue), a high-rate batch
+    crosses the upper Wald boundary (reject_h0), and a later batch that
+    drags the raw LLR far below the LOWER boundary must NOT flip the
+    verdict — the decision is sticky at the first crossing, exactly the
+    r8 batch-key semantics, replayed per maintenance pass over the
+    append-only stage zone."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        pipeline_maintenance,
+        sprt_monitor_report,
+    )
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    day0 = 1_700_000_000 - (1_700_000_000 % 86400)  # midnight-aligned
+    path = str(tmp_path / "stage")
+
+    def write_days(first_day, n_days, per_day, k_low):
+        rows = []
+        for d in range(first_day, first_day + n_days):
+            for i in range(per_day):
+                v = 10.5 if i < k_low else 12.5  # < 11.0 == "success"
+                rows.append((1, day0 + d * 86400 + i * 60, v))
+        spark.createDataFrame(
+            rows, "deviceid int, date_time int, battery_voltage double"
+        ).write.mode("append").parquet(path)
+
+    # batch 1: 5 days at the null rate 4/20 = 0.20 — no verdict yet
+    write_days(0, 5, 20, 4)
+    r1 = sprt_monitor_report(spark, path)
+    assert r1["decision"] == "continue" and r1["decided_day"] is None
+    assert r1["n_days"] == 5 and r1["cum_n"] == 100 and r1["cum_k"] == 20
+
+    # batch 2: 10 days at 30/100 = 0.30 — LLR climbs ~2.5/day and crosses
+    # the upper boundary log(0.95/0.05) ≈ 2.94 within two days
+    write_days(5, 10, 100, 30)
+    r2 = sprt_monitor_report(spark, path)
+    assert r2["decision"] == "reject_h0"
+    assert r2["decided_day"] is not None
+    first_crossing = r2["decided_day"]
+
+    # batch 3: 26 days at 5/100 = 0.05 — the raw LLR plunges ~3.75/day and
+    # ends far BELOW the lower boundary, but the verdict already happened
+    write_days(15, 26, 100, 5)
+    r3 = sprt_monitor_report(spark, path)
+    assert r3["llr"] < -2.944  # the un-stopped statistic did cross down …
+    assert r3["decision"] == "reject_h0"  # … and the decision is sticky
+    assert r3["decided_day"] == first_crossing
+
+    # and through the maintenance entry point, next to the other monitors
+    declared = StructType([
+        StructField("deviceid", IntegerType()),
+        StructField("date_time", IntegerType()),
+        StructField("battery_voltage", DoubleType()),
+    ])
+    report = pipeline_maintenance(spark, path, declared, monitor_sprt=True)
+    assert report["sprt"] == r3
+
+
 def test_tiere_plans_have_no_cartesian_or_nested_loop(spark, queries):
     """Tier E candidate generation must stay keyed: the triangle wedge
     join, the SemDeDup pair join and the Bloom probe are all equi-joins —
