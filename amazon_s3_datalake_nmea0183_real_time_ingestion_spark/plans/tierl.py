@@ -1,4 +1,5 @@
-"""Tier L — round-8 fourth wave, thirteen keys in nine families:
+"""Tier L — round-8 fourth wave, thirteen keys in nine families, plus
+the round-9 sketch-store twin `x_active_users_hll` (fourteen total):
 
 - data-quality audit: Benford first-significant-digit conformance of the
   order-value distribution (`x_benford`) — the fraud/synthetic-data
@@ -21,8 +22,11 @@
   (`x_target_encoding`) — the categorical-feature transform whose
   self-leakage trap x_split_leakage audits at the split level;
 - engagement / sequential monitoring: rolling DAU/WAU/MAU distinct
-  rollups (`x_active_users`) and the Wald SPRT peeking-safe
-  conversion monitor (`x_sprt`), completing the experiment family;
+  rollups (`x_active_users`), their mergeable per-day HLL sketch-store
+  twin (`x_active_users_hll`, the adjudicated 100 TB path), and the
+  Wald SPRT peeking-safe conversion monitor (`x_sprt`, whose
+  maintenance-cadence twin lives in sources/maintenance.py),
+  completing the experiment family;
 - spatial: 10° grid-cell hotspot table over the fleet's positions
   (`x_geo_grid`) — stage one of the documented points-to-points
   geo-join screen;
@@ -958,6 +962,122 @@ def x_active_users(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
             "stickiness_r"
         ),
+    )
+
+
+@register(
+    "x_active_users_hll",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (
+      SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau
+      FROM days d JOIN ud u
+        ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+      GROUP BY d.day),
+    mau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS mau
+      FROM days d JOIN ud u
+        ON u.day <= d.day AND u.day >= d.day - INTERVAL 29 DAY
+      GROUP BY d.day)
+    SELECT dau.day, CAST(dau AS BIGINT) AS dau_exact,
+           CAST(wau AS BIGINT) AS wau_exact, CAST(mau AS BIGINT) AS mau_exact,
+           1 AS dau_ok, 1 AS wau_ok, 1 AS mau_ok
+    FROM dau JOIN wau USING (day) JOIN mau USING (day)
+    """,
+)
+def x_active_users_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """The sketch-store twin of ``x_active_users`` (the 100 TB path its
+    docstring names — r8 VERDICT #4): ONE pass builds a per-day
+    HyperLogLog sketch of active users (``hll_sketch_agg``, lgConfigK
+    12), then every horizon is a UNION OF DAILY SKETCHES — DAU reads the
+    day's sketch, WAU unions 7, MAU unions 30 (``hll_union_agg`` over
+    the spine-joined trailing frame) — so a readout touches O(days)
+    4 KB states and NEVER re-expands (user, day) rows.  Adjudication is
+    the x_hll_union contract: the oracle replays the EXACT counts and
+    the within-±5 % verdicts (lgK 12 ⇒ ~1.6 % stderr; measured worst
+    relative error across both SFs and all three horizons: 0.81 % at
+    sf0.1 and 0.0 at sf0.01, whose daily cardinalities sit in the
+    sketch's sparse regime where the estimate is exact — a 6× margin
+    under the gate); a broken sketch build, union, or frame flips an
+    ok flag.
+
+    Scale: the corpus-sized work is the one map-side-combinable
+    per-day sketch build (partial state = one sketch per day per
+    partition).  The WAU/MAU fan-out joins the CALENDAR-sized sketch
+    table to the broadcast day spine — ≤ 30 sketch-sized rows per day
+    on the wire, independent of corpus size, vs the exact key's
+    ≤ 30 copies of the (user, day) table.  Persist the daily sketches
+    next to the data and the whole dashboard is answerable without
+    rescanning the corpus — THE mergeable-sketch-store economics, now
+    adjudicated end to end rather than only asserted.  Exact counts
+    appear ONLY as the adjudication side.
+    """
+    tol = 0.05
+    e = table(spark, sf, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    # the persisted-store analog: one 4 KB sketch per day, built in one pass
+    daily = ud.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("dau_exact"),
+    )
+
+    def _union_horizon(n_days: int, est_name: str) -> DataFrame:
+        d = days.select(F.col("day").alias("d"))
+        return (
+            F.broadcast(d)
+            .join(
+                daily,
+                (F.col("day") <= F.col("d"))
+                & (F.col("day") >= F.date_sub(F.col("d"), n_days - 1)),
+            )
+            .groupBy(F.col("d").alias("day"))
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(est_name)
+            )
+        )
+
+    # exact WAU/MAU (adjudication side) — the same spine join as the exact
+    # key, over the distinct (user, day) table
+    def _exact_horizon(n_days: int, name: str) -> DataFrame:
+        d = days.select(F.col("day").alias("d"))
+        return (
+            F.broadcast(d)
+            .join(
+                ud,
+                (F.col("day") <= F.col("d"))
+                & (F.col("day") >= F.date_sub(F.col("d"), n_days - 1)),
+            )
+            .groupBy(F.col("d").alias("day"))
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    ok = lambda est, exact: (  # noqa: E731
+        F.abs(est - F.col(exact).cast("double")) / F.col(exact) <= tol
+    ).cast("int")
+    out = (
+        daily.select(
+            "day",
+            F.hll_sketch_estimate("sk").alias("dau_est"),
+            "dau_exact",
+        )
+        .join(_union_horizon(7, "wau_est"), "day")
+        .join(_union_horizon(30, "mau_est"), "day")
+        .join(_exact_horizon(7, "wau_exact"), "day")
+        .join(_exact_horizon(30, "mau_exact"), "day")
+    )
+    return out.select(
+        "day",
+        F.col("dau_exact").cast("bigint").alias("dau_exact"),
+        F.col("wau_exact").cast("bigint").alias("wau_exact"),
+        F.col("mau_exact").cast("bigint").alias("mau_exact"),
+        ok(F.col("dau_est"), "dau_exact").alias("dau_ok"),
+        ok(F.col("wau_est"), "wau_exact").alias("wau_ok"),
+        ok(F.col("mau_est"), "mau_exact").alias("mau_ok"),
     )
 
 

@@ -369,6 +369,21 @@ def test_active_users_rolling_horizons(spark, tmp_path):
     assert out["2024-01-10"].mau == 3
     assert abs(out["2024-01-10"].stickiness_r - round(1 / 3, 6)) < 1e-12
 
+    # the sketch-store twin on the same fixture: exact columns must equal
+    # the exact key's counts, and at these cardinalities the HLL sits in
+    # its sparse (exact) regime so every verdict flag is 1 — a broken
+    # sketch build, union, or trailing frame flips one
+    hll = {
+        str(r.day): r
+        for r in REGISTRY["x_active_users_hll"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(hll) == set(out)
+    for day, r in hll.items():
+        assert (r.dau_exact, r.wau_exact, r.mau_exact) == (
+            out[day].dau, out[day].wau, out[day].mau
+        ), day
+        assert (r.dau_ok, r.wau_ok, r.mau_ok) == (1, 1, 1), day
+
 
 # ---------------------------------------------------------------------------
 # x_sprt
