@@ -212,6 +212,8 @@ HEADLINE = [
     "x_ks_test",
     # round-8 Tier L wave 4b: split-conformal coverage audit
     "x_conformal",
+    # round-9: mergeable per-day HLL sketch store for DAU/WAU/MAU
+    "x_active_users_hll",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical
@@ -221,6 +223,14 @@ HEADLINE = [
 # showed the widest same-day spread under host contention (SCALE.md §7e),
 # so a single contended sample distorts the round-over-round diff most.
 EXTRA_RUN_KEYS = {
+    # round-9 (VERDICT r8 #6): the r8 driver top-10 showed ±45% 2-run
+    # swings on keys whose code didn't change — x_dedup_best 4.7→6.8,
+    # x_kcore's r7/r8 driver rows inverted its local trend, x_pagerank
+    # 5.6 s with the same graph.py since r6.  Min-of-3 them so driver
+    # cross-round diffs stop manufacturing phantom regressions.
+    "x_dedup_best",
+    "x_kcore",
+    "x_pagerank",
     "x_sim_topk",
     "x_sim_ivf",
     "x_sim_lsh",
