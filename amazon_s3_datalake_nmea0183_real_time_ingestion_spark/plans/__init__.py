@@ -15,6 +15,7 @@ from . import tieri  # noqa: F401,E402
 from . import tierj  # noqa: F401,E402
 from . import tierk  # noqa: F401,E402
 from . import tierl  # noqa: F401,E402
+from . import tierm  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
 # keys per round.  After round 8: ALL 218 keys are green at their latest
@@ -31,8 +32,9 @@ from . import tierl  # noqa: F401,E402
 #      unknown keys;
 #   3. the r5-era rows (now also 4 rounds old), CORRECTNESS_r05
 #      insertion order, minus x_dedup_semantic_guarded (fresh r7 row).
-#      19 + 4 + 27 = 50; the trailing r5 keys (q_agg_percentile …
-#      x_minhash_calibration) lead the r10 queue.
+#      19 + 8 + 23 = 50; the trailing listed r5 keys (f_isbase64 …
+#      q_agg_grouping_sets) plus the rest of the r5 block
+#      (q_agg_percentile … x_minhash_calibration) lead the r10 queue.
 _NEEDS_VERDICT = [
     # r4-era stale rows (r8 VERDICT #1) — MUST hold slots 1-19
     "x_pack_sequences", "x_quality_model", "x_session", "x_sim_ivf",
@@ -40,8 +42,10 @@ _NEEDS_VERDICT = [
     "x_text_fingerprint", "x_text_langid", "x_text_line_dedup",
     "x_text_pii", "x_text_quality", "x_text_repetition", "x_text_tf",
     "x_text_tfidf", "x_text_tokens", "x_url_parse", "x_vocab_topk",
-    # round-9 changed / new keys — fresh row needed
+    # round-9 changed / new keys — fresh row needed (Tier M = the
+    # round-9 statistics wave: MW rank-sum, DiD, survival, Cramér's V)
     "x_benford", "x_dp_counts", "x_theta_intersect", "x_active_users_hll",
+    "x_mann_whitney", "x_diff_in_diff", "x_survival", "x_cramers_v",
     # r5-era rows (next-oldest), CORRECTNESS_r05 insertion order
     "q_triangle_count", "x_outlier_mad", "q_ts_downsample",
     "x_sample_weighted", "x_decontaminate_bloom", "x_dedup_semantic",

@@ -1,0 +1,612 @@
+"""Tier M — round-9 fifth wave, four keys completing the statistics
+column of the analytics surface:
+
+- nonparametric testing: exact-rank Mann–Whitney U with tie-corrected
+  normal approximation (`x_mann_whitney`) — the distribution-free
+  two-sample readout next to x_ttest_welch's parametric t and
+  x_ks_test's full-distribution comparison (t asks "did the MEAN
+  move", KS "did the DISTRIBUTION move", THIS "did one group
+  stochastically dominate" — robust to the heavy tails that break t);
+- causal inference: 2×2 difference-in-differences (`x_diff_in_diff`)
+  — the quasi-experimental estimator for when assignment was not
+  randomized, next to the randomized-experiment family (Welch/CUPED/
+  SRM/SPRT all assume the split was a coin flip; DiD only assumes
+  parallel trends);
+- survival analysis: Kaplan–Meier product-limit curve + Nelson–Aalen
+  cumulative hazard over customer order lifetimes (`x_survival`) —
+  THE churn readout, completing the customer column (RFM segments,
+  LTV triangle, retention grid, and now time-to-churn with correct
+  censoring);
+- categorical association: chi-square contingency + Cramér's V
+  (`x_cramers_v`) between order priority and market segment — the
+  categorical-categorical association row next to x_feature_mi
+  (feature↔label MI) and x_scorer_spearman (rank↔rank).
+
+Reference parity: the reference (an NMEA-0183 → S3 ingestion CDK app,
+cdk_datalake_mvp_stack.py) exposes its stage table to arbitrary Athena
+SQL; these are the statistics such a datalake serves.  Cross-engine
+float contract follows tierk.py/tierl.py: shared literal fragments and
+shared-shape expressions, exact BIGINT arithmetic wherever the
+semantics allow (MW ranks ride 2×-scaled integer "half-unit" ranks so
+tie-averaged ranks stay exact; the KM product is an ORDER-PINNED fold
+of 6-dp-rounded factors — both engines run the identical sequential
+round-multiply-round recurrence; the NA hazard accumulates in exact
+BIGINT micro-units like x_cohort_ltv's cents), and significance flags
+always read the ROUNDED statistic so a ULP cannot flip a verdict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import register, table
+
+# two-sided normal critical value at alpha = 0.05, shared literal
+_Z_CRIT = 1.959964
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U (Wilcoxon rank-sum) with exact half-unit integer ranks
+# ---------------------------------------------------------------------------
+
+# z statistic as ONE shared-shape expression over exact BIGINT inputs:
+# u2a = 2·U_a, tsum = Σ(t³−t) over tie groups, nn = n_a + n_b.  Every
+# operand is CAST to DOUBLE explicitly so both engines run the identical
+# IEEE sequence (sqrt is correctly rounded per IEEE 754 — no libm drift).
+_MW_Z = (
+    "(CAST(u2a AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+    " / 2.0) / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *"
+    " ((CAST(nn AS DOUBLE) + 1.0) - CAST(tsum AS DOUBLE) /"
+    " (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))))"
+)
+
+
+@register(
+    "x_mann_whitney",
+    oracle=f"""
+    WITH tt AS (SELECT DISTINCT event_type FROM events),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM tt a JOIN tt b ON a.event_type < b.event_type),
+    tg AS (
+      SELECT p.type_a, p.type_b, e.event_type, e.value
+      FROM events e JOIN p
+        ON e.event_type = p.type_a OR e.event_type = p.type_b),
+    g AS (
+      SELECT type_a, type_b, value, count(*) AS t,
+             sum(CAST(event_type = type_a AS INT)) AS a
+      FROM tg GROUP BY 1, 2, 3),
+    r AS (
+      SELECT *, coalesce(sum(t) OVER (
+               PARTITION BY type_a, type_b ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM g),
+    s AS (
+      SELECT type_a, type_b,
+             sum(a * (2 * c + t + 1)) AS r_a2,
+             sum(a) AS n_a, sum(t - a) AS n_b,
+             sum(t * t * t - t) AS tsum
+      FROM r GROUP BY 1, 2),
+    x AS (
+      SELECT type_a, type_b, n_a, n_b, n_a + n_b AS nn,
+             r_a2 - n_a * (n_a + 1) AS u2a, tsum
+      FROM s)
+    SELECT type_a, type_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(u2a AS DOUBLE) / 2.0 AS u_a,
+           round({_MW_Z}, 4) AS z_r,
+           CAST(abs(round({_MW_Z}, 4)) > {_Z_CRIT!r} AS INT) AS significant
+    FROM x
+    """,
+)
+def x_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann–Whitney U / Wilcoxon rank-sum test (Mann & Whitney, AMS '47)
+    between the metric values of every pair of event types: pooled
+    ranks with tie-group AVERAGE ranks, U_a = R_a − n_a(n_a+1)/2, and
+    the tie-corrected normal approximation
+    z = (U − n_a·n_b/2) / sqrt(n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1)))),
+    significance at |z| > {_Z_CRIT} on the ROUNDED statistic.  The
+    distribution-free row of the experiment family: x_ttest_welch's t
+    collapses under heavy tails/outliers where rank dominance doesn't.
+
+    Cross-engine: ranks never materialize as floats — tie-averaged
+    ranks are half-integers, so everything rides 2×-SCALED exact BIGINT
+    "half-unit" ranks (rank2 of a tie group at cumulative offset c with
+    t members = 2c + t + 1; R_a2 = Σ a_v·rank2_v; U_a = (R_a2 −
+    n_a(n_a+1))/2, exact in float64), tie correction Σ(t³−t) is an
+    integer sum, and z is ONE shared-shape expression over those
+    integers ending in an IEEE-exact sqrt — both engines produce the
+    bit-identical double, rounded at 4 dp, and the significance verdict
+    reads the rounded value (registry.py float rules).
+
+    Scale: the corpus work is one map-side-combinable (pair, value)
+    count — each event row fans out to the |types|−1 pairs its type
+    participates in (bounded by the TYPE dimension, not the corpus) —
+    then rank arithmetic rides the per-pair DISTINCT-VALUE support
+    table exactly like x_ks_test's running sums; the final stats are
+    one |pairs|-row aggregate.  No corpus-sized sort: the rank window
+    orders the grouped support table, not raw rows.
+    """
+    ev = table(spark, sf, "events").select("event_type", "value")
+    tt = ev.select("event_type").distinct()
+    pairs = (
+        tt.select(F.col("event_type").alias("type_a"))
+        .join(
+            tt.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    tagged = ev.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    )
+    g = tagged.groupBy("type_a", "type_b", "value").agg(
+        F.count("*").alias("t"),
+        F.sum((F.col("event_type") == F.col("type_a")).cast("int")).alias("a"),
+    )
+    w = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn("c", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    s = r.groupBy("type_a", "type_b").agg(
+        F.sum(
+            F.col("a") * (2 * F.col("c") + F.col("t") + 1)
+        ).alias("r_a2"),
+        F.sum("a").alias("n_a"),
+        F.sum(F.col("t") - F.col("a")).alias("n_b"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tsum"),
+    )
+    x = s.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        (F.col("n_a") + F.col("n_b")).alias("nn"),
+        (F.col("r_a2") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2a"),
+        "tsum",
+    )
+    return x.select(
+        "type_a",
+        "type_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr("CAST(u2a AS DOUBLE) / 2.0").alias("u_a"),
+        F.round(F.expr(_MW_Z), 4).alias("z_r"),
+        (F.abs(F.round(F.expr(_MW_Z), 4)) > F.lit(_Z_CRIT))
+        .cast("int")
+        .alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2×2 difference-in-differences
+# ---------------------------------------------------------------------------
+
+# DiD point estimate, pooled SE and z over the four cell moments —
+# shared-shape expressions over the engine-aggregated (n, mean, var)
+# columns (the x_ttest_welch convention: moments are the only
+# engine-computed aggregates; everything derived is rounded before
+# output and the verdict reads the rounded z).
+_DID = "((m11 - m10) - (m01 - m00))"
+_DID_SE = "sqrt(v11 / n11 + v10 / n10 + v01 / n01 + v00 / n00)"
+
+
+@register(
+    "x_diff_in_diff",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, value, CAST(ts AS DATE) AS d FROM events
+      WHERE value IS NOT NULL),
+    sp AS (
+      SELECT min(d) + CAST(floor(date_diff('day', min(d), max(d)) / 2.0)
+                           AS INT) AS split_d
+      FROM e),
+    cell AS (
+      SELECT CAST(user_id % 2 = 1 AS INT) AS treat,
+             CAST(d >= split_d AS INT) AS post,
+             count(*) AS n, avg(value) AS m, var_samp(value) AS v
+      FROM e, sp GROUP BY 1, 2),
+    wdf AS (
+      SELECT
+        max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n11,
+        max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n10,
+        max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n01,
+        max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n00,
+        max(CASE WHEN treat = 1 AND post = 1 THEN m END) AS m11,
+        max(CASE WHEN treat = 1 AND post = 0 THEN m END) AS m10,
+        max(CASE WHEN treat = 0 AND post = 1 THEN m END) AS m01,
+        max(CASE WHEN treat = 0 AND post = 0 THEN m END) AS m00,
+        max(CASE WHEN treat = 1 AND post = 1 THEN v END) AS v11,
+        max(CASE WHEN treat = 1 AND post = 0 THEN v END) AS v10,
+        max(CASE WHEN treat = 0 AND post = 1 THEN v END) AS v01,
+        max(CASE WHEN treat = 0 AND post = 0 THEN v END) AS v00
+      FROM cell)
+    SELECT CAST(n11 AS BIGINT) AS n_treat_post,
+           CAST(n10 AS BIGINT) AS n_treat_pre,
+           CAST(n01 AS BIGINT) AS n_ctrl_post,
+           CAST(n00 AS BIGINT) AS n_ctrl_pre,
+           round(m11, 4) AS mean_treat_post_r,
+           round(m10, 4) AS mean_treat_pre_r,
+           round(m01, 4) AS mean_ctrl_post_r,
+           round(m00, 4) AS mean_ctrl_pre_r,
+           round({_DID}, 4) AS did_r,
+           round({_DID_SE}, 4) AS se_r,
+           round({_DID} / {_DID_SE}, 4) AS z_r,
+           CAST(abs(round({_DID} / {_DID_SE}, 4)) > {_Z_CRIT!r} AS INT)
+             AS significant
+    FROM wdf
+    """,
+)
+def x_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """2×2 difference-in-differences (Card & Krueger AER '94 canonical
+    design): treatment = the deterministic user_id-parity split, period
+    = before/after the midpoint of the observed date range (derived
+    from the data, never a wall-clock literal), outcome = the event
+    metric value.  DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+    with the large-sample SE sqrt(Σ v_c/n_c) over the four cells and
+    significance at |z| > {_Z_CRIT} on the rounded statistic — the
+    quasi-experimental row of the experiment family: Welch/CUPED/SRM/
+    SPRT all assume RANDOMIZED assignment; DiD is what you run when
+    treatment arrived as a policy change, assuming only parallel
+    trends (the pre-period difference the estimator subtracts out).
+
+    Cross-engine: the split date is exact DATE arithmetic; cell
+    (n, mean, var) are the only engine-computed aggregates (summation
+    order drifts in final ULPs — the x_ttest_welch convention); every
+    derived statistic is a shared-shape expression over those moments,
+    rounded at 4 dp before output, and the significance verdict reads
+    the rounded z, so a ULP cannot flip it.
+
+    Scale: ONE map-side-combinable moments pass over the corpus
+    grouped by (treat, post) — four partial-merging cells, exactly the
+    x_ttest_welch economics — plus a 1-row min/max broadcast for the
+    split date.  The 100 TB DiD readout is this shape regardless of
+    corpus size; no per-cell rescans.
+    """
+    e = (
+        table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "value", F.col("ts").cast("date").alias("d"))
+    )
+    sp = e.agg(
+        F.date_add(
+            F.min("d"),
+            F.floor(
+                F.datediff(F.max("d"), F.min("d")) / F.lit(2.0)
+            ).cast("int"),
+        ).alias("split_d")
+    )
+    cell = (
+        e.crossJoin(F.broadcast(sp))
+        .groupBy(
+            (F.col("user_id") % 2 == 1).cast("int").alias("treat"),
+            (F.col("d") >= F.col("split_d")).cast("int").alias("post"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+
+    def _cell(col: str, tr: int, po: int, out: str):
+        return F.max(
+            F.when((F.col("treat") == tr) & (F.col("post") == po), F.col(col))
+        ).alias(out)
+
+    wdf = cell.agg(
+        _cell("n", 1, 1, "n11"), _cell("n", 1, 0, "n10"),
+        _cell("n", 0, 1, "n01"), _cell("n", 0, 0, "n00"),
+        _cell("m", 1, 1, "m11"), _cell("m", 1, 0, "m10"),
+        _cell("m", 0, 1, "m01"), _cell("m", 0, 0, "m00"),
+        _cell("v", 1, 1, "v11"), _cell("v", 1, 0, "v10"),
+        _cell("v", 0, 1, "v01"), _cell("v", 0, 0, "v00"),
+    )
+    return wdf.select(
+        F.col("n11").cast("bigint").alias("n_treat_post"),
+        F.col("n10").cast("bigint").alias("n_treat_pre"),
+        F.col("n01").cast("bigint").alias("n_ctrl_post"),
+        F.col("n00").cast("bigint").alias("n_ctrl_pre"),
+        F.round("m11", 4).alias("mean_treat_post_r"),
+        F.round("m10", 4).alias("mean_treat_pre_r"),
+        F.round("m01", 4).alias("mean_ctrl_post_r"),
+        F.round("m00", 4).alias("mean_ctrl_pre_r"),
+        F.round(F.expr(_DID), 4).alias("did_r"),
+        F.round(F.expr(_DID_SE), 4).alias("se_r"),
+        F.round(F.expr(f"{_DID} / {_DID_SE}"), 4).alias("z_r"),
+        (F.abs(F.round(F.expr(f"{_DID} / {_DID_SE}"), 4)) > F.lit(_Z_CRIT))
+        .cast("int")
+        .alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival + Nelson–Aalen cumulative hazard over order lifetimes
+# ---------------------------------------------------------------------------
+
+_SURV_CHURN_DAYS = 365  # no order for a year after the last = churned
+_SURV_BUCKET_DAYS = 30  # lifetime bucketed to 30-day "months"
+
+# per-bucket survival factor and hazard term, shared-shape over the
+# exact BIGINT (n_risk, d) columns
+_SURV_FACTOR = (
+    "round(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)"
+)
+_SURV_HAZ_U = (
+    "CAST(round(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+@register(
+    "x_survival",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS dd FROM orders),
+    cust AS (
+      SELECT ck, min(dd) AS first_d, max(dd) AS last_d FROM o GROUP BY ck),
+    g AS (SELECT max(dd) AS end_d FROM o),
+    life AS (
+      SELECT CAST(floor(date_diff('day', first_d, last_d)
+                        / {_SURV_BUCKET_DAYS}.0) AS INT) AS t,
+             CAST(date_diff('day', last_d, end_d) > {_SURV_CHURN_DAYS}
+                  AS INT) AS churned
+      FROM cust, g),
+    bucket AS (
+      SELECT t, sum(churned) AS d, sum(1 - churned) AS c, count(*) AS m
+      FROM life GROUP BY t),
+    r AS (
+      SELECT t, d, c,
+             sum(m) OVER (ORDER BY t DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_risk
+      FROM bucket),
+    f AS (
+      SELECT t, d, c, n_risk,
+             {_SURV_FACTOR} AS factor_r, {_SURV_HAZ_U} AS hz_u
+      FROM r),
+    k AS (
+      SELECT t, d, c, n_risk,
+             list_transform(
+               list_sort(list(struct_pack(t := t, f := factor_r)) OVER (
+                 ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               s -> s.f) AS fl,
+             sum(hz_u) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u
+      FROM f)
+    SELECT CAST(t AS INT) AS t_month,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_churn,
+           CAST(c AS BIGINT) AS c_censored,
+           round(list_reduce(fl, (acc, x) -> round(acc * x, 6)), 6) AS km_r,
+           round(CAST(cum_u AS DOUBLE) / 1000000.0, 6) AS na_cumhaz_r
+    FROM k
+    """,
+)
+def x_survival(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve (Kaplan & Meier,
+    JASA '58) + Nelson–Aalen cumulative hazard (Aalen, AoS '78) over
+    customer ORDER LIFETIMES with right censoring: lifetime = first →
+    last order in {_SURV_BUCKET_DAYS}-day buckets; a customer whose
+    last order is > {_SURV_CHURN_DAYS} days before the observation end
+    CHURNED at that bucket, otherwise they are CENSORED there (still
+    alive when observation ended — the rows a naive churn rate counts
+    as churned, which is exactly the bias KM exists to remove).  Per
+    bucket t: n_risk (customers with lifetime ≥ t), churn events d_t,
+    censored c_t, Ŝ(t) = Π_{{s≤t}} (n_s − d_s)/n_s, Ĥ(t) = Σ d_s/n_s.
+    The time-to-event row completing the customer column: RFM segments
+    now, LTV prices the cohort, retention grids count returns — THIS
+    says how long customers LIVE, with censoring handled correctly.
+
+    Cross-engine: all counts are exact BIGINT (the at-risk series is a
+    suffix sum of integer bucket sizes); each survival factor is ONE
+    shared-shape division rounded at 6 dp; the KM product is an
+    ORDER-PINNED SEQUENTIAL FOLD — both engines sort the (t, factor)
+    structs, then run the identical round(acc·x, 6) recurrence
+    (Spark ``aggregate`` HOF / DuckDB ``list_reduce``), so no
+    association-order exposure exists anywhere (the x_benford / tierk
+    module contract, applied to a product instead of a sum); the
+    hazard accumulates in exact BIGINT MICRO-UNITS (the x_cohort_ltv
+    cents pattern) with one final division.
+
+    Scale: the corpus-sized work is one map-side-combinable
+    per-customer min/max rollup; the bucket table is CALENDAR-bounded
+    (lifetime months — ≤ ~80 rows at any corpus size), so the suffix
+    sum, the fold windows and the O(K²) prefix-fold arrays are all
+    control-plane.  The 1-row observation-end broadcast prices the
+    censoring cut.
+    """
+    o = table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").cast("date").alias("dd"),
+    )
+    cust = o.groupBy("ck").agg(
+        F.min("dd").alias("first_d"), F.max("dd").alias("last_d")
+    )
+    end = o.agg(F.max("dd").alias("end_d"))
+    life = cust.crossJoin(F.broadcast(end)).select(
+        F.floor(
+            F.datediff("last_d", "first_d") / F.lit(float(_SURV_BUCKET_DAYS))
+        )
+        .cast("int")
+        .alias("t"),
+        (F.datediff("end_d", "last_d") > _SURV_CHURN_DAYS)
+        .cast("int")
+        .alias("churned"),
+    )
+    bucket = life.groupBy("t").agg(
+        F.sum("churned").alias("d"),
+        F.sum(F.lit(1) - F.col("churned")).alias("c"),
+        F.count("*").alias("m"),
+    )
+    wdesc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = bucket.withColumn("n_risk", F.sum("m").over(wdesc))
+    f = r.select(
+        "t", "d", "c", "n_risk",
+        F.expr(_SURV_FACTOR).alias("factor_r"),
+        F.expr(_SURV_HAZ_U).alias("hz_u"),
+    )
+    wasc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k = f.select(
+        "t", "d", "c", "n_risk",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("t").alias("t"), F.col("factor_r").alias("f"))
+                ).over(wasc)
+            ),
+            lambda s: s["f"],
+        ).alias("fl"),
+        F.sum("hz_u").over(wasc).alias("cum_u"),
+    )
+    return k.select(
+        F.col("t").cast("int").alias("t_month"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d_churn"),
+        F.col("c").cast("bigint").alias("c_censored"),
+        F.round(
+            F.aggregate(
+                "fl", F.lit(1.0), lambda acc, x: F.round(acc * x, 6)
+            ),
+            6,
+        ).alias("km_r"),
+        F.round(F.col("cum_u").cast("double") / 1000000.0, 6).alias(
+            "na_cumhaz_r"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-square contingency + Cramér's V (order priority × market segment)
+# ---------------------------------------------------------------------------
+
+# expected count and per-cell chi term, shared-shape over the exact
+# BIGINT margins (rn, cn, nn); the 5×5 TPC-H domains fix min(r−1, c−1)
+_CV_DF = 4
+_CV_E = "CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(nn AS DOUBLE)"
+_CV_CHI = (
+    f"round((CAST(n AS DOUBLE) - {_CV_E}) * (CAST(n AS DOUBLE) - {_CV_E})"
+    f" / ({_CV_E}), 6)"
+)
+
+
+@register(
+    "x_cramers_v",
+    oracle=f"""
+    WITH j AS (
+      SELECT o.o_orderpriority AS pri, c.c_mktsegment AS seg
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    spine AS (
+      SELECT a.pri, b.seg
+      FROM (SELECT DISTINCT pri FROM j) a, (SELECT DISTINCT seg FROM j) b),
+    g AS (
+      SELECT spine.pri, spine.seg, CAST(coalesce(cnt, 0) AS BIGINT) AS n
+      FROM spine LEFT JOIN (
+        SELECT pri, seg, count(*) AS cnt FROM j GROUP BY 1, 2) o
+        ON o.pri = spine.pri AND o.seg = spine.seg),
+    t AS (
+      SELECT pri, seg, n,
+             sum(n) OVER (PARTITION BY pri) AS rn,
+             sum(n) OVER (PARTITION BY seg) AS cn,
+             sum(n) OVER () AS nn
+      FROM g),
+    c AS (
+      SELECT pri, seg, n, nn,
+             round({_CV_E}, 6) AS expected_r,
+             {_CV_CHI} AS chi_r
+      FROM t),
+    s AS (
+      SELECT pri, seg, n, nn, expected_r, chi_r,
+             sum(CAST(round(chi_r * 1000000.0) AS BIGINT)) OVER () AS chi_u
+      FROM c)
+    SELECT pri, seg, n, expected_r, chi_r,
+           round(CAST(chi_u AS DOUBLE) / 1000000.0, 4) AS chi_total_r,
+           round(sqrt((CAST(chi_u AS DOUBLE) / 1000000.0)
+                      / (CAST(nn AS DOUBLE) * {_CV_DF}.0)), 6) AS cramers_v_r
+    FROM s
+    """,
+)
+def x_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square contingency test + Cramér's V (Cramér '46) between
+    order priority and customer market segment: the full 5×5 observed/
+    expected table (spine-joined so structurally-empty cells still
+    contribute their expected count — the x_benford lesson), each
+    cell's chi contribution, the order-pinned total, and
+    V = sqrt(χ²/(N·min(r−1, c−1))) ∈ [0, 1] — the categorical↔
+    categorical association row next to x_feature_mi (feature↔label
+    MI) and x_scorer_spearman (rank↔rank).  Near-zero V here is itself
+    the data-quality assertion: priority must NOT depend on segment in
+    a healthy generator.
+
+    Cross-engine: counts and margins are exact BIGINT; expected and
+    per-cell chi are shared-shape expressions rounded at 6 dp; the
+    25-term total converts each rounded term to exact BIGINT
+    micro-units and sums associatively (the x_benford order-pinned
+    pattern); V derives from the pinned total in one IEEE
+    division + sqrt.  min(r−1, c−1) = {_CV_DF} is fixed by the TPC-H
+    priority/segment domains both engines read.
+
+    Scale: one keyed join (customer is the dimension side — broadcast
+    at warehouse scale, AQE decides here) feeding one
+    map-side-combinable 25-cell count; margins, chi terms and V all
+    ride the |domain|²-sized table — control-plane at any corpus size.
+    """
+    o = table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderpriority").alias("pri")
+    )
+    c = table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("seg")
+    )
+    j = o.join(c, "ck").select("pri", "seg")
+    counts = j.groupBy("pri", "seg").agg(F.count("*").alias("cnt"))
+    # both sides are |domain|-sized (5 rows); the broadcast keeps the
+    # spine a BroadcastNestedLoopJoin, never a CartesianProduct node
+    spine = (
+        j.select("pri")
+        .distinct()
+        .crossJoin(F.broadcast(j.select("seg").distinct()))
+    )
+    g = spine.join(counts, ["pri", "seg"], "left").select(
+        "pri", "seg", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n")
+    )
+    t = g.select(
+        "pri", "seg", "n",
+        F.sum("n").over(Window.partitionBy("pri")).alias("rn"),
+        F.sum("n").over(Window.partitionBy("seg")).alias("cn"),
+        F.sum("n").over(Window.partitionBy()).alias("nn"),
+    )
+    cdf = t.select(
+        "pri", "seg", "n", "nn",
+        F.round(F.expr(_CV_E), 6).alias("expected_r"),
+        F.expr(_CV_CHI).alias("chi_r"),
+    )
+    s = cdf.withColumn(
+        "chi_u",
+        F.sum(F.round(F.col("chi_r") * 1000000.0).cast("bigint")).over(
+            Window.partitionBy()
+        ),
+    )
+    return s.select(
+        "pri", "seg", "n", "expected_r", "chi_r",
+        F.round(F.col("chi_u").cast("double") / 1000000.0, 4).alias(
+            "chi_total_r"
+        ),
+        F.round(
+            F.sqrt(
+                (F.col("chi_u").cast("double") / 1000000.0)
+                / (F.col("nn").cast("double") * _CV_DF)
+            ),
+            6,
+        ).alias("cramers_v_r"),
+    )

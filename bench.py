@@ -214,6 +214,11 @@ HEADLINE = [
     "x_conformal",
     # round-9: mergeable per-day HLL sketch store for DAU/WAU/MAU
     "x_active_users_hll",
+    # round-9 Tier M: nonparametric / causal / survival / association stats
+    "x_mann_whitney",
+    "x_diff_in_diff",
+    "x_survival",
+    "x_cramers_v",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

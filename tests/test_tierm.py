@@ -1,0 +1,172 @@
+"""Tier M semantics on hand-built tables: Mann–Whitney exact half-unit
+ranks (tie-averaged) and the separation/significance verdict, a planted
+difference-in-differences treatment effect, a hand-computed Kaplan–Meier
+curve with churned and censored customers, and Cramér's V on a
+perfectly-associated contingency table (zero cells spine-joined in).
+
+Each test writes a tiny synthetic parquet table into tmp_path and runs
+the REGISTERED plan against it — the exact code path the driver
+adjudicates, not a re-implementation."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans import REGISTRY
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / f"{name}.parquet"))
+
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _ev(eid, day, uid, etype, value):
+    return (eid, datetime(2024, 1, day), uid, etype, value, "{}")
+
+
+# ---------------------------------------------------------------------------
+# x_mann_whitney
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_tie_averaged_ranks(spark, tmp_path):
+    """a = [1, 2, 2], b = [2, 3]: the three tied 2s share average rank 3,
+    so R_a = 1 + 3 + 3 = 7, U_a = 7 - 3*4/2 = 1 — exact half-unit rank
+    arithmetic, and the tie correction sum(t^3 - t) = 24 feeds the
+    variance.  z = (1 - 3)/sqrt(0.5*(6 - 24/20)) = -1.291: not
+    significant."""
+    rows = [
+        _ev(0, 1, 1, "a", 1.0), _ev(1, 1, 1, "a", 2.0), _ev(2, 1, 1, "a", 2.0),
+        _ev(3, 1, 2, "b", 2.0), _ev(4, 1, 2, "b", 3.0),
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = REGISTRY["x_mann_whitney"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b) == ("a", "b")
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.u_a == 1.0
+    assert abs(r.z_r - (-1.291)) < 1e-9
+    assert r.significant == 0
+
+
+def test_mann_whitney_complete_separation_significant(spark, tmp_path):
+    """a = 1..5 all below b = 6..10: U_a = 0 (total dominance),
+    z = -12.5/sqrt(25*11/12) = -2.6112 — significant at |z| > 1.96."""
+    rows = [_ev(i, 1, 1, "a", float(i + 1)) for i in range(5)] + [
+        _ev(5 + i, 1, 2, "b", float(i + 6)) for i in range(5)
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    r = REGISTRY["x_mann_whitney"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.u_a == 0.0
+    assert abs(r.z_r - (-2.6112)) < 1e-9
+    assert r.significant == 1
+
+
+# ---------------------------------------------------------------------------
+# x_diff_in_diff
+# ---------------------------------------------------------------------------
+
+
+def test_diff_in_diff_planted_effect(spark, tmp_path):
+    """Users 1..4 (odd = treated), days 1..10 (split lands at day 5), base
+    outcome 10 everywhere, +5 planted on treated-post cells, ±0.1 jitter
+    balanced within every cell: DiD recovers exactly 5.0 and flags it;
+    the pre-period difference (none here) is what the estimator would
+    have subtracted."""
+    rows = []
+    eid = 0
+    for uid in (1, 2, 3, 4):
+        for day in range(1, 11):
+            base = 10.0 + 0.1 * (day % 2)
+            if uid % 2 == 1 and day >= 5:
+                base += 5.0
+            rows.append(_ev(eid, day, uid, "click", base))
+            eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    r = REGISTRY["x_diff_in_diff"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_treat_pre, r.n_treat_post) == (8, 12)
+    assert (r.n_ctrl_pre, r.n_ctrl_post) == (8, 12)
+    assert abs(r.mean_treat_post_r - 15.05) < 1e-9
+    assert abs(r.mean_ctrl_post_r - 10.05) < 1e-9
+    assert abs(r.did_r - 5.0) < 1e-9
+    assert r.significant == 1
+
+
+# ---------------------------------------------------------------------------
+# x_survival
+# ---------------------------------------------------------------------------
+
+
+def test_survival_km_and_hazard_with_censoring(spark, tmp_path):
+    """Four customers: A churns at bucket 0, B churns at bucket 2, C and D
+    run to the observation end (censored at bucket 24).  Hand-computed:
+    n_risk = [4, 3, 2], factors = [0.75, 0.666667, 1.0], KM = [0.75,
+    0.5, 0.5], cumulative hazard = [0.25, 0.583333, 0.583333].  A naive
+    churn rate would count C and D as churned — the censoring handling
+    is the point."""
+    rows = [
+        (1, datetime(2020, 1, 1)),                               # A
+        (2, datetime(2020, 1, 1)), (2, datetime(2020, 3, 1)),    # B (60 d)
+        (3, datetime(2020, 1, 1)), (3, datetime(2021, 12, 31)),  # C
+        (4, datetime(2020, 1, 1)), (4, datetime(2021, 12, 31)),  # D
+    ]
+    _write(
+        spark, tmp_path, "orders", rows,
+        "o_custkey long, o_orderdate timestamp",
+    )
+    out = {
+        r.t_month: r
+        for r in REGISTRY["x_survival"].fn(spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == [0, 2, 24]
+    assert [out[t].n_risk for t in (0, 2, 24)] == [4, 3, 2]
+    assert [out[t].d_churn for t in (0, 2, 24)] == [1, 1, 0]
+    assert [out[t].c_censored for t in (0, 2, 24)] == [0, 0, 2]
+    assert out[0].km_r == 0.75
+    assert out[2].km_r == 0.5   # round(0.75 * round(2/3, 6), 6)
+    assert out[24].km_r == 0.5  # censoring never drops the curve
+    assert out[0].na_cumhaz_r == 0.25
+    assert out[2].na_cumhaz_r == 0.583333
+    assert out[24].na_cumhaz_r == 0.583333
+
+
+# ---------------------------------------------------------------------------
+# x_cramers_v
+# ---------------------------------------------------------------------------
+
+
+def test_cramers_v_perfect_association_with_spine(spark, tmp_path):
+    """Priority fully determined by segment (2×2, 10 orders per diagonal
+    cell): every cell's expected count is 5, each of the four cells
+    (including the two ZERO cells the spine joins in) contributes
+    (10-5)^2/5 = (0-5)^2/5 = 5, chi-square total = 20 = N, and
+    V = sqrt(20 / (20 * 4)) = 0.5 with the key's fixed df = 4."""
+    cust = [(1, "X"), (2, "Y")]
+    _write(
+        spark, tmp_path, "customer", cust,
+        "c_custkey long, c_mktsegment string",
+    )
+    orders = [(i, 1, "P1") for i in range(10)] + [
+        (10 + i, 2, "P2") for i in range(10)
+    ]
+    _write(
+        spark, tmp_path, "orders", orders,
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    rows = REGISTRY["x_cramers_v"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 4  # spine: zero cells present
+    by_cell = {(r.pri, r.seg): r for r in rows}
+    assert by_cell[("P1", "X")].n == 10 and by_cell[("P1", "Y")].n == 0
+    for r in rows:
+        assert r.expected_r == 5.0
+        assert r.chi_r == 5.0
+        assert r.chi_total_r == 20.0
+        assert r.cramers_v_r == 0.5
