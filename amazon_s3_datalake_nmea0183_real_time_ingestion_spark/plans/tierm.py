@@ -1,5 +1,5 @@
-"""Tier M — round-9 fifth wave, four keys completing the statistics
-column of the analytics surface:
+"""Tier M — round-9 fifth wave, six keys completing the statistics and
+scorer-evaluation columns of the analytics surface:
 
 - nonparametric testing: exact-rank Mann–Whitney U with tie-corrected
   normal approximation (`x_mann_whitney`) — the distribution-free
@@ -20,7 +20,13 @@ column of the analytics surface:
 - categorical association: chi-square contingency + Cramér's V
   (`x_cramers_v`) between order priority and market segment — the
   categorical-categorical association row next to x_feature_mi
-  (feature↔label MI) and x_scorer_spearman (rank↔rank).
+  (feature↔label MI) and x_scorer_spearman (rank↔rank);
+- scorer evaluation: exact rank-identity ROC AUC (`x_auc` — AUC IS
+  the normalized Mann–Whitney U, so the half-unit-rank machinery
+  prices discrimination with zero float comparisons) and the decile
+  gains/lift table (`x_gains_lift`) — with x_calibration and
+  x_conformal this completes the scorer triptych: discrimination,
+  operating points, probability calibration, coverage.
 
 Reference parity: the reference (an NMEA-0183 → S3 ingestion CDK app,
 cdk_datalake_mvp_stack.py) exposes its stage table to arbitrary Athena
@@ -609,4 +615,238 @@ def x_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
             ),
             6,
         ).alias("cramers_v_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ranking-quality evaluation of the fixed scorer: exact AUC + gains/lift
+# ---------------------------------------------------------------------------
+
+# The fixed scorer of x_calibration / x_quality_model, WITHOUT the
+# sigmoid: AUC and decile ranks only need the score ORDER, and the
+# en-stopword RATIO is a monotone transform of the logistic output —
+# dropping exp() removes the one libm call, so the whole evaluation is
+# integer-exact.  Shared stopword list literal (x_calibration's).
+_EVAL_STOPS = "['the','a','of','and','to','in','is','it','that','for']"
+
+
+@register(
+    "x_auc",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    sc AS (
+      SELECT doc_id, CAST(lang = 'en' AS INT) AS label,
+             round(len(list_filter(t, x -> list_contains({_EVAL_STOPS}, x)))
+                   / greatest(len(t), 1), 6) AS score_r
+      FROM toks),
+    g AS (
+      SELECT score_r, count(*) AS t, sum(label) AS pos
+      FROM sc GROUP BY score_r),
+    r AS (
+      SELECT *, coalesce(sum(t) OVER (ORDER BY score_r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM g),
+    s AS (
+      SELECT sum(pos * (2 * c + t + 1)) AS r_pos2,
+             sum(pos) AS n_pos, sum(t - pos) AS n_neg
+      FROM r)
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           round(CAST(r_pos2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+             AS auc_r,
+           round(CAST(r_pos2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0, 6)
+             AS gini_r
+    FROM s
+    """,
+)
+def x_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact ROC AUC of the fixed quality scorer against the lang='en'
+    label via the rank-statistic identity AUC = (R₊ − n₊(n₊+1)/2)/
+    (n₊·n₋) (Hanley & McNeil, Radiology '82 — AUC IS the normalized
+    Mann–Whitney U), with tie groups contributing their average rank
+    (equivalent to counting ties as half-concordant).  Plus the Gini
+    coefficient 2·AUC − 1.  The ranking-quality row of the eval-ops
+    family: x_calibration audits whether scores are PROBABILITIES,
+    x_conformal audits coverage — THIS audits pure DISCRIMINATION,
+    which survives any monotone miscalibration.
+
+    Cross-engine: the score is the stopword RATIO (the x_calibration
+    scorer without its sigmoid — AUC is invariant under the monotone
+    transform, and dropping exp() removes the only libm call), rounded
+    at 6 dp so both engines group identical doubles; ranks ride
+    x_mann_whitney's 2×-scaled exact BIGINT half-unit ranks; AUC is
+    ONE division of exact integers.  No float comparison anywhere
+    before the final rounding.
+
+    Scale: one map-side score projection, one (score, label) count —
+    the rank window runs over the DISTINCT-SCORE support table
+    (≤ 10⁶ + 1 distinct 6-dp ratios regardless of corpus size), then a
+    1-row aggregate.  The 100 TB AUC evaluation is exactly this shape;
+    no corpus sort.
+    """
+    from ..functions.text import tokens as _tokens
+
+    d = table(spark, sf, "documents")
+    stops = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+    sc = d.select(
+        (F.col("lang") == "en").cast("int").alias("label"),
+        _tokens("text").alias("__t"),
+    ).select(
+        "label",
+        F.round(
+            F.size(F.filter(F.col("__t"), lambda x: x.isin(*stops)))
+            / F.greatest(F.size("__t"), F.lit(1)),
+            6,
+        ).alias("score_r"),
+    )
+    g = sc.groupBy("score_r").agg(
+        F.count("*").alias("t"), F.sum("label").alias("pos")
+    )
+    w = Window.orderBy("score_r").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn("c", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    s = r.agg(
+        F.sum(F.col("pos") * (2 * F.col("c") + F.col("t") + 1)).alias("r_pos2"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("t") - F.col("pos")).alias("n_neg"),
+    )
+    return s.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.round(
+            F.expr(
+                "CAST(r_pos2 - n_pos * (n_pos + 1) AS DOUBLE)"
+                " / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))"
+            ),
+            6,
+        ).alias("auc_r"),
+        F.round(
+            F.expr(
+                "CAST(r_pos2 - n_pos * (n_pos + 1) AS DOUBLE)"
+                " / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0"
+            ),
+            6,
+        ).alias("gini_r"),
+    )
+
+
+@register(
+    "x_gains_lift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    sc AS (
+      SELECT doc_id, CAST(lang = 'en' AS INT) AS label,
+             round(len(list_filter(t, x -> list_contains({_EVAL_STOPS}, x)))
+                   / greatest(len(t), 1), 6) AS score_r
+      FROM toks),
+    dec AS (
+      SELECT label,
+             ntile(10) OVER (ORDER BY score_r DESC, doc_id) AS decile
+      FROM sc),
+    g AS (
+      SELECT decile, count(*) AS n, sum(label) AS n_pos
+      FROM dec GROUP BY decile),
+    w AS (
+      SELECT decile, n, n_pos,
+             sum(n_pos) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+             sum(n_pos) OVER () AS tot_pos, sum(n) OVER () AS tot_n
+      FROM g)
+    SELECT CAST(decile AS INT) AS decile, CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS resp_rate_r,
+           round(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 6)
+             AS cum_gain_r,
+           round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6)
+             AS lift_r
+    FROM w
+    """,
+)
+def x_gains_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile gains table + lift chart of the fixed quality scorer
+    (the direct-marketing / model-triage standard readout): documents
+    ranked by score descending, cut into ntile(10) deciles (doc_id
+    tie-break makes the cut fully determined — the x_rfm convention),
+    and per decile the response rate, the CUMULATIVE share of all
+    positives captured (gains), and lift = decile rate / base rate.
+    "Read the top decile and you have X % of the English corpus" — the
+    operating-point view AUC integrates away; together with x_auc and
+    x_calibration this completes the scorer triptych (discrimination,
+    operating points, probability calibration).
+
+    Cross-engine: the score is the same 6-dp-pinned stopword ratio as
+    x_auc; ntile over a fully-determined total order is ANSI-identical;
+    counts and the cumulative are exact BIGINT; rates/gains/lift are
+    single divisions of exact integers, rounded at 6 dp.
+
+    Scale: one score projection + ONE global ntile sort — the one
+    corpus-ordered operation (TakeOrdered can't help; production
+    replaces exact ntile with approxQuantile score cuts broadcast as
+    width_bucket, the x_rfm / x_percentile_norm documented move) —
+    then a 10-row aggregate and control-plane windows.
+    """
+    from ..functions.text import tokens as _tokens
+
+    d = table(spark, sf, "documents")
+    stops = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+    sc = d.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("label"),
+        _tokens("text").alias("__t"),
+    ).select(
+        "doc_id",
+        "label",
+        F.round(
+            F.size(F.filter(F.col("__t"), lambda x: x.isin(*stops)))
+            / F.greatest(F.size("__t"), F.lit(1)),
+            6,
+        ).alias("score_r"),
+    )
+    dec = sc.select(
+        "label",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score_r").desc(), F.col("doc_id")))
+        .alias("decile"),
+    )
+    g = dec.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("label").alias("n_pos")
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    w = g.select(
+        "decile", "n", "n_pos",
+        F.sum("n_pos").over(wc).alias("cum_pos"),
+        F.sum("n_pos").over(wall).alias("tot_pos"),
+        F.sum("n").over(wall).alias("tot_n"),
+    )
+    return w.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("resp_rate_r"),
+        F.round(
+            F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double"),
+            6,
+        ).alias("cum_gain_r"),
+        F.round(
+            (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+            / (
+                F.col("tot_pos").cast("double")
+                / F.col("tot_n").cast("double")
+            ),
+            6,
+        ).alias("lift_r"),
     )

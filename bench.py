@@ -215,10 +215,13 @@ HEADLINE = [
     # round-9: mergeable per-day HLL sketch store for DAU/WAU/MAU
     "x_active_users_hll",
     # round-9 Tier M: nonparametric / causal / survival / association stats
+    # + scorer evaluation
     "x_mann_whitney",
     "x_diff_in_diff",
     "x_survival",
     "x_cramers_v",
+    "x_auc",
+    "x_gains_lift",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

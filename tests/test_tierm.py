@@ -170,3 +170,54 @@ def test_cramers_v_perfect_association_with_spine(spark, tmp_path):
         assert r.chi_r == 5.0
         assert r.chi_total_r == 20.0
         assert r.cramers_v_r == 0.5
+
+
+# ---------------------------------------------------------------------------
+# x_auc / x_gains_lift
+# ---------------------------------------------------------------------------
+
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs_separable():
+    """10 English docs scoring 1.0 (all stopwords), 10 French docs
+    scoring 0.0 (no stopwords) — a perfectly discriminating scorer."""
+    rows = []
+    for i in range(10):
+        rows.append((i, "the of and to in", "en", "web", 16))
+    for i in range(10):
+        rows.append((10 + i, "zèbre quux flux jamais", "fr", "web", 22))
+    return rows
+
+
+def test_auc_perfect_separation_and_all_ties(spark, tmp_path):
+    _write(spark, tmp_path, "documents", _docs_separable(), _DOC_SCHEMA)
+    r = REGISTRY["x_auc"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_pos, r.n_neg) == (10, 10)
+    assert r.auc_r == 1.0 and r.gini_r == 1.0
+
+    # identical text everywhere: every score ties, average ranks give
+    # EXACTLY 0.5 — the tie handling is the assertion
+    tied = [(i, "the quux", "en" if i < 10 else "fr", "web", 8)
+            for i in range(20)]
+    _write(spark, tmp_path, "documents", tied, _DOC_SCHEMA)
+    r = REGISTRY["x_auc"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.auc_r == 0.5 and r.gini_r == 0.0
+
+
+def test_gains_lift_deciles(spark, tmp_path):
+    """20 docs, 2 per decile: the 10 positives fill deciles 1-5 exactly,
+    so lift = 2.0 there (rate 1.0 vs base 0.5), cumulative gains reach
+    1.0 at decile 5, and the tail deciles respond 0."""
+    _write(spark, tmp_path, "documents", _docs_separable(), _DOC_SCHEMA)
+    out = {r.decile: r
+           for r in REGISTRY["x_gains_lift"].fn(spark, str(tmp_path)).collect()}
+    assert sorted(out) == list(range(1, 11))
+    for d in range(1, 6):
+        assert out[d].n == 2 and out[d].n_pos == 2
+        assert out[d].resp_rate_r == 1.0 and out[d].lift_r == 2.0
+    for d in range(6, 11):
+        assert out[d].n_pos == 0 and out[d].resp_rate_r == 0.0
+        assert out[d].cum_gain_r == 1.0
+    assert out[5].cum_gain_r == 1.0
+    assert out[1].cum_gain_r == 0.2
