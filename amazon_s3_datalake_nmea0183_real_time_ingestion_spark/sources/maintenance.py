@@ -431,7 +431,12 @@ def sprt_monitor_report(
         .alias("day")
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.expr(success_expr).cast("int")).alias("k"),
+        # a row whose predicate is NULL (e.g. NULL voltage) is a trial
+        # that was NOT a success — coalesce per row so an all-NULL day
+        # yields k = 0, not a NULL that poisons the cumulative LLR
+        F.sum(
+            F.coalesce(F.expr(success_expr).cast("int"), F.lit(0))
+        ).alias("k"),
     )
     w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
     c = d.select(
