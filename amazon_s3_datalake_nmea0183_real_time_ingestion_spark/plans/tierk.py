@@ -441,7 +441,12 @@ def x_theta_intersect(spark: SparkSession, sf: str) -> DataFrame:
     rank filter rn ≤ k is a WindowGroupLimit (per-partition top-k
     heaps before the source-keyed exchange, no full sort
     materialization; row_number is the ONLY window function in that
-    select, so the rewrite actually fires — r8 VERDICT #2), θ falls out
+    select, so the rewrite actually fires — r8 VERDICT #2 — AND
+    get_spark raises spark.sql.optimizer.windowGroupLimitThreshold
+    above k, because the rule's DEFAULT cap (1000) sits just below
+    k = 1024 and silently gated the rewrite; both conditions are pinned
+    by test_theta_kmv_rank_filter_compiles_to_window_group_limit), θ
+    falls out
     of the kept sample itself (a source keeps exactly k rows iff its
     set has ≥ k members, so θ = max(u) of the sample, else 1.0), and
     the pairwise stage joins three k-row samples; exact counts appear

@@ -37,6 +37,11 @@ def get_spark(app_name: str = "nmea-datalake-spark", shuffle_partitions: int | N
         # read would break the lazy scan at execution time.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # rank-filter → WindowGroupLimit rewrite fires only for limits ≤
+        # this threshold (default 1000); the KMV sketch keeps k = 1024
+        # rows per source (x_theta_intersect), which silently missed the
+        # per-partition top-k heap rewrite at the default
+        .config("spark.sql.optimizer.windowGroupLimitThreshold", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
