@@ -78,7 +78,8 @@ _MW_Z = (
     tg AS (
       SELECT p.type_a, p.type_b, e.event_type, e.value
       FROM events e JOIN p
-        ON e.event_type = p.type_a OR e.event_type = p.type_b),
+        ON e.event_type = p.type_a OR e.event_type = p.type_b
+      WHERE e.value IS NOT NULL),
     g AS (
       SELECT type_a, type_b, value, count(*) AS t,
              sum(CAST(event_type = type_a AS INT)) AS a
@@ -134,7 +135,15 @@ def x_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     one |pairs|-row aggregate.  No corpus-sized sort: the rank window
     orders the grouped support table, not raw rows.
     """
-    ev = table(spark, sf, "events").select("event_type", "value")
+    # NULL metrics are not trials — and they MUST be screened: the rank
+    # window orders by value, where Spark's ASC default (NULLS FIRST)
+    # and DuckDB's (NULLS LAST) would place NULL rows at opposite ends
+    # of the cumulative count (the registry.py NULLS-ordering rule)
+    ev = (
+        table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
     tt = ev.select("event_type").distinct()
     pairs = (
         tt.select(F.col("event_type").alias("type_a"))

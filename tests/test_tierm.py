@@ -45,13 +45,17 @@ def test_mann_whitney_tie_averaged_ranks(spark, tmp_path):
     rows = [
         _ev(0, 1, 1, "a", 1.0), _ev(1, 1, 1, "a", 2.0), _ev(2, 1, 1, "a", 2.0),
         _ev(3, 1, 2, "b", 2.0), _ev(4, 1, 2, "b", 3.0),
+        # NULL metric: not a trial — and must be screened BEFORE the rank
+        # window (Spark NULLS FIRST vs DuckDB NULLS LAST would otherwise
+        # shift every cumulative count)
+        _ev(5, 1, 2, "b", None),
     ]
     _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
     out = REGISTRY["x_mann_whitney"].fn(spark, str(tmp_path)).collect()
     assert len(out) == 1
     r = out[0]
     assert (r.type_a, r.type_b) == ("a", "b")
-    assert (r.n_a, r.n_b) == (3, 2)
+    assert (r.n_a, r.n_b) == (3, 2)  # the NULL row is excluded
     assert r.u_a == 1.0
     assert abs(r.z_r - (-1.291)) < 1e-9
     assert r.significant == 0
