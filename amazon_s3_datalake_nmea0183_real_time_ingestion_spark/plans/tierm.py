@@ -62,10 +62,14 @@ _Z_CRIT = 1.959964
 # IEEE sequence (sqrt is correctly rounded per IEEE 754 — no libm drift).
 _MW_Z = (
     "(CAST(u2a AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
-    " / 2.0) / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *"
+    " / 2.0) / nullif(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *"
     " ((CAST(nn AS DOUBLE) + 1.0) - CAST(tsum AS DOUBLE) /"
-    " (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))))"
+    " (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))), 0.0)"
 )
+# nullif keeps the degenerate every-value-tied sample (variance 0) a NULL
+# z / NULL verdict on BOTH engines — Spark ANSI otherwise THROWS
+# DIVIDE_BY_ZERO where DuckDB would emit NaN (found by the pair-counting
+# property test at va = vb = [0, 0]).
 
 
 @register(
@@ -210,6 +214,9 @@ def x_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
 # output and the verdict reads the rounded z).
 _DID = "((m11 - m10) - (m01 - m00))"
 _DID_SE = "sqrt(v11 / n11 + v10 / n10 + v01 / n01 + v00 / n00)"
+# zero-variance cells (se = 0) stay NULL-z on both engines instead of a
+# Spark-ANSI DIVIDE_BY_ZERO (the x_mann_whitney property-test lesson)
+_DID_Z = f"{_DID} / nullif({_DID_SE}, 0.0)"
 
 
 @register(
@@ -252,8 +259,8 @@ _DID_SE = "sqrt(v11 / n11 + v10 / n10 + v01 / n01 + v00 / n00)"
            round(m00, 4) AS mean_ctrl_pre_r,
            round({_DID}, 4) AS did_r,
            round({_DID_SE}, 4) AS se_r,
-           round({_DID} / {_DID_SE}, 4) AS z_r,
-           CAST(abs(round({_DID} / {_DID_SE}, 4)) > {_Z_CRIT!r} AS INT)
+           round({_DID_Z}, 4) AS z_r,
+           CAST(abs(round({_DID_Z}, 4)) > {_Z_CRIT!r} AS INT)
              AS significant
     FROM wdf
     """,
@@ -334,8 +341,8 @@ def x_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
         F.round("m00", 4).alias("mean_ctrl_pre_r"),
         F.round(F.expr(_DID), 4).alias("did_r"),
         F.round(F.expr(_DID_SE), 4).alias("se_r"),
-        F.round(F.expr(f"{_DID} / {_DID_SE}"), 4).alias("z_r"),
-        (F.abs(F.round(F.expr(f"{_DID} / {_DID_SE}"), 4)) > F.lit(_Z_CRIT))
+        F.round(F.expr(_DID_Z), 4).alias("z_r"),
+        (F.abs(F.round(F.expr(_DID_Z), 4)) > F.lit(_Z_CRIT))
         .cast("int")
         .alias("significant"),
     )
@@ -665,10 +672,10 @@ _EVAL_STOPS = "['the','a','of','and','to','in','is','it','that','for']"
       FROM r)
     SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
            round(CAST(r_pos2 - n_pos * (n_pos + 1) AS DOUBLE)
-                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+                 / nullif(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE), 0.0), 6)
              AS auc_r,
            round(CAST(r_pos2 - n_pos * (n_pos + 1) AS DOUBLE)
-                 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0, 6)
+                 / nullif(CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE), 0.0) - 1.0, 6)
              AS gini_r
     FROM s
     """,
@@ -729,14 +736,14 @@ def x_auc(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             F.expr(
                 "CAST(r_pos2 - n_pos * (n_pos + 1) AS DOUBLE)"
-                " / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))"
+                " / nullif(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE), 0.0)"
             ),
             6,
         ).alias("auc_r"),
         F.round(
             F.expr(
                 "CAST(r_pos2 - n_pos * (n_pos + 1) AS DOUBLE)"
-                " / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0"
+                " / nullif(CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE), 0.0) - 1.0"
             ),
             6,
         ).alias("gini_r"),
@@ -772,10 +779,11 @@ def x_auc(spark: SparkSession, sf: str) -> DataFrame:
     SELECT CAST(decile AS INT) AS decile, CAST(n AS BIGINT) AS n,
            CAST(n_pos AS BIGINT) AS n_pos,
            round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS resp_rate_r,
-           round(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 6)
+           round(CAST(cum_pos AS DOUBLE) / nullif(CAST(tot_pos AS DOUBLE), 0.0), 6)
              AS cum_gain_r,
            round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
-                 / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6)
+                 / nullif(CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE),
+                          0.0), 6)
              AS lift_r
     FROM w
     """,

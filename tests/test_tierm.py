@@ -2,7 +2,10 @@
 ranks (tie-averaged) and the separation/significance verdict, a planted
 difference-in-differences treatment effect, a hand-computed Kaplan–Meier
 curve with churned and censored customers, and Cramér's V on a
-perfectly-associated contingency table (zero cells spine-joined in).
+perfectly-associated contingency table (zero cells spine-joined in) —
+plus hypothesis property tests pinning the MW U statistic to the
+O(n²) pair-counting definition and the KM/NA curve to a sequential
+pure-Python reference on random censored cohorts.
 
 Each test writes a tiny synthetic parquet table into tmp_path and runs
 the REGISTERED plan against it — the exact code path the driver
@@ -11,6 +14,8 @@ adjudicates, not a re-implementation."""
 from __future__ import annotations
 
 from datetime import datetime
+
+from hypothesis import given, settings, strategies as st
 
 from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.plans import REGISTRY
 
@@ -225,3 +230,107 @@ def test_gains_lift_deciles(spark, tmp_path):
         assert out[d].cum_gain_r == 1.0
     assert out[5].cum_gain_r == 1.0
     assert out[1].cum_gain_r == 0.2
+
+
+# ---------------------------------------------------------------------------
+# property tests: MW U == pair counting; KM/NA == sequential reference
+# ---------------------------------------------------------------------------
+
+_QUARTERS = st.integers(min_value=0, max_value=20).map(lambda i: i / 4.0)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(_QUARTERS, min_size=2, max_size=12),
+    st.lists(_QUARTERS, min_size=2, max_size=12),
+)
+def test_mann_whitney_u_equals_pair_counting(spark, tmp_path_factory, va, vb):
+    """The rank-sum U must equal its DEFINING quantity: the number of
+    (a, b) pairs with a > b, counting ties half — on arbitrary small
+    samples with heavy ties (quarter-grid values force tie groups)."""
+    tmp_path = tmp_path_factory.mktemp("mwprop")
+    rows = [_ev(i, 1, 1, "a", v) for i, v in enumerate(va)] + [
+        _ev(100 + i, 1, 2, "b", v) for i, v in enumerate(vb)
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    r = REGISTRY["x_mann_whitney"].fn(spark, str(tmp_path)).collect()[0]
+    u_ref = sum(
+        1.0 if a > b else (0.5 if a == b else 0.0) for a in va for b in vb
+    )
+    assert (r.n_a, r.n_b) == (len(va), len(vb))
+    assert r.u_a == u_ref  # exact halves on both sides
+
+
+def _round6_half_up(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=300),   # first-order day
+            st.integers(min_value=0, max_value=700),   # lifetime days
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_survival_matches_sequential_reference(spark, tmp_path_factory, spans):
+    """KM and the NA hazard on a random censored cohort must equal a
+    pure-Python sequential reference running the SAME pinned recurrence
+    (round-half-up at 6 dp per step — the order-pinned fold contract)."""
+    from datetime import timedelta
+
+    tmp_path = tmp_path_factory.mktemp("kmprop")
+    base = datetime(2020, 1, 1)
+    rows = []
+    for ck, (start, dur) in enumerate(spans):
+        first = base + timedelta(days=start)
+        rows.append((ck, first))
+        if dur:
+            rows.append((ck, first + timedelta(days=dur)))
+    _write(spark, tmp_path, "orders", rows,
+           "o_custkey long, o_orderdate timestamp")
+    got = {
+        r.t_month: r
+        for r in REGISTRY["x_survival"].fn(spark, str(tmp_path)).collect()
+    }
+
+    # reference: bucket lifetimes, churn if last order > 365 d before end
+    end = max(start + dur for start, dur in spans)
+    buckets: dict[int, list[int]] = {}
+    for start, dur in spans:
+        t = dur // 30
+        churned = 1 if (end - (start + dur)) > 365 else 0
+        buckets.setdefault(t, []).append(churned)
+    at_risk = 0
+    km = 1.0
+    na_u = 0
+    expect = {}
+    # suffix n_risk, then ascending-t sequential fold
+    order = sorted(buckets)
+    suffix = {}
+    run = 0
+    for t in reversed(order):
+        run += len(buckets[t])
+        suffix[t] = run
+    for t in order:
+        n_risk = suffix[t]
+        d = sum(buckets[t])
+        km = _round6_half_up(km * _round6_half_up((n_risk - d) / n_risk))
+        na_u += round(_round6_half_up(d / n_risk) * 1e6)
+        expect[t] = (n_risk, d, len(buckets[t]) - d, km,
+                     _round6_half_up(na_u / 1e6))
+    assert set(got) == set(expect)
+    for t, (n_risk, d, c, km_e, na_e) in expect.items():
+        r = got[t]
+        assert (r.n_risk, r.d_churn, r.c_censored) == (n_risk, d, c), t
+        assert r.km_r == km_e, t
+        assert r.na_cumhaz_r == na_e, t
