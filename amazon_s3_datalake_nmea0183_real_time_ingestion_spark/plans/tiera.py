@@ -536,11 +536,16 @@ def cat_register(spark: SparkSession, sf: str) -> DataFrame:
     """A19: catalog registration — external parquet table in the session
     catalog (Glue DB+table, cdk_datalake_mvp_stack.py:337-511), queried
     via spark.sql."""
+    import os as _os
+
     spark.sql("DROP TABLE IF EXISTS orders_registered")
+    # LOCATION resolves relative paths against the warehouse dir, not the
+    # caller's cwd — absolutize so a relative sf_dir (e.g. the .scratch/sf1
+    # perf dataset) registers the same files spark.read would
     spark.sql(
         f"""
         CREATE TABLE orders_registered
-        USING PARQUET LOCATION '{sf}/orders.parquet'
+        USING PARQUET LOCATION '{_os.path.abspath(_os.path.join(sf, "orders.parquet"))}'
         """
     )
     return spark.sql(
