@@ -691,16 +691,16 @@ def x_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH cuts AS (
       SELECT event_type,
-             quantile_cont(value, 0.05) AS lo,
-             quantile_cont(value, 0.95) AS hi
+             round(quantile_cont(value, 0.05), 4) AS lo,
+             round(quantile_cont(value, 0.95), 4) AS hi
       FROM events GROUP BY event_type)
     SELECT e.event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CASE WHEN e.value < c.lo OR e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
            round(avg(e.value), 4) AS mean_raw,
            round(avg(least(greatest(e.value, c.lo), c.hi)), 4) AS mean_winsorized,
-           round(max(c.lo), 4) AS p05,
-           round(max(c.hi), 4) AS p95
+           max(c.lo) AS p05,
+           max(c.hi) AS p95
     FROM events e JOIN cuts c ON c.event_type = e.event_type
     GROUP BY e.event_type
     """,
@@ -711,6 +711,16 @@ def x_winsorize(spark: SparkSession, sf: str) -> DataFrame:
     mean shift — the feature-preprocessing step that tames heavy tails
     without dropping rows (the complement of x_outlier_mad, which flags).
 
+    Cross-engine: the cut points are PINNED at 4 dp before ANY use
+    (pin-then-derive, the tierk module contract) — Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the (n−1)·p linear-interpolation
+    definition but can differ in the final ulp, and the clip predicate
+    ``value < lo`` is exactly the unrounded-float-threshold knife edge
+    registry.py documents.  The driver corpora never hit it; the
+    .scratch/sf1 perf corpus DID (every value 10×-tied piles mass onto
+    the cutoff: 50 clip-count divergence, round-9 find), and the 4 dp
+    pin removes the class entirely since the metric itself carries 2 dp.
+
     Scale: one exact-percentile aggregation per group key, cut points
     BROADCAST back, then one map-side clamp + final agg — two
     event_type shuffles total, no global sort.  Same high-cardinality
@@ -719,8 +729,8 @@ def x_winsorize(spark: SparkSession, sf: str) -> DataFrame:
     """
     ev = table(spark, sf, "events").select("event_type", "value")
     cuts = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("lo"),
-        F.percentile("value", F.lit(0.95)).alias("hi"),
+        F.round(F.percentile("value", F.lit(0.05)), 4).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("hi"),
     )
     clipped = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
     wins = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
@@ -732,8 +742,8 @@ def x_winsorize(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(clipped.cast("long")).alias("n_clipped"),
             F.round(F.avg("value"), 4).alias("mean_raw"),
             F.round(F.avg(wins), 4).alias("mean_winsorized"),
-            F.round(F.max("lo"), 4).alias("p05"),
-            F.round(F.max("hi"), 4).alias("p95"),
+            F.max("lo").alias("p05"),  # already 4 dp-pinned
+            F.max("hi").alias("p95"),
         )
     )
 
