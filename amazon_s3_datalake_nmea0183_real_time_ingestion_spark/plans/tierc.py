@@ -203,7 +203,20 @@ def x_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def x_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash(60-bit) near-dup: 15-bit band candidate join + Hamming≤8."""
+    """SimHash(60-bit) near-dup: 15-bit band candidate join + Hamming≤8.
+
+    Clique boundary (measured, SCALE.md §7o): the output is the RAW pair
+    list, quadratic in duplicate-clique size — and SimHash signatures
+    are UNIGRAM-SET functions, so any corpus with large exact-duplicate
+    (or token-permuted) groups turns each group into a Hamming-0
+    clique.  The .scratch/sf1 perf corpus manufactures exactly that
+    (its token SHUFFLE defeats 3-gram shingles but preserves unigram
+    sets, so every 10-copy family is one clique) and the pair list
+    exceeds any reasonable collect.  Production path at scale: feed the
+    candidates into the cluster-collapse keys (x_dedup_cluster /
+    x_dedup_best) instead of materializing all pairs — cliques then
+    cost O(clique) labels, not O(clique²) rows.
+    """
     sigs = simhash_signatures(_doc_corpus(spark, sf))
     return simhash_pairs(sigs, n_bands=4, max_hamming=8)
 
