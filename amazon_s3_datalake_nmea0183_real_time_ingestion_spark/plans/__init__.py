@@ -32,8 +32,8 @@ from . import tierm  # noqa: F401,E402
 #      unknown keys;
 #   3. the r5-era rows (now also 4 rounds old), CORRECTNESS_r05
 #      insertion order, minus x_dedup_semantic_guarded (fresh r7 row).
-#      19 + 10 + 21 = 50; the trailing listed r5 keys (f_from_json …
-#      q_agg_grouping_sets) plus the rest of the r5 block
+#      19 + 11 + 20 = 50; the trailing listed r5 keys (op_classify,
+#      q_agg_grouping_sets …) plus the rest of the r5 block
 #      (q_agg_percentile … x_minhash_calibration) lead the r10 queue.
 _NEEDS_VERDICT = [
     # r4-era stale rows (r8 VERDICT #1) — MUST hold slots 1-19
@@ -46,7 +46,7 @@ _NEEDS_VERDICT = [
     # round-9 statistics wave: MW rank-sum, DiD, survival, Cramér's V)
     "x_benford", "x_dp_counts", "x_theta_intersect", "x_active_users_hll",
     "x_mann_whitney", "x_diff_in_diff", "x_survival", "x_cramers_v",
-    "x_auc", "x_gains_lift",
+    "x_auc", "x_gains_lift", "x_dedup_simhash_rep",
     # r5-era rows (next-oldest), CORRECTNESS_r05 insertion order
     "q_triangle_count", "x_outlier_mad", "q_ts_downsample",
     "x_sample_weighted", "x_decontaminate_bloom", "x_dedup_semantic",

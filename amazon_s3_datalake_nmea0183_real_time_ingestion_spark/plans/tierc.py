@@ -221,6 +221,103 @@ def x_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_pairs(sigs, n_bands=4, max_hamming=8)
 
 
+@register(
+    "x_dedup_simhash_rep",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, concat(text, ' zz9 qq8') AS text
+      FROM documents WHERE doc_id < 50),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
+      FROM corpus),
+    tok AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hh FROM tok),
+    bits AS (SELECT doc_id, b,
+                    sum(CASE WHEN (hh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM h CROSS JOIN unnest(range(60)) u(b) GROUP BY doc_id, b),
+    sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id),
+    cl AS (SELECT simhash, min(doc_id) AS rep_id, count(*) AS n_members
+           FROM sig GROUP BY simhash),
+    rbanded AS (SELECT rep_id, simhash, b AS band_id,
+                       (simhash >> (b * 15)) & 32767 AS band_val
+                FROM cl CROSS JOIN unnest(range(4)) u(b)),
+    prs AS (SELECT DISTINCT a.rep_id AS id_a, b.rep_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM rbanded a JOIN rbanded b USING (band_id, band_val)
+            WHERE a.rep_id < b.rep_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= 8),
+    nb AS (SELECT rep_id, count(*) AS n_near_nbrs, min(hamming) AS min_hamming
+           FROM (SELECT id_a AS rep_id, hamming FROM prs
+                 UNION ALL SELECT id_b AS rep_id, hamming FROM prs)
+           GROUP BY rep_id)
+    SELECT CAST(cl.rep_id AS BIGINT) AS rep_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members * (n_members - 1) // 2 AS BIGINT) AS exact_pairs,
+           CAST(coalesce(n_near_nbrs, 0) AS BIGINT) AS n_near_nbrs,
+           CAST(min_hamming AS INT) AS min_hamming
+    FROM cl LEFT JOIN nb ON nb.rep_id = cl.rep_id
+    """,
+)
+def x_dedup_simhash_rep(spark: SparkSession, sf: str) -> DataFrame:
+    """Representative-collapsed SimHash dedup — the PRODUCTION shape of
+    x_dedup_simhash, born from its measured sf1 clique boundary (round
+    9): identical signatures (exact or token-permuted duplicates —
+    SimHash is a unigram-set function) collapse FIRST into one
+    representative per signature with a member count, and the 15-bit
+    band candidate join + Hamming ≤ 8 verify runs over REPRESENTATIVES
+    ONLY.  A k-copy duplicate family then costs ONE cluster row and
+    k − 1 implied pairs (reported as exact_pairs = C(n_members, 2))
+    instead of C(k, 2) materialized rows — O(clique) state, never
+    O(clique²).  Per representative: member count, implied exact-dup
+    pair count, near-duplicate neighbor count among representatives,
+    and the closest neighbor's Hamming distance.
+
+    Cross-engine: signatures are the repo's deterministic md5 SimHash
+    (bit-identical on both engines — the packed-lane Spark build vs the
+    60-sum DuckDB replay is already pinned by x_dedup_simhash); every
+    output is integer arithmetic (n(n−1) DIV 2 is exact), min_hamming
+    is NULL for isolated representatives on both engines.
+
+    Scale: the collapse is one map-side-combinable groupBy(simhash);
+    the band join's bucket width is bounded by DISTINCT-signature
+    density, which duplicate mass can no longer inflate — the sf1
+    corpus that made the raw-pair key uncollectable (10-copy Hamming-0
+    cliques) runs here at |distinct signatures| ≈ corpus/10 rows.
+    """
+    sigs = simhash_signatures(_doc_corpus(spark, sf))
+    clusters = sigs.groupBy("simhash").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_members")
+    )
+    pairs = simhash_pairs(
+        clusters.select("doc_id", "simhash"), n_bands=4, max_hamming=8
+    )
+    nbrs = (
+        pairs.select(F.col("id_a").alias("doc_id"), "hamming")
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id"), "hamming"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_near_nbrs"),
+            F.min("hamming").alias("min_hamming"),
+        )
+    )
+    return clusters.join(nbrs, "doc_id", "left").select(
+        F.col("doc_id").cast("bigint").alias("rep_id"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.expr("CAST(n_members * (n_members - 1) DIV 2 AS BIGINT)").alias(
+            "exact_pairs"
+        ),
+        F.coalesce(F.col("n_near_nbrs"), F.lit(0))
+        .cast("bigint")
+        .alias("n_near_nbrs"),
+        F.col("min_hamming").cast("int").alias("min_hamming"),
+    )
+
+
 _SIMHASH_SIG_SQL = """
     tok AS (SELECT DISTINCT doc_id, tok
             FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),

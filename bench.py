@@ -222,6 +222,8 @@ HEADLINE = [
     "x_cramers_v",
     "x_auc",
     "x_gains_lift",
+    # round-9: representative-collapsed SimHash (the clique-safe scale shape)
+    "x_dedup_simhash_rep",
 ]
 
 # The similarity/hashing family regressed 31-62% in BENCH_r03 on identical

@@ -334,3 +334,44 @@ def test_survival_matches_sequential_reference(spark, tmp_path_factory, spans):
         assert (r.n_risk, r.d_churn, r.c_censored) == (n_risk, d, c), t
         assert r.km_r == km_e, t
         assert r.na_cumhaz_r == na_e, t
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_simhash_rep (registered in tierc; round-9 scale fix)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_rep_collapses_identical_signatures(spark, tmp_path):
+    """Three identical docs collapse to ONE representative with
+    n_members = 3 and C(3,2) = 3 implied exact pairs; two near-dup docs
+    (39 of 40 tokens shared) are separate reps that see each other as
+    neighbors; an unrelated doc is isolated (NULL min_hamming).  The
+    clique never materializes as pairs — that is the key's whole point
+    (doc_ids >= 100 stay clear of the _doc_corpus plant)."""
+    words = " ".join(f"w{i}" for i in range(40))
+    words2 = " ".join(f"w{i}" for i in range(39)) + " zz"
+    other = " ".join(f"q{i}x q{i}y q{i}z" for i in range(20))
+    docs = [
+        (100, words, "en", "web", len(words)),
+        (101, words, "en", "web", len(words)),
+        (102, words, "en", "web", len(words)),
+        (110, words, "en", "web", len(words)),  # 4th identical member
+        (111, words2, "en", "web", len(words2)),
+        (120, other, "en", "web", len(other)),
+    ]
+    _write(spark, tmp_path, "documents", docs, _DOC_SCHEMA)
+    out = {
+        r.rep_id: r
+        for r in REGISTRY["x_dedup_simhash_rep"].fn(spark, str(tmp_path)).collect()
+    }
+    # 3 distinct signatures -> 3 representatives
+    assert set(out) == {100, 111, 120}
+    a = out[100]
+    assert a.n_members == 4 and a.exact_pairs == 6  # C(4,2)
+    b = out[111]
+    assert b.n_members == 1 and b.exact_pairs == 0
+    # the near-dup pair is mutual, same closest distance on both sides
+    assert a.n_near_nbrs >= 1 and b.n_near_nbrs >= 1
+    assert a.min_hamming == b.min_hamming and 1 <= a.min_hamming <= 8
+    c = out[120]
+    assert c.n_near_nbrs == 0 and c.min_hamming is None
