@@ -18,44 +18,56 @@ from . import tierl  # noqa: F401,E402
 from . import tierm  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
-# keys per round.  After round 8: ALL 218 keys are green at their latest
-# driver check, 0 failures ever.  Round 9 (VERDICT.md r8 "Next round" #1)
-# front-loads:
-#   1. slots 1-19 = the 19 r4-era rows that slipped past r8's 50-key cut
+# keys per round.  After round 9: ALL 226 keys are green at their latest
+# driver check, 0 failures ever.  Round 10 (VERDICT.md r9 "Next round"
+# #1/#4) front-loads:
+#   1. slots 1-29 = the 29 r5-era rows that slipped past r9's 50-key cut
 #      (4 rounds stale; the ONLY keys whose latest driver evidence is
-#      r4) — nothing may displace them;
-#   2. keys whose OUTPUT changed this round (x_benford order-pinned
-#      chi_total_r; x_dp_counts mechanics_only marker column) plus the
-#      plan-shape-changed x_theta_intersect (hash-stable, re-adjudicated
-#      out of caution) and the round-9 new key x_active_users_hll —
-#      names may be listed ahead of registration; _front_load skips
-#      unknown keys;
-#   3. the r5-era rows (now also 4 rounds old), CORRECTNESS_r05
-#      insertion order, minus x_dedup_semantic_guarded (fresh r7 row).
-#      19 + 11 + 20 = 50; the trailing listed r5 keys (op_classify,
-#      q_agg_grouping_sets …) plus the rest of the r5 block
-#      (q_agg_percentile … x_minhash_calibration) lead the r10 queue.
+#      r5) — nothing may displace them;
+#   2. slots 30-32 = the 3 keys whose code changed in round 9 AFTER
+#      their latest driver row (cat_register LOCATION absolutized f043e1f;
+#      x_sprt NULL-predicate trials 73d6e88; x_mmr_diversify limit-probe
+#      pool guard 8b5a636);
+#   3. slots 33-36 = keys changed THIS round: x_gains_lift /
+#      x_mann_whitney / x_cramers_v (the three r9 ADVICE fixes — nullif
+#      denominator guards, DOUBLE tie-correction, derived min(r−1,c−1))
+#      and x_dedup_simhash (max_bucket clique guard, VERDICT r9 #2);
+#   4. slots 37-50 = the r6-era block, CORRECTNESS_r06 insertion order
+#      (14 of its 50 keys fit; the remainder is listed in the same order
+#      past the cut so the r11 window continues it with no re-planning:
+#      r11 should take the next 36 r6-era names below, then the r7 block).
 _NEEDS_VERDICT = [
-    # r4-era stale rows (r8 VERDICT #1) — MUST hold slots 1-19
-    "x_pack_sequences", "x_quality_model", "x_session", "x_sim_ivf",
-    "x_sim_lsh", "x_sim_topk", "x_split_hash", "x_text_curate",
-    "x_text_fingerprint", "x_text_langid", "x_text_line_dedup",
-    "x_text_pii", "x_text_quality", "x_text_repetition", "x_text_tf",
-    "x_text_tfidf", "x_text_tokens", "x_url_parse", "x_vocab_topk",
-    # round-9 changed / new keys — fresh row needed (Tier M = the
-    # round-9 statistics wave: MW rank-sum, DiD, survival, Cramér's V)
-    "x_benford", "x_dp_counts", "x_theta_intersect", "x_active_users_hll",
-    "x_mann_whitney", "x_diff_in_diff", "x_survival", "x_cramers_v",
-    "x_auc", "x_gains_lift", "x_dedup_simhash_rep",
-    # r5-era rows (next-oldest), CORRECTNESS_r05 insertion order
-    "q_triangle_count", "x_outlier_mad", "q_ts_downsample",
-    "x_sample_weighted", "x_decontaminate_bloom", "x_dedup_semantic",
-    "x_dedup_lev", "x_sample_stratified", "x_winsorize",
-    "x_dedup_containment", "x_drift_psi", "x_dedup_containment_guarded",
-    "x_novelty", "x_hard_negatives", "x_lpa", "x_dedup_substring",
-    "x_data_temperature", "x_dsir", "x_dedup_substring_guarded",
-    "x_label_noise", "x_sim_ivf2", "agg_class_count", "f_from_json",
-    "f_isbase64", "f_unbase64", "op_classify", "q_agg_grouping_sets",
+    # r5-era stale rows (r9 VERDICT #1) — MUST hold slots 1-29
+    "op_classify", "f_unbase64", "f_isbase64", "f_from_json",
+    "agg_class_count", "src_ingest", "q_agg_grouping_sets",
+    "q_agg_percentile", "q_agg_stats", "q_explode", "q_fn_bitwise",
+    "q_fn_conditional", "q_fn_sql_udfs", "q_join_full", "q_lateral",
+    "q_pivot", "q_recursive_cte", "q_trajectory", "q_unpivot",
+    "q_win_firstlast", "q_win_ntile", "q_win_range", "x_embed_quantize",
+    "x_lm_bigram", "x_minhash_calibration", "x_pmi_collocations",
+    "x_sim_ivf2", "x_sim_quantized", "x_token_entropy",
+    # changed in r9 after their latest driver row (r9 VERDICT #1)
+    "cat_register", "x_sprt", "x_mmr_diversify",
+    # changed THIS round (r9 ADVICE ×3 + the simhash clique guard)
+    "x_gains_lift", "x_mann_whitney", "x_cramers_v", "x_dedup_simhash",
+    # r6-era rows (next-oldest), CORRECTNESS_r06 insertion order;
+    # the first 14 complete this round's window, the rest queue for r11
+    "x_rank_fusion", "x_percentile_norm", "x_dedup_census",
+    "x_split_leakage", "x_split_cluster_safe", "x_keywords_tfidf",
+    "x_lang_mismatch", "x_embed_norms", "x_dataset_diff", "x_source_kl",
+    "x_curate_corpus", "q_triangle_count_guarded", "x_pagerank_guarded",
+    "x_lpa_guarded",
+    # --- r10 cut line (50) --- r11 continues here, r6 order preserved
+    "x_sim_ivf_2level", "x_dedup_cluster_star", "x_sim_ivf_2level_exact",
+    "x_curriculum_shards", "x_dataset_card", "x_decontaminate_near",
+    "x_chunk_documents", "x_multimodal_decode", "x_dedup_ledger_near",
+    "q_funnel", "q_retention", "q_gapfill", "x_scd2", "x_bm25",
+    "x_surprisal", "x_dedup_best", "x_zorder", "x_pagerank", "q_merge",
+    "q_pattern_match", "q_agg_approx_quantile", "x_ann_recall",
+    "q_fn_variant", "x_data_checks", "x_dedup_url", "q_histogram",
+    "q_join_asof_near", "q_scan_prune", "q_project_filter",
+    "q_join_inner", "q_join_left", "q_join_semi", "q_join_anti",
+    "q_join_range", "q_join_asof", "q_agg_basic",
 ]
 
 
