@@ -97,7 +97,7 @@ _MW_Z = (
       SELECT type_a, type_b,
              sum(a * (2 * c + t + 1)) AS r_a2,
              sum(a) AS n_a, sum(t - a) AS n_b,
-             sum(t * t * t - t) AS tsum
+             sum(CAST(t AS DOUBLE) * t * t - t) AS tsum
       FROM r GROUP BY 1, 2),
     x AS (
       SELECT type_a, type_b, n_a, n_b, n_a + n_b AS nn,
@@ -125,11 +125,14 @@ def x_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     ranks are half-integers, so everything rides 2×-SCALED exact BIGINT
     "half-unit" ranks (rank2 of a tie group at cumulative offset c with
     t members = 2c + t + 1; R_a2 = Σ a_v·rank2_v; U_a = (R_a2 −
-    n_a(n_a+1))/2, exact in float64), tie correction Σ(t³−t) is an
-    integer sum, and z is ONE shared-shape expression over those
-    integers ending in an IEEE-exact sqrt — both engines produce the
-    bit-identical double, rounded at 4 dp, and the significance verdict
-    reads the rounded value (registry.py float rules).
+    n_a(n_a+1))/2, exact in float64), tie correction Σ(t³−t)
+    accumulates in DOUBLE with the identical CAST-first shape on both
+    engines (exact while every partial sum ≤ 2^53 — a BIGINT cube would
+    instead ANSI-throw at a 2^21-row tie group), and z is ONE
+    shared-shape expression over those values ending in an IEEE-exact
+    sqrt — both engines produce the bit-identical double, rounded at
+    4 dp, and the significance verdict reads the rounded value
+    (registry.py float rules).
 
     Scale: the corpus work is one map-side-combinable (pair, value)
     count — each event row fans out to the |types|−1 pairs its type
@@ -177,8 +180,14 @@ def x_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("r_a2"),
         F.sum("a").alias("n_a"),
         F.sum(F.col("t") - F.col("a")).alias("n_b"),
+        # tie correction accumulates in DOUBLE (shared shape with the
+        # oracle): a BIGINT t³ overflows ANSI-fatally at t ≥ 2^21 rows in
+        # ONE tie group, a plausible width at 100 TB (r9 ADVICE).  tsum
+        # only feeds the float variance term, each t³−t ≤ 2^53 is an
+        # exact double up to t ≈ 2.1e5, and partial-sum order can drift
+        # the total only past 2^53 — inside a 4-dp-rounded z statistic.
         F.sum(
-            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
         ).alias("tsum"),
     )
     x = s.select(
@@ -514,8 +523,19 @@ def x_survival(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # expected count and per-cell chi term, shared-shape over the exact
-# BIGINT margins (rn, cn, nn); the 5×5 TPC-H domains fix min(r−1, c−1)
-_CV_DF = 4
+# BIGINT margins (rn, cn, nn).  min(r−1, c−1) is DERIVED from the
+# observed domains (r9 ADVICE — a hardcoded 4 underestimates V on any
+# corpus with fewer distinct priorities/segments): the spine is the
+# complete r×c cross product, so counting its rows per pri gives c
+# (cpp) and per seg gives r (cps) — exact, riding the same keyed
+# exchanges as the margins.  nullif keeps a degenerate 1×c or r×1
+# table (df = 0, V undefined) a NULL on BOTH engines instead of a
+# Spark-only ANSI DIVIDE_BY_ZERO.
+_CV_DF_EXPR = "least(CAST(cpp AS DOUBLE) - 1.0, CAST(cps AS DOUBLE) - 1.0)"
+_CV_V = (
+    f"round(sqrt((CAST(chi_u AS DOUBLE) / 1000000.0)"
+    f" / nullif(CAST(nn AS DOUBLE) * ({_CV_DF_EXPR}), 0.0)), 6)"
+)
 _CV_E = "CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(nn AS DOUBLE)"
 _CV_CHI = (
     f"round((CAST(n AS DOUBLE) - {_CV_E}) * (CAST(n AS DOUBLE) - {_CV_E})"
@@ -541,21 +561,22 @@ _CV_CHI = (
       SELECT pri, seg, n,
              sum(n) OVER (PARTITION BY pri) AS rn,
              sum(n) OVER (PARTITION BY seg) AS cn,
-             sum(n) OVER () AS nn
+             sum(n) OVER () AS nn,
+             count(*) OVER (PARTITION BY pri) AS cpp,
+             count(*) OVER (PARTITION BY seg) AS cps
       FROM g),
     c AS (
-      SELECT pri, seg, n, nn,
+      SELECT pri, seg, n, nn, cpp, cps,
              round({_CV_E}, 6) AS expected_r,
              {_CV_CHI} AS chi_r
       FROM t),
     s AS (
-      SELECT pri, seg, n, nn, expected_r, chi_r,
+      SELECT pri, seg, n, nn, cpp, cps, expected_r, chi_r,
              sum(CAST(round(chi_r * 1000000.0) AS BIGINT)) OVER () AS chi_u
       FROM c)
     SELECT pri, seg, n, expected_r, chi_r,
            round(CAST(chi_u AS DOUBLE) / 1000000.0, 4) AS chi_total_r,
-           round(sqrt((CAST(chi_u AS DOUBLE) / 1000000.0)
-                      / (CAST(nn AS DOUBLE) * {_CV_DF}.0)), 6) AS cramers_v_r
+           {_CV_V} AS cramers_v_r
     FROM s
     """,
 )
@@ -576,8 +597,10 @@ def x_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
     25-term total converts each rounded term to exact BIGINT
     micro-units and sums associatively (the x_benford order-pinned
     pattern); V derives from the pinned total in one IEEE
-    division + sqrt.  min(r−1, c−1) = {_CV_DF} is fixed by the TPC-H
-    priority/segment domains both engines read.
+    division + sqrt.  min(r−1, c−1) is DERIVED from the observed
+    domains via the complete spine's per-row counts (cpp = c, cps = r)
+    — exact on any corpus, NULL V when df = 0 (single row/column) on
+    both engines.
 
     Scale: one keyed join (customer is the dimension side — broadcast
     at warehouse scale, AQE decides here) feeding one
@@ -607,9 +630,13 @@ def x_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n").over(Window.partitionBy("pri")).alias("rn"),
         F.sum("n").over(Window.partitionBy("seg")).alias("cn"),
         F.sum("n").over(Window.partitionBy()).alias("nn"),
+        # spine rows per pri = |seg domain| (c); per seg = |pri| (r) —
+        # the derived-df inputs, riding the rn/cn exchanges
+        F.count("*").over(Window.partitionBy("pri")).alias("cpp"),
+        F.count("*").over(Window.partitionBy("seg")).alias("cps"),
     )
     cdf = t.select(
-        "pri", "seg", "n", "nn",
+        "pri", "seg", "n", "nn", "cpp", "cps",
         F.round(F.expr(_CV_E), 6).alias("expected_r"),
         F.expr(_CV_CHI).alias("chi_r"),
     )
@@ -624,13 +651,7 @@ def x_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("chi_u").cast("double") / 1000000.0, 4).alias(
             "chi_total_r"
         ),
-        F.round(
-            F.sqrt(
-                (F.col("chi_u").cast("double") / 1000000.0)
-                / (F.col("nn").cast("double") * _CV_DF)
-            ),
-            6,
-        ).alias("cramers_v_r"),
+        F.expr(_CV_V).alias("cramers_v_r"),
     )
 
 
@@ -847,6 +868,10 @@ def x_gains_lift(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_pos").over(wall).alias("tot_pos"),
         F.sum("n").over(wall).alias("tot_n"),
     )
+    # tot_pos guards mirror the oracle's nullif: a zero-positive corpus
+    # (no 'en' documents) yields NULL gains/lift on BOTH engines instead
+    # of a Spark-only ANSI DIVIDE_BY_ZERO (r9 ADVICE; the module's
+    # shared nullif convention — n/tot_n are ntile cells, never 0)
     return w.select(
         F.col("decile").cast("int").alias("decile"),
         F.col("n").cast("bigint").alias("n"),
@@ -855,14 +880,17 @@ def x_gains_lift(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
         ).alias("resp_rate_r"),
         F.round(
-            F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double"),
+            F.expr(
+                "CAST(cum_pos AS DOUBLE)"
+                " / nullif(CAST(tot_pos AS DOUBLE), 0.0)"
+            ),
             6,
         ).alias("cum_gain_r"),
         F.round(
-            (F.col("n_pos").cast("double") / F.col("n").cast("double"))
-            / (
-                F.col("tot_pos").cast("double")
-                / F.col("tot_n").cast("double")
+            F.expr(
+                "(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
+                " / nullif(CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE),"
+                " 0.0)"
             ),
             6,
         ).alias("lift_r"),

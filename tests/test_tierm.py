@@ -156,8 +156,10 @@ def test_cramers_v_perfect_association_with_spine(spark, tmp_path):
     """Priority fully determined by segment (2×2, 10 orders per diagonal
     cell): every cell's expected count is 5, each of the four cells
     (including the two ZERO cells the spine joins in) contributes
-    (10-5)^2/5 = (0-5)^2/5 = 5, chi-square total = 20 = N, and
-    V = sqrt(20 / (20 * 4)) = 0.5 with the key's fixed df = 4."""
+    (10-5)^2/5 = (0-5)^2/5 = 5, chi-square total = 20 = N, and with the
+    DERIVED df = min(r−1, c−1) = 1 (r10, was a hardcoded 4 sized for the
+    TPC-H 5×5 — the r9 ADVICE find), V = sqrt(20 / (20 * 1)) = 1.0:
+    perfect association now actually reads as V = 1."""
     cust = [(1, "X"), (2, "Y")]
     _write(
         spark, tmp_path, "customer", cust,
@@ -178,7 +180,7 @@ def test_cramers_v_perfect_association_with_spine(spark, tmp_path):
         assert r.expected_r == 5.0
         assert r.chi_r == 5.0
         assert r.chi_total_r == 20.0
-        assert r.cramers_v_r == 0.5
+        assert r.cramers_v_r == 1.0
 
 
 # ---------------------------------------------------------------------------
@@ -230,6 +232,69 @@ def test_gains_lift_deciles(spark, tmp_path):
         assert out[d].cum_gain_r == 1.0
     assert out[5].cum_gain_r == 1.0
     assert out[1].cum_gain_r == 0.2
+
+
+# ---------------------------------------------------------------------------
+# round-10 ADVICE regression probes: degenerate denominators + tie cube
+# ---------------------------------------------------------------------------
+
+
+def test_gains_lift_zero_positive_corpus_yields_null_not_throw(spark, tmp_path):
+    """A corpus with ZERO positive labels (no 'en' documents): tot_pos = 0
+    must yield NULL cum_gain_r / lift_r on the Spark side exactly like the
+    oracle's nullif — not a Spark-only ANSI DIVIDE_BY_ZERO (r9 ADVICE)."""
+    rows = [(i, "zèbre quux flux jamais", "fr", "web", 22) for i in range(20)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = REGISTRY["x_gains_lift"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.n_pos == 0
+        assert r.resp_rate_r == 0.0
+        assert r.cum_gain_r is None and r.lift_r is None
+
+
+def test_cramers_v_single_priority_yields_null_not_throw(spark, tmp_path):
+    """One distinct priority (1×2 table): df = min(r−1, c−1) = 0, so V is
+    undefined — the derived-df expression must emit NULL on both engines,
+    never divide by zero."""
+    cust = [(1, "X"), (2, "Y")]
+    _write(
+        spark, tmp_path, "customer", cust,
+        "c_custkey long, c_mktsegment string",
+    )
+    orders = [(i, 1 + i % 2, "P1") for i in range(10)]
+    _write(
+        spark, tmp_path, "orders", orders,
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    rows = REGISTRY["x_cramers_v"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 2  # 1 priority × 2 segments
+    for r in rows:
+        assert r.cramers_v_r is None
+
+
+def test_mann_whitney_survives_multimillion_row_tie_group(spark, tmp_path):
+    """One tie group of 2.2M rows: the BIGINT cube t³ would overflow int64
+    ANSI-fatally at t ≥ 2^21 (r9 ADVICE); the DOUBLE-accumulated tie
+    correction must complete with a finite z.  2.2e6³ ≈ 1.06e19 > 2^63."""
+    big = spark.range(2_200_000).selectExpr(
+        "id AS event_id", "timestamp'2024-01-01' AS ts", "id AS user_id",
+        "'A' AS event_type", "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props",
+    )
+    small = spark.range(50).selectExpr(
+        "id + 3000000 AS event_id", "timestamp'2024-01-02' AS ts",
+        "id AS user_id", "'B' AS event_type",
+        "CAST(2.0 AS DOUBLE) AS value", "'{}' AS props",
+    )
+    big.unionByName(small).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = REGISTRY["x_mann_whitney"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.type_a, r.type_b) == ("A", "B")
+    assert r.n_a == 2_200_000 and r.n_b == 50
+    # every B value beats every A value: U_a = 0, a hugely significant z
+    assert r.u_a == 0.0
+    assert r.z_r is not None and r.significant == 1
 
 
 # ---------------------------------------------------------------------------
