@@ -363,7 +363,8 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4,
-                  max_hamming: int = 8) -> DataFrame:
+                  max_hamming: int = 8,
+                  keep_signatures: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash: band the 60-bit signature into 15-bit
     chunks (exact-match candidate join), verify Hamming distance.
 
@@ -412,13 +413,96 @@ def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id", n_bands: int = 4,
         ],
         F.lit(True),  # n_bands=1: no earlier bands, every pair unique already
     )
+    out_cols = ["id_a", "id_b", ham.alias("hamming")]
+    if keep_signatures:
+        # for callers that expand pairs by signature (the collapsed
+        # derivation) — joining back by pair id would re-shuffle on ids
+        out_cols += [F.col("sh_a"), F.col("sh_b")]
     return (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(first_band)
         .filter(ham <= max_hamming)
-        .select("id_a", "id_b", ham.alias("hamming"))
+        .select(*out_cols)
     )
+
+
+def simhash_pairs_collapsed(sigs: DataFrame, id_col: str = "doc_id",
+                            n_bands: int = 4,
+                            max_hamming: int = 8) -> DataFrame:
+    """EXACTLY ``simhash_pairs``'s output with O(clique) band-join state
+    — the clique-safe derivation (round-9 VERDICT finding).
+
+    SimHash signatures are unigram-set functions, so a k-copy exact or
+    token-permuted duplicate family is one Hamming-0 clique; the direct
+    band self-join drags all C(k, 2) clique rows through the candidate
+    shuffle (measured uncollectable at sf1 on a duplicate-heavy corpus,
+    SCALE.md §7o).  Here identical signatures collapse FIRST (one
+    map-side-combinable groupBy) and the band join runs over one
+    REPRESENTATIVE per distinct signature — bucket width is bounded by
+    distinct-signature density, which duplicate mass cannot inflate.
+    The raw pair list is then recovered exactly:
+
+    - within a signature group: every member pair, Hamming 0 — a
+      sort-merge self-join on the signature that STREAMS the C(k, 2)
+      output rows while buffering only the O(k) group (spillable);
+    - across signature groups: each representative pair expands to
+      members(a) × members(b) via two signature-keyed joins, each
+      member pair inheriting the representatives' Hamming distance
+      (members share their representative's signature bit-for-bit).
+
+    Same columns, same rows, same first-collision-band dedup semantics
+    as ``simhash_pairs`` on ANY corpus — only the intermediate state
+    changes.  Output cardinality is still the true (possibly quadratic)
+    answer; callers that want clique-collapsed OUTPUT use the
+    x_dedup_simhash_rep shape instead."""
+    groups = sigs.groupBy("simhash").agg(
+        F.min(id_col).alias("__rep"), F.count("*").alias("__k")
+    )
+    reps = groups.select(F.col("__rep").alias(id_col), "simhash")
+    rep_pairs = simhash_pairs(
+        reps, id_col, n_bands, max_hamming, keep_signatures=True
+    )
+    members = sigs.select(F.col(id_col), "simhash")
+    # within-group implied pairs: Hamming 0 by construction; restrict to
+    # k >= 2 groups so singleton signatures skip the self-join entirely
+    multi = members.join(
+        groups.filter(F.col("__k") >= 2).select("simhash"), "simhash"
+    )
+    within = (
+        multi.select("simhash", F.col(id_col).alias("__ma"))
+        .join(multi.select("simhash", F.col(id_col).alias("__mb")), "simhash")
+        .filter(F.col("__ma") < F.col("__mb"))
+        .select(
+            F.col("__ma").alias("id_a"),
+            F.col("__mb").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    # cross-group pairs fan out to the two member sets by SIGNATURE
+    # (members share their representative's signature exactly — no
+    # pair-id-keyed exchange anywhere); least/greatest restores the
+    # id_a < id_b orientation for member ids that interleave
+    across = (
+        rep_pairs.join(
+            members.select(
+                F.col("simhash").alias("sh_a"), F.col(id_col).alias("__ma")
+            ),
+            "sh_a",
+        )
+        .join(
+            members.select(
+                F.col("simhash").alias("sh_b"), F.col(id_col).alias("__mb")
+            ),
+            "sh_b",
+        )
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            F.col("hamming"),
+        )
+    )
+    return within.unionByName(across)
 
 
 def connected_components(edges: DataFrame, nodes: DataFrame,
