@@ -478,6 +478,204 @@ def sprt_monitor_report(
     }
 
 
+def mann_whitney_monitor_report(
+    spark: SparkSession,
+    stage_path: str,
+    value_col: str = "battery_voltage",
+    ts_col: str = "date_time",
+    recent_days: int = 7,
+    z_crit: float = 1.959964,
+) -> dict:
+    """Mann–Whitney rank-sum distribution-shift monitor at the
+    maintenance cadence — the streaming-maintenance twin of the batch
+    ``x_mann_whitney`` key (plans/tierm.py), the way
+    ``sprt_monitor_report`` twins x_sprt: the last ``recent_days``
+    UTC epoch-days of ``value_col`` readings against all prior history,
+    answering "did the metric's DISTRIBUTION shift this week" without
+    the mean/variance assumptions that break CUSUM under heavy tails
+    (CUSUM watches the mean; THIS watches stochastic dominance).
+
+    Same exact machinery as the batch key: pooled tie-averaged ranks on
+    2×-scaled BIGINT half-unit ranks over the distinct-value support
+    table, tie correction Σ(t³−t) accumulated in DOUBLE (CAST-first, the
+    r9 ADVICE overflow fix), z = (U − n_r·n_b/2)/sqrt(·) with a nullif
+    guard so a zero-variance pool reads NULL, not ANSI DIVIDE_BY_ZERO.
+
+    Returns ``{"n_recent": int, "n_baseline": int, "u_recent": float,
+    "z": float | None, "shifted": bool, "direction":
+    "up" | "down" | None}`` (plain dict, foreachBatch-safe).  ``shifted``
+    reads the 4-dp-rounded z against ``z_crit``; ``direction`` is the
+    sign of the shift ("up" = recent values stochastically larger).
+    Empty windows (no history yet, or no recent rows) report z = None.
+
+    Scale: ONE map-side-combinable (value, window) count over the
+    corpus plus a 1-row max-day broadcast; rank arithmetic rides the
+    distinct-value support table (x_ks_test economics).  No corpus sort.
+    """
+    from pyspark.sql.window import Window as W
+
+    df = spark.read.parquet(stage_path).filter(F.col(value_col).isNotNull())
+    day = F.floor(F.col(ts_col).cast("bigint") / F.lit(86400)).cast("bigint")
+    v = df.select(F.col(value_col).alias("val"), day.alias("day"))
+    mx = v.agg(F.max("day").alias("max_day"))
+    g = (
+        v.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "is_recent",
+            (F.col("day") > F.col("max_day") - F.lit(recent_days)).cast("int"),
+        )
+        .groupBy("val")
+        .agg(F.count("*").alias("t"), F.sum("is_recent").alias("a"))
+    )
+    w = W.orderBy("val").rowsBetween(W.unboundedPreceding, -1)
+    r = g.withColumn("c", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    s = r.agg(
+        F.sum(F.col("a") * (2 * F.col("c") + F.col("t") + 1)).alias("r_a2"),
+        F.sum("a").alias("n_a"),
+        F.sum(F.col("t") - F.col("a")).alias("n_b"),
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tsum"),
+    )
+    rows = s.selectExpr(
+        "n_a", "n_b",
+        "CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a",
+        "round((CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE) / 2.0"
+        " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)"
+        " / nullif(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *"
+        " ((CAST(n_a + n_b AS DOUBLE) + 1.0) - CAST(tsum AS DOUBLE) /"
+        " nullif(CAST(n_a + n_b AS DOUBLE)"
+        " * (CAST(n_a + n_b AS DOUBLE) - 1.0), 0.0))), 0.0), 4) AS z",
+    ).collect()  # control-plane: one row
+    if not rows or rows[0]["n_a"] is None:
+        return {"n_recent": 0, "n_baseline": 0, "u_recent": 0.0,
+                "z": None, "shifted": False, "direction": None}
+    row = rows[0]
+    n_a, n_b = int(row["n_a"]), int(row["n_b"])
+    z = None if row["z"] is None else float(row["z"])
+    if n_a == 0 or n_b == 0:
+        z = None
+    shifted = z is not None and abs(z) > z_crit
+    direction = None
+    if shifted:
+        direction = "up" if z > 0 else "down"
+    return {
+        "n_recent": n_a,
+        "n_baseline": n_b,
+        "u_recent": float(row["u_a"]) if row["u_a"] is not None else 0.0,
+        "z": z,
+        "shifted": shifted,
+        "direction": direction,
+    }
+
+
+def did_monitor_report(
+    spark: SparkSession,
+    stage_path: str,
+    treat_expr: str = "deviceid % 2 = 1",
+    value_col: str = "battery_voltage",
+    ts_col: str = "date_time",
+    split_day: int | None = None,
+    z_crit: float = 1.959964,
+) -> dict:
+    """2×2 difference-in-differences monitor at the maintenance cadence —
+    the streaming-maintenance twin of the batch ``x_diff_in_diff`` key
+    (plans/tierm.py): when a rollout hits PART of the fleet (a firmware
+    cohort, a hardware batch — ``treat_expr``) at a known UTC epoch-day
+    boundary (``split_day``; derived midpoint of the observed range when
+    None), DiD = (treated post−pre) − (control post−pre) isolates the
+    rollout's effect on ``value_col`` from whatever moved the WHOLE
+    fleet at the same time — the readout the randomized-split monitors
+    (SPRT/Welch) cannot give, because a rollout is not a coin flip.
+
+    Same estimator as the batch key: four (n, mean, var_samp) cells in
+    one map-side-combinable pass, large-sample SE = sqrt(Σ v_c/n_c),
+    z = DiD/SE with the shared nullif guard (zero-variance cells read
+    NULL z on every engine, never ANSI DIVIDE_BY_ZERO), significance on
+    the 4-dp-rounded z.  Days are UTC epoch-days like every monitor here.
+
+    Returns ``{"cells": {"treat_post"|"treat_pre"|"ctrl_post"|
+    "ctrl_pre": {"n": int, "mean": float | None}}, "split_day": int,
+    "did": float | None, "se": float | None, "z": float | None,
+    "significant": bool}`` (plain dict, foreachBatch-safe); ``did``/
+    ``z`` are None until all four cells have data.
+
+    Scale: ONE moments pass grouped by (treat, post) — four
+    partial-merging cells — plus a 1-row min/max broadcast when the
+    split is derived.  The 100 TB rollout readout is this shape.
+    """
+    df = spark.read.parquet(stage_path).filter(F.col(value_col).isNotNull())
+    day = F.floor(F.col(ts_col).cast("bigint") / F.lit(86400)).cast("bigint")
+    e = df.select(
+        F.expr(treat_expr).cast("int").alias("treat"),
+        F.col(value_col).alias("val"),
+        day.alias("day"),
+    )
+    if split_day is None:
+        sp = e.agg(
+            (
+                F.min("day")
+                + F.floor((F.max("day") - F.min("day")) / F.lit(2.0)).cast(
+                    "bigint"
+                )
+            ).alias("split_d")
+        )
+        e = e.crossJoin(F.broadcast(sp))
+    else:
+        e = e.withColumn("split_d", F.lit(int(split_day)).cast("bigint"))
+    cell = e.groupBy(
+        "treat", (F.col("day") >= F.col("split_d")).cast("int").alias("post")
+    ).agg(
+        F.count("*").alias("n"),
+        F.avg("val").alias("m"),
+        F.var_samp("val").alias("v"),
+        F.max("split_d").alias("split_d"),
+    )
+    rows = cell.collect()  # control-plane: <= 4 rows
+    cells = {(r["treat"], r["post"]): r for r in rows}
+    names = {
+        (1, 1): "treat_post", (1, 0): "treat_pre",
+        (0, 1): "ctrl_post", (0, 0): "ctrl_pre",
+    }
+    out_cells = {}
+    for key, name in names.items():
+        r = cells.get(key)
+        out_cells[name] = {
+            "n": int(r["n"]) if r is not None else 0,
+            "mean": round(float(r["m"]), 4) if r is not None else None,
+        }
+    split_out = (
+        int(rows[0]["split_d"]) if rows else
+        (int(split_day) if split_day is not None else 0)
+    )
+    result = {
+        "cells": out_cells, "split_day": split_out,
+        "did": None, "se": None, "z": None, "significant": False,
+    }
+    if len(cells) < 4 or any(
+        cells[k]["v"] is None or cells[k]["n"] < 2 for k in names
+    ):
+        return result
+    m11, m10 = float(cells[(1, 1)]["m"]), float(cells[(1, 0)]["m"])
+    m01, m00 = float(cells[(0, 1)]["m"]), float(cells[(0, 0)]["m"])
+    import math as _math
+
+    did = (m11 - m10) - (m01 - m00)
+    se = _math.sqrt(
+        sum(
+            float(cells[k]["v"]) / float(cells[k]["n"])
+            for k in names
+        )
+    )
+    result["did"] = round(did, 4)
+    result["se"] = round(se, 4)
+    if se > 0.0:
+        z = round(did / se, 4)
+        result["z"] = z
+        result["significant"] = abs(z) > z_crit
+    return result
+
+
 def pipeline_maintenance(
     spark: SparkSession,
     stage_path: str,
@@ -487,6 +685,8 @@ def pipeline_maintenance(
     drift_profile_path: str | None = None,
     monitor_timeseries: bool = False,
     monitor_sprt: bool = False,
+    monitor_mann_whitney: bool = False,
+    monitor_did_treat_expr: str | None = None,
 ) -> dict:
     """One scheduled-maintenance pass — the in-engine analog of the
     reference's nightly crawler run (``cron(0 4 * * ? *)``,
@@ -508,6 +708,15 @@ def pipeline_maintenance(
     :func:`sprt_monitor_report`): the sequential rate test with its
     sticky stop-at-first-crossing decision — the peeking-safe verdict
     layer on top of the trend monitors.
+    ``monitor_mann_whitney=True`` adds a ``mann_whitney`` block (see
+    :func:`mann_whitney_monitor_report`): the distribution-free
+    recent-vs-history shift test — CUSUM watches the mean, THIS
+    watches stochastic dominance, robust to the heavy tails that fool
+    mean-based trend monitors.  ``monitor_did_treat_expr`` (a SQL
+    boolean over stage columns, e.g. a firmware-cohort predicate) adds
+    a ``did`` block (see :func:`did_monitor_report`): the
+    difference-in-differences rollout readout for fleet changes that
+    were not randomized.
     """
     import os as _os
 
@@ -533,6 +742,12 @@ def pipeline_maintenance(
         report["timeseries"] = timeseries_monitor_report(spark, stage_path)
     if monitor_sprt and _os.path.isdir(stage_path):
         report["sprt"] = sprt_monitor_report(spark, stage_path)
+    if monitor_mann_whitney and _os.path.isdir(stage_path):
+        report["mann_whitney"] = mann_whitney_monitor_report(spark, stage_path)
+    if monitor_did_treat_expr and _os.path.isdir(stage_path):
+        report["did"] = did_monitor_report(
+            spark, stage_path, treat_expr=monitor_did_treat_expr
+        )
     for t in catalog_tables or []:
         if spark.catalog.tableExists(t):
             spark.catalog.recoverPartitions(t)

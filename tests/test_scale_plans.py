@@ -651,6 +651,113 @@ def test_sprt_monitor_sticky_across_batches(spark, tmp_path):
     assert report["sprt"] == r3
 
 
+def test_mann_whitney_monitor_detects_recent_shift(spark, tmp_path):
+    """The maintenance-cadence Mann–Whitney monitor (streaming twin of
+    x_mann_whitney, r10): values jump from ~10 V to ~14 V in the last
+    7 epoch-days → a significant upward distribution shift; a
+    constant-value stage (every rank tied, zero variance) must read
+    z = None through the shared nullif guard, not ANSI-throw; and the
+    report is session-timezone-invariant (epoch-day bucketing)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        mann_whitney_monitor_report,
+        pipeline_maintenance,
+    )
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    day0 = 1_700_000_000 - (1_700_000_000 % 86400) + 79_980  # 22:13 UTC
+    rows = []
+    for day in range(30):
+        base = 10.0 if day < 23 else 14.0  # days 23..29 = the last 7
+        for k in range(3):
+            rows.append((1, day0 + day * 86400 + k * 60, base + 0.2 * k))
+    path = str(tmp_path / "stage")
+    spark.createDataFrame(
+        rows, "deviceid int, date_time int, battery_voltage double"
+    ).write.parquet(path)
+    got = mann_whitney_monitor_report(spark, path)
+    assert got["n_recent"] == 7 * 3 and got["n_baseline"] == 23 * 3
+    assert got["shifted"] and got["direction"] == "up" and got["z"] > 0
+    # recent values beat every baseline value: U = n_r * n_b exactly
+    assert got["u_recent"] == 21.0 * 69.0
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        assert mann_whitney_monitor_report(spark, path) == got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    # zero-variance pool: all readings identical → NULL z, no verdict
+    flat = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(1, day0 + d * 86400, 4.2) for d in range(10)],
+        "deviceid int, date_time int, battery_voltage double",
+    ).write.parquet(flat)
+    fz = mann_whitney_monitor_report(spark, flat)
+    assert fz["z"] is None and not fz["shifted"] and fz["direction"] is None
+
+    # and through the maintenance entry point
+    declared = StructType([
+        StructField("deviceid", IntegerType()),
+        StructField("date_time", IntegerType()),
+        StructField("battery_voltage", DoubleType()),
+    ])
+    report = pipeline_maintenance(
+        spark, path, declared, monitor_mann_whitney=True
+    )
+    assert report["mann_whitney"] == got
+
+
+def test_did_monitor_isolates_rollout_effect(spark, tmp_path):
+    """The maintenance-cadence DiD monitor (streaming twin of
+    x_diff_in_diff, r10): odd devices get a +5 V firmware effect after
+    the split day while a +2 V fleet-wide shock hits EVERYONE post-split
+    — DiD must read ~+5 (the rollout), not +7 (rollout + shock), and be
+    significant; with a cell missing (no pre-period data) the estimate
+    stays None instead of throwing."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        did_monitor_report,
+    )
+
+    day0 = 1_700_000_000 - (1_700_000_000 % 86400)
+    split = day0 // 86400 + 10
+    rows = []
+    for dev in (1, 2, 3, 4):  # 1, 3 treated (odd); 2, 4 control
+        for day in range(20):
+            post = day >= 10
+            v = 10.0 + (2.0 if post else 0.0)        # fleet-wide shock
+            if dev % 2 == 1 and post:
+                v += 5.0                               # rollout effect
+            for k in range(3):
+                rows.append((dev, day0 + day * 86400 + k * 60, v + 0.1 * k))
+    path = str(tmp_path / "stage")
+    spark.createDataFrame(
+        rows, "deviceid int, date_time int, battery_voltage double"
+    ).write.parquet(path)
+    got = did_monitor_report(spark, path, split_day=split)
+    assert got["split_day"] == split
+    assert got["cells"]["treat_post"]["n"] == 2 * 10 * 3
+    assert abs(got["did"] - 5.0) < 0.01 and got["significant"]
+    # control moved +2 (the shock): DiD subtracted it out
+    assert abs(
+        got["cells"]["ctrl_post"]["mean"] - got["cells"]["ctrl_pre"]["mean"]
+        - 2.0
+    ) < 0.01
+
+    # missing pre-period: every row post-split → insufficient cells
+    late = str(tmp_path / "late")
+    spark.createDataFrame(
+        [(d, day0 + (12 + i) * 86400, 10.0 + 0.1 * i)
+         for d in (1, 2) for i in range(5)],
+        "deviceid int, date_time int, battery_voltage double",
+    ).write.parquet(late)
+    miss = did_monitor_report(spark, late, split_day=split)
+    assert miss["did"] is None and not miss["significant"]
+    assert miss["cells"]["treat_pre"]["n"] == 0
+
+
 def test_tiere_plans_have_no_cartesian_or_nested_loop(spark, queries):
     """Tier E candidate generation must stay keyed: the triangle wedge
     join, the SemDeDup pair join and the Bloom probe are all equi-joins —
