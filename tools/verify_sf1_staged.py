@@ -1,0 +1,271 @@
+#!/usr/bin/env python
+"""Staged DuckDB oracle replay for sf1-scale adjudication (VERDICT r9 #3).
+
+The registered oracles are single WITH-chains; at sf1 the composed keys
+(``x_curate_corpus``, ``q_triangle_count``) spill DuckDB past the host's
+~80 GB free temp disk when replayed as ONE query (SCALE.md §7o).  This
+tool replays the SAME oracle SQL stage-by-stage:
+
+1. parse the registered oracle's WITH-chain into its CTE list (a
+   paren/quote-aware split — the text of every stage is the registered
+   oracle's text VERBATIM, so the replay cannot drift from the gate);
+2. materialize each CTE to a temp parquet in dependency order, turning
+   it into a view over the file, so each stage's body runs against
+   views of the previously-materialized stages — peak DuckDB state is
+   ONE stage, not the whole pipeline;
+3. run the final SELECT over the views and compare against the engine's
+   Spark result with the exact verify_local hash rules.
+
+Recursive CTEs (the ``walk`` label propagation) self-reference; those
+run un-staged as ``WITH RECURSIVE name AS (body) SELECT * FROM name``
+over the already-materialized upstream views — the recursion's working
+set is label-table-sized, never corpus-sized.
+
+``--agg`` keys compare WITHOUT collecting: row count plus a commutative
+per-row md5 sum computed inside each engine (integer-output keys only —
+the one quadratic-output key, x_dedup_simhash, is all-BIGINT/INT).
+
+Usage: python tools/verify_sf1_staged.py x_curate_corpus q_triangle_count
+       python tools/verify_sf1_staged.py --agg x_dedup_simhash
+       SF_DIR=.scratch/sf1 MEM=48GB python tools/verify_sf1_staged.py ...
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
+
+from verify_local import _col_order, _hash_rows, _norm_cell  # noqa: E402
+
+SF_DIR = os.environ.get("SF_DIR", os.path.join(os.path.dirname(_HERE), ".scratch", "sf1"))
+MEM = os.environ.get("MEM", "48GB")
+
+
+# ---------------------------------------------------------------------------
+# WITH-chain parser
+# ---------------------------------------------------------------------------
+
+_CTE_HEAD = re.compile(
+    r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\([^)]*\))?\s+AS\s*\(", re.IGNORECASE
+)
+
+
+def split_with_chain(sql: str) -> tuple[list[tuple[str, str, str]], str]:
+    """Split ``WITH [RECURSIVE] a AS (...), b(...) AS (...) SELECT ...``
+    into ``([(name, collist, body), ...], final_select)``.
+
+    Paren depth + single-quote tracking only — the oracle dialect never
+    uses dollar quoting or backslash escapes; doubled '' quotes toggle
+    the in-string flag twice, which nets out correctly."""
+    s = sql.strip()
+    m = re.match(r"(?is)^\s*WITH\s+(RECURSIVE\s+)?", s)
+    if not m:
+        return [], s
+    body = s[m.end():]
+    ctes: list[tuple[str, str, str]] = []
+    i = 0
+    while True:
+        h = _CTE_HEAD.match(body, i)
+        if not h:
+            raise ValueError(f"expected CTE head at: {body[i:i+80]!r}")
+        name, collist = h.group(1), h.group(2) or ""
+        j = h.end()
+        depth, k, in_str = 1, j, False
+        while depth:
+            c = body[k]
+            if in_str:
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        ctes.append((name, collist, body[j:k - 1]))
+        m2 = re.match(r"\s*,", body[k:])
+        if not m2:
+            return ctes, body[k:]
+        i = k + m2.end()
+
+
+# ---------------------------------------------------------------------------
+# staged execution
+# ---------------------------------------------------------------------------
+
+
+def staged_oracle(con, sql: str, workdir: str, key: str, verbose: bool = True):
+    """Materialize each CTE of ``sql`` to parquet-in-``workdir`` in order,
+    then return the DuckDB relation of the final SELECT over the views."""
+    ctes, final = split_with_chain(sql)
+    for idx, (name, collist, body) in enumerate(ctes):
+        t0 = time.time()
+        path = os.path.join(workdir, f"{key}_{idx:02d}_{name}.parquet")
+        if collist or re.search(rf"\b{re.escape(name)}\b", body, re.IGNORECASE):
+            q = f"WITH RECURSIVE {name}{collist} AS ({body}) SELECT * FROM {name}"
+        else:
+            q = body
+        con.sql(f"COPY ({q}) TO '{path}' (FORMAT PARQUET)")
+        con.sql(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
+        if verbose:
+            n = con.sql(f"SELECT count(*) FROM {name}").fetchone()[0]
+            mb = os.path.getsize(path) / 1e6
+            print(f"    [{key}] stage {idx:02d} {name}: {n} rows, "
+                  f"{mb:.1f} MB, {time.time()-t0:.1f}s", flush=True)
+    return con.sql(final)
+
+
+# ---------------------------------------------------------------------------
+# in-engine commutative hash (integer-output keys; no collect on either side)
+# ---------------------------------------------------------------------------
+
+
+def spark_agg_hash(sdf) -> tuple[int, int]:
+    from pyspark.sql import functions as F
+
+    cols = [sdf.columns[i] for i in _col_order(list(sdf.columns))]
+    cells = [F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in cols]
+    # first 15 hex chars of md5 -> non-negative BIGINT, summed exactly
+    rowh = F.conv(F.substring(F.md5(F.concat_ws("|", *cells)), 1, 15), 16, 10)
+    agg = sdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rowh.cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return int(agg["n"]), int(agg["h"] or 0)
+
+
+def duck_agg_hash(con, from_clause: str, cols: list[str]) -> tuple[int, int]:
+    ordered = [cols[i] for i in _col_order(cols)]
+    cells = ", ".join(f"coalesce(CAST({c} AS VARCHAR), 'NULL')" for c in ordered)
+    row = con.sql(
+        f"SELECT count(*) AS n, "
+        f"sum(('0x' || substr(md5(concat_ws('|', {cells})), 1, 15))::BIGINT)"
+        f"::HUGEINT AS h FROM {from_clause}"
+    ).fetchone()
+    return int(row[0]), int(row[1] or 0)
+
+
+# ---------------------------------------------------------------------------
+
+
+def main() -> int:
+    import duckdb
+
+    args = [a for a in sys.argv[1:] if a != "--agg"]
+    agg_mode = "--agg" in sys.argv[1:]
+
+    import __spark_entry__ as entrymod
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.session import get_spark
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    keys = args or ["x_curate_corpus", "q_triangle_count"]
+    unknown = [k for k in keys if k not in qs or k not in oracles]
+    if unknown:
+        print(f"unknown/oracle-less key(s): {', '.join(unknown)}")
+        return 2
+
+    workdir = tempfile.mkdtemp(prefix="sf1_staged_", dir="/tmp")
+    con = duckdb.connect()
+    con.sql(f"SET memory_limit='{MEM}'")
+    con.sql(f"SET temp_directory='{workdir}/duck_tmp'")
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        p = f"{SF_DIR}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+
+    spark = get_spark("verify-sf1-staged")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures, passed = [], 0
+    try:
+        for key in keys:
+            print(f"[{key}] staged oracle replay @ {SF_DIR}", flush=True)
+            t0 = time.time()
+            try:
+                rel = staged_oracle(con, oracles[key], workdir, key)
+                duck_cols = list(rel.columns)
+                if agg_mode:
+                    view = f"__final_{key}"
+                    con.sql(f"CREATE OR REPLACE VIEW {view} AS {rel.sql_query()}")
+                    dn, dh = duck_agg_hash(con, view, duck_cols)
+                    duck_rows = None
+                else:
+                    duck_rows = rel.fetchall()
+            except Exception as e:  # noqa: BLE001
+                failures.append((key, f"DUCKDB: {type(e).__name__}: {str(e)[:300]}"))
+                print(f"[FAIL] {key}: duckdb error", flush=True)
+                continue
+            t_duck = time.time() - t0
+            t0 = time.time()
+            try:
+                sdf = qs[key](spark, SF_DIR)
+                spark_cols = list(sdf.columns)
+                if agg_mode:
+                    sn, sh = spark_agg_hash(sdf)
+                else:
+                    spark_rows = [tuple(r) for r in sdf.collect()]
+            except Exception as e:  # noqa: BLE001
+                failures.append((key, f"SPARK: {type(e).__name__}: {str(e)[:300]}"))
+                print(f"[FAIL] {key}: spark error", flush=True)
+                continue
+            t_spark = time.time() - t0
+            problems = []
+            if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
+                problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            if agg_mode:
+                if not problems and (sn, sh) != (dn, dh):
+                    problems.append(f"agg spark=({sn},{sh}) duck=({dn},{dh})")
+                n_out = f"{sn} rows (commutative-hash compare)"
+            else:
+                if len(spark_rows) != len(duck_rows):
+                    problems.append(
+                        f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+                if not problems:
+                    hs = _hash_rows(spark_cols, spark_rows)
+                    hd = _hash_rows(duck_cols, duck_rows)
+                    if hs != hd:
+                        problems.append(f"value-hash spark={hs} duck={hd}")
+                        o_s, o_d = _col_order(spark_cols), _col_order(duck_cols)
+                        ls = sorted("|".join(_norm_cell(r[i]) for i in o_s)
+                                    for r in spark_rows)
+                        ld = sorted("|".join(_norm_cell(r[i]) for i in o_d)
+                                    for r in duck_rows)
+                        for a, b in zip(ls, ld):
+                            if a != b:
+                                problems.append(
+                                    f"  first diff:\n   spark: {a[:220]}"
+                                    f"\n   duck : {b[:220]}")
+                                break
+                n_out = f"{len(spark_rows)} rows"
+            if problems:
+                failures.append((key, "; ".join(problems)))
+                print(f"[FAIL] {key}: {problems[0]}", flush=True)
+            else:
+                passed += 1
+                print(f"[ok] {key}: {n_out} "
+                      f"(duck {t_duck:.0f}s, spark {t_spark:.0f}s)", flush=True)
+    finally:
+        spark.stop()
+        con.close()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    print(f"\n{passed} matched, {len(failures)} failed / {len(keys)} keys")
+    for k, msg in failures:
+        print(f"--- {k}\n{msg}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
