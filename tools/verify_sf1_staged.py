@@ -54,7 +54,8 @@ MEM = os.environ.get("MEM", "48GB")
 # ---------------------------------------------------------------------------
 
 _CTE_HEAD = re.compile(
-    r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\([^)]*\))?\s+AS\s*\(", re.IGNORECASE
+    r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\([^)]*\))?\s+AS\s+(?:MATERIALIZED\s*)?\(",
+    re.IGNORECASE,
 )
 
 
@@ -86,6 +87,8 @@ def split_with_chain(sql: str) -> tuple[list[tuple[str, str, str]], str]:
                     in_str = False
             elif c == "'":
                 in_str = True
+            elif c == "-" and body[k:k + 2] == "--":
+                k = body.index("\n", k)  # -- comment: parens don't count
             elif c == "(":
                 depth += 1
             elif c == ")":
