@@ -456,6 +456,16 @@ def simhash_pairs_collapsed(sigs: DataFrame, id_col: str = "doc_id",
     changes.  Output cardinality is still the true (possibly quadratic)
     answer; callers that want clique-collapsed OUTPUT use the
     x_dedup_simhash_rep shape instead."""
+    # sigs (tokenize + two 60-bit aggregations — the expensive subtree)
+    # feeds groups, the two member expansions, and the within self-join;
+    # without reuse Spark replans it per reference (measured: 16 scans of
+    # the documents source in one plan, +1.6 s at sf0.1).  Same lazy
+    # localCheckpoint pattern + fault-tolerance trade as
+    # tiere.triangle_top50: lineage truncates to executor-local blocks,
+    # so an executor loss mid-job fails the query instead of recomputing
+    # — production at 100 TB swaps in .persist(DISK_ONLY) for the same
+    # plan shape with lineage replay.
+    sigs = sigs.localCheckpoint(eager=False)
     groups = sigs.groupBy("simhash").agg(
         F.min(id_col).alias("__rep"), F.count("*").alias("__k")
     )
