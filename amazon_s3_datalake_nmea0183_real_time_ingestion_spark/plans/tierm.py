@@ -122,10 +122,13 @@ def x_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     collapses under heavy tails/outliers where rank dominance doesn't.
 
     Cross-engine: ranks never materialize as floats — tie-averaged
-    ranks are half-integers, so everything rides 2×-SCALED exact BIGINT
-    "half-unit" ranks (rank2 of a tie group at cumulative offset c with
-    t members = 2c + t + 1; R_a2 = Σ a_v·rank2_v; U_a = (R_a2 −
-    n_a(n_a+1))/2, exact in float64), tie correction Σ(t³−t)
+    ranks are half-integers, so everything rides 2×-SCALED exact
+    integer "half-unit" ranks (rank2 of a tie group at cumulative
+    offset c with t members = 2c + t + 1; R_a2 = Σ a_v·rank2_v; U_a =
+    (R_a2 − n_a(n_a+1))/2), accumulated in DECIMAL(38,0) on the Spark
+    side / HUGEINT on DuckDB's (both exact; BIGINT would ANSI-overflow
+    at ~2e12 pooled rows — the same magnitude argument as the tie
+    cube), tie correction Σ(t³−t)
     accumulates in DOUBLE with the identical CAST-first shape on both
     engines (exact while every partial sum ≤ 2^53 — a BIGINT cube would
     instead ANSI-throw at a 2^21-row tie group), and z is ONE
@@ -174,9 +177,17 @@ def x_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     r = g.withColumn("c", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    # rank-sum accumulators ride DECIMAL(38,0) on the Spark side: one
+    # product a·(2c+t+1) ≈ 2·t·N already nears 2^63 at N ~ 2e12 pooled
+    # rows (the same 100 TB magnitudes the tsum DOUBLE fix was justified
+    # with), and BIGINT would ANSI-throw mid-aggregate.  DuckDB needs no
+    # change — its BIGINT sum() is already HUGEINT (128-bit exact) — so
+    # both engines still produce the identical exact integer, cast to
+    # DOUBLE only inside the final shared-shape expressions.
     s = r.groupBy("type_a", "type_b").agg(
         F.sum(
-            F.col("a") * (2 * F.col("c") + F.col("t") + 1)
+            F.col("a").cast("decimal(18,0)")
+            * (2 * F.col("c") + F.col("t") + 1).cast("decimal(19,0)")
         ).alias("r_a2"),
         F.sum("a").alias("n_a"),
         F.sum(F.col("t") - F.col("a")).alias("n_b"),
@@ -196,7 +207,11 @@ def x_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
         "n_a",
         "n_b",
         (F.col("n_a") + F.col("n_b")).alias("nn"),
-        (F.col("r_a2") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2a"),
+        (
+            F.col("r_a2")
+            - F.col("n_a").cast("decimal(19,0)")
+            * (F.col("n_a") + 1).cast("decimal(19,0)")
+        ).alias("u2a"),
         "tsum",
     )
     return x.select(

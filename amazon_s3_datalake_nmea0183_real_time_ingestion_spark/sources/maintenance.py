@@ -514,7 +514,14 @@ def mann_whitney_monitor_report(
     """
     from pyspark.sql.window import Window as W
 
-    df = spark.read.parquet(stage_path).filter(F.col(value_col).isNotNull())
+    # NULL-timestamp rows can't be assigned to either window: without the
+    # ts screen they'd silently land in the BASELINE (is_recent evaluates
+    # NULL -> counted in t but not a), biasing every later value's
+    # cumulative rank c and the tie correction while joining neither
+    # sample.  Screen both columns up front.
+    df = spark.read.parquet(stage_path).filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
     day = F.floor(F.col(ts_col).cast("bigint") / F.lit(86400)).cast("bigint")
     v = df.select(F.col(value_col).alias("val"), day.alias("day"))
     mx = v.agg(F.max("day").alias("max_day"))
@@ -530,7 +537,12 @@ def mann_whitney_monitor_report(
     w = W.orderBy("val").rowsBetween(W.unboundedPreceding, -1)
     r = g.withColumn("c", F.coalesce(F.sum("t").over(w), F.lit(0)))
     s = r.agg(
-        F.sum(F.col("a") * (2 * F.col("c") + F.col("t") + 1)).alias("r_a2"),
+        # DECIMAL(38,0) rank-sum accumulator, same reason as the batch
+        # key: one a·(2c+t+1) product nears 2^63 at ~2e12 pooled rows
+        F.sum(
+            F.col("a").cast("decimal(18,0)")
+            * (2 * F.col("c") + F.col("t") + 1).cast("decimal(19,0)")
+        ).alias("r_a2"),
         F.sum("a").alias("n_a"),
         F.sum(F.col("t") - F.col("a")).alias("n_b"),
         F.sum(
@@ -539,8 +551,10 @@ def mann_whitney_monitor_report(
     )
     rows = s.selectExpr(
         "n_a", "n_b",
-        "CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a",
-        "round((CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE) / 2.0"
+        "CAST(r_a2 - CAST(n_a AS DECIMAL(19,0)) * (n_a + 1) AS DOUBLE)"
+        " / 2.0 AS u_a",
+        "round((CAST(r_a2 - CAST(n_a AS DECIMAL(19,0)) * (n_a + 1)"
+        " AS DOUBLE) / 2.0"
         " - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)"
         " / nullif(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *"
         " ((CAST(n_a + n_b AS DOUBLE) + 1.0) - CAST(tsum AS DOUBLE) /"
@@ -604,13 +618,19 @@ def did_monitor_report(
     partial-merging cells — plus a 1-row min/max broadcast when the
     split is derived.  The 100 TB rollout readout is this shape.
     """
-    df = spark.read.parquet(stage_path).filter(F.col(value_col).isNotNull())
+    # Rows whose timestamp or treat predicate evaluates NULL belong to no
+    # 2x2 cell — unscreened they'd create phantom (treat, NULL)/(NULL, post)
+    # cells that both distort the derived split midpoint and break the
+    # four-cell accounting below.
+    df = spark.read.parquet(stage_path).filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
     day = F.floor(F.col(ts_col).cast("bigint") / F.lit(86400)).cast("bigint")
     e = df.select(
         F.expr(treat_expr).cast("int").alias("treat"),
         F.col(value_col).alias("val"),
         day.alias("day"),
-    )
+    ).filter(F.col("treat").isNotNull())
     if split_day is None:
         sp = e.agg(
             (
@@ -652,8 +672,12 @@ def did_monitor_report(
         "cells": out_cells, "split_day": split_out,
         "did": None, "se": None, "z": None, "significant": False,
     }
-    if len(cells) < 4 or any(
-        cells[k]["v"] is None or cells[k]["n"] < 2 for k in names
+    # membership check first: len(cells) >= 4 does NOT imply the four
+    # CANONICAL cells are present (a degenerate corpus can populate other
+    # (treat, post) combinations), and indexing a missing one would raise
+    if any(
+        k not in cells or cells[k]["v"] is None or cells[k]["n"] < 2
+        for k in names
     ):
         return result
     m11, m10 = float(cells[(1, 1)]["m"]), float(cells[(1, 0)]["m"])

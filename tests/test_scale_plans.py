@@ -758,6 +758,54 @@ def test_did_monitor_isolates_rollout_effect(spark, tmp_path):
     assert miss["cells"]["treat_pre"]["n"] == 0
 
 
+def test_monitors_screen_null_timestamps_and_null_treat(spark, tmp_path):
+    """NULL-hygiene regression (round-10 review): rows whose timestamp —
+    or, for DiD, whose treat predicate — evaluates NULL belong to NO
+    window/cell.  Before the screen, NULL-ts rows silently landed in the
+    Mann–Whitney BASELINE (is_recent NULL → counted in t, not a) and
+    biased the rank arithmetic, and phantom (treat, NULL) cells could
+    crash DiD's four-cell accounting with a KeyError once len(cells)
+    reached 4.  The reports must equal the clean-subset reports exactly."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        did_monitor_report,
+        mann_whitney_monitor_report,
+    )
+
+    day0 = 1_700_000_000 - (1_700_000_000 % 86400)
+    split = day0 // 86400 + 10
+    schema = "deviceid int, date_time int, battery_voltage double"
+    clean = []
+    for dev in (1, 2):
+        for day in range(20):
+            v = 10.0 + (3.0 if (dev % 2 == 1 and day >= 10) else 0.0)
+            clean.append((dev, day0 + day * 86400, v + 0.01 * day))
+    # NULL-ts junk is invisible to BOTH monitors; the NULL-deviceid row
+    # with a VALID timestamp is a legitimate Mann-Whitney reading (that
+    # monitor is device-agnostic) but evaluates treat=NULL for DiD, so it
+    # only belongs in the DiD dirty set.
+    dirty_mw = clean + [(1, None, 99.0), (2, None, 0.5), (None, None, 42.0)]
+    dirty_did = dirty_mw + [(None, day0 + 15 * 86400, 7.0)]
+    cp = str(tmp_path / "clean")
+    mp, dp = str(tmp_path / "dirty_mw"), str(tmp_path / "dirty_did")
+    spark.createDataFrame(clean, schema).write.parquet(cp)
+    spark.createDataFrame(dirty_mw, schema).write.parquet(mp)
+    spark.createDataFrame(dirty_did, schema).write.parquet(dp)
+    assert mann_whitney_monitor_report(spark, mp) == \
+        mann_whitney_monitor_report(spark, cp)
+    assert did_monitor_report(spark, dp, split_day=split) == \
+        did_monitor_report(spark, cp, split_day=split)
+
+    # all-post + NULL-day rows: the shape that used to KeyError (phantom
+    # cells pushing len(cells) past the guard) — must return did=None
+    crashy = [(d, day0 + (12 + i) * 86400, 10.0 + i)
+              for d in (1, 2) for i in range(3)]
+    crashy += [(1, None, 5.0), (2, None, 6.0)]
+    kp = str(tmp_path / "crashy")
+    spark.createDataFrame(crashy, schema).write.parquet(kp)
+    kc = did_monitor_report(spark, kp, split_day=split)
+    assert kc["did"] is None and not kc["significant"]
+
+
 def test_tiere_plans_have_no_cartesian_or_nested_loop(spark, queries):
     """Tier E candidate generation must stay keyed: the triangle wedge
     join, the SemDeDup pair join and the Bloom probe are all equi-joins —

@@ -5,7 +5,8 @@ The replayer is load-bearing adjudication evidence, so its parser gets
 the same bar as engine code: every registered oracle must split, and a
 staged replay must reproduce the direct single-SQL replay bit-for-bit
 on a dialect-diverse key sample (recursive CTE, MATERIALIZED hints,
-window QUALIFY, list comprehensions).  DuckDB-only — no Spark session.
+window QUALIFY, list comprehensions).  DuckDB-only except the --agg
+dtype-guard test, which needs one tiny Spark frame.
 """
 
 from __future__ import annotations
@@ -68,6 +69,66 @@ def test_parser_tracks_quotes_comments_and_collists():
     assert "')('" in ctes[0][2] and "comment" in ctes[0][2]
     assert ctes[2][2].strip() == "SELECT * FROM a"
     assert final.strip().startswith("SELECT")
+
+
+def test_parser_rejects_unterminated_comment_and_block_comments():
+    """Round-10 hardening: a -- comment that swallows the rest of the
+    text while parens are open must fail WITH CONTEXT (not index()'s
+    bare ValueError), and /* */ block comments — which the paren
+    tracker does not see through — are rejected loudly instead of
+    silently corrupting the stage split."""
+    with pytest.raises(ValueError, match="unterminated -- comment"):
+        split_with_chain("WITH a AS (SELECT 1 -- no newline, open paren")
+    with pytest.raises(ValueError, match="block comments"):
+        split_with_chain(
+            "WITH a AS (SELECT 1 /* ( sneaky */ AS x FROM t) SELECT * FROM a"
+        )
+
+
+def test_staging_refuses_base_table_cte_and_cleans_up_views():
+    """Round-10 hardening: a CTE named after a base table would CLOBBER
+    the base view for every later key on the shared connection — the
+    replayer must refuse before creating anything; and the CTE views a
+    key creates must be droppable via created_views so they don't leak
+    into the next key's namespace."""
+    with tempfile.TemporaryDirectory(prefix="staged_test_") as workdir:
+        con = duckdb.connect()
+        con.sql("CREATE VIEW events AS SELECT 1 AS v")
+        with pytest.raises(ValueError, match="collide with base-table"):
+            staged_oracle(
+                con,
+                "WITH events AS (SELECT 2 AS v) SELECT * FROM events",
+                workdir, "bad_key", verbose=False,
+            )
+        assert con.sql("SELECT v FROM events").fetchone()[0] == 1  # intact
+        made: list[str] = []
+        rel = staged_oracle(
+            con,
+            "WITH stage_a AS (SELECT v + 1 AS w FROM events) "
+            "SELECT * FROM stage_a",
+            workdir, "good_key", verbose=False, created_views=made,
+        )
+        assert rel.fetchall() == [(2,)] and made == ["stage_a"]
+        for v in made:
+            con.sql(f"DROP VIEW IF EXISTS {v}")
+        assert ("stage_a",) not in con.sql(
+            "SELECT table_name FROM information_schema.tables"
+        ).fetchall()
+        con.close()
+
+
+def test_agg_hash_guard_rejects_float_output(spark):
+    """--agg's commutative-hash compare stringifies cells inside each
+    engine; float cells stringify differently across Spark and DuckDB,
+    so the integer/string-only restriction is ENFORCED, not assumed."""
+    from verify_sf1_staged import spark_agg_hash
+
+    ints = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    n, h = spark_agg_hash(ints)
+    assert n == 1 and h > 0
+    floats = spark.createDataFrame([(1, 2.5)], "k bigint, x double")
+    with pytest.raises(TypeError, match="integer/string-output only"):
+        spark_agg_hash(floats)
 
 
 @pytest.mark.parametrize("key", SAMPLE)

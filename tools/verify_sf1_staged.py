@@ -88,7 +88,24 @@ def split_with_chain(sql: str) -> tuple[list[tuple[str, str, str]], str]:
             elif c == "'":
                 in_str = True
             elif c == "-" and body[k:k + 2] == "--":
-                k = body.index("\n", k)  # -- comment: parens don't count
+                nl = body.find("\n", k)  # -- comment: parens don't count
+                if nl == -1:
+                    # comment swallows the rest of the text while parens
+                    # are still open — fail with context, not index()'s
+                    # bare ValueError
+                    raise ValueError(
+                        f"CTE {name!r}: unterminated -- comment while "
+                        f"{depth} paren(s) open: {body[k:k+80]!r}"
+                    )
+                k = nl
+            elif c == "/" and body[k:k + 2] == "/*":
+                # block comments are NOT tracked (a paren inside one would
+                # silently corrupt the split): reject loudly — the oracle
+                # dialect uses -- comments only
+                raise ValueError(
+                    f"CTE {name!r}: /* */ block comments are unsupported "
+                    f"by the staged-replay parser: {body[k:k+80]!r}"
+                )
             elif c == "(":
                 depth += 1
             elif c == ")":
@@ -106,10 +123,29 @@ def split_with_chain(sql: str) -> tuple[list[tuple[str, str, str]], str]:
 # ---------------------------------------------------------------------------
 
 
-def staged_oracle(con, sql: str, workdir: str, key: str, verbose: bool = True):
+_BASE_TABLES = frozenset(
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def staged_oracle(con, sql: str, workdir: str, key: str, verbose: bool = True,
+                  created_views: list[str] | None = None):
     """Materialize each CTE of ``sql`` to parquet-in-``workdir`` in order,
-    then return the DuckDB relation of the final SELECT over the views."""
+    then return the DuckDB relation of the final SELECT over the views.
+
+    CTE names are asserted disjoint from the base-table names: CREATE OR
+    REPLACE VIEW on a shared connection would otherwise CLOBBER a base
+    view for every later key in the run (no current oracle does this —
+    the assert keeps it impossible).  Pass ``created_views`` to collect
+    the view names for per-key cleanup."""
     ctes, final = split_with_chain(sql)
+    clash = [n for (n, _, _) in ctes if n.lower() in _BASE_TABLES]
+    if clash:
+        raise ValueError(
+            f"{key}: CTE name(s) {clash} collide with base-table views — "
+            "staging would clobber the base relation for later keys"
+        )
     for idx, (name, collist, body) in enumerate(ctes):
         t0 = time.time()
         path = os.path.join(workdir, f"{key}_{idx:02d}_{name}.parquet")
@@ -121,6 +157,8 @@ def staged_oracle(con, sql: str, workdir: str, key: str, verbose: bool = True):
         con.sql(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
+        if created_views is not None:
+            created_views.append(name)
         if verbose:
             n = con.sql(f"SELECT count(*) FROM {name}").fetchone()[0]
             mb = os.path.getsize(path) / 1e6
@@ -134,9 +172,23 @@ def staged_oracle(con, sql: str, workdir: str, key: str, verbose: bool = True):
 # ---------------------------------------------------------------------------
 
 
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint", "boolean", "string"}
+
+
 def spark_agg_hash(sdf) -> tuple[int, int]:
     from pyspark.sql import functions as F
 
+    # the commutative-hash compare stringifies cells INSIDE each engine;
+    # only integer/string cells stringify identically across Spark and
+    # DuckDB (doubles differ: '1.0E20' vs '1e+20', 'NaN' vs 'nan') —
+    # enforce the docstring's restriction instead of trusting it
+    bad = [(c, t) for c, t in sdf.dtypes if t not in _INT_TYPES]
+    if bad:
+        raise TypeError(
+            f"--agg compare is integer/string-output only; got {bad} — "
+            "cross-engine float stringification differs, use the "
+            "collect-based compare for this key"
+        )
     cols = [sdf.columns[i] for i in _col_order(list(sdf.columns))]
     cells = [F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in cols]
     # first 15 hex chars of md5 -> non-negative BIGINT, summed exactly
@@ -196,12 +248,16 @@ def main() -> int:
         for key in keys:
             print(f"[{key}] staged oracle replay @ {SF_DIR}", flush=True)
             t0 = time.time()
+            key_views: list[str] = []
             try:
-                rel = staged_oracle(con, oracles[key], workdir, key)
+                rel = staged_oracle(
+                    con, oracles[key], workdir, key, created_views=key_views
+                )
                 duck_cols = list(rel.columns)
                 if agg_mode:
                     view = f"__final_{key}"
                     con.sql(f"CREATE OR REPLACE VIEW {view} AS {rel.sql_query()}")
+                    key_views.append(view)
                     dn, dh = duck_agg_hash(con, view, duck_cols)
                     duck_rows = None
                 else:
@@ -210,6 +266,11 @@ def main() -> int:
                 failures.append((key, f"DUCKDB: {type(e).__name__}: {str(e)[:300]}"))
                 print(f"[FAIL] {key}: duckdb error", flush=True)
                 continue
+            finally:
+                # one key's CTE views must not leak into the next key's
+                # namespace (same shared connection)
+                for v in reversed(key_views):
+                    con.sql(f"DROP VIEW IF EXISTS {v}")
             t_duck = time.time() - t0
             t0 = time.time()
             try:
