@@ -546,3 +546,40 @@ def test_adamic_adar_matches_python_reference(spark, raw_edges):
     for k in got:
         assert got[k][1] == expected[k][1]
         assert abs(got[k][0] - expected[k][0]) < 1e-9
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "green", "ash", "oak"]),
+            min_size=1,
+            max_size=6,
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_simhash_collapsed_equals_direct_on_generated_corpora(spark, texts):
+    """simhash_pairs_collapsed == simhash_pairs (rows, orientation,
+    hamming, dtypes) on arbitrary tiny-vocabulary corpora — the 5-word
+    vocab makes identical unigram SETS (and hence identical SimHash
+    signatures, the collapse trigger) common, repeated texts form
+    multi-member signature groups exercising the within/across pair
+    recovery, and short docs keep signatures close enough for the band
+    join to fire across distinct signatures too.  The clique-safe
+    derivation must be output-invisible on EVERY corpus, not just the
+    directed clique fixture in test_edge_inputs."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_pairs_collapsed,
+        simhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs = simhash_signatures(docs).localCheckpoint()
+    direct = sorted(map(tuple, simhash_pairs(sigs).collect()))
+    collapsed = sorted(map(tuple, simhash_pairs_collapsed(sigs).collect()))
+    assert collapsed == direct
