@@ -700,6 +700,108 @@ def did_monitor_report(
     return result
 
 
+def survival_monitor_report(
+    spark: SparkSession,
+    stage_path: str,
+    event_expr: str = "battery_voltage < 11.0",
+    device_col: str = "deviceid",
+    ts_col: str = "date_time",
+    bucket_days: int = 7,
+) -> dict:
+    """Kaplan–Meier device-survival monitor at the maintenance cadence —
+    the streaming-maintenance twin of the batch ``x_survival`` key
+    (plans/tierm.py), completing the fleet-health trio with the
+    Mann–Whitney shift and DiD rollout monitors: per device, TIME TO
+    FIRST ``event_expr`` reading (default: the first low-battery
+    reading, the SPRT monitor's predicate) measured from the device's
+    first appearance, RIGHT-CENSORED at its last reading when the event
+    never fired.  A naive "fraction of devices gone low" rate counts
+    the still-healthy fleet as if observation had finished — exactly
+    the bias the product-limit estimator removes, and the readout that
+    tells a hardware-batch story ("how long do these devices LIVE?")
+    none of the trend monitors can.
+
+    Same estimator as the batch key: lifetimes bucket into
+    ``bucket_days``-day buckets, n_risk is the suffix sum of bucket
+    sizes, each factor (n−d)/n rounds at 6 dp, and Ŝ(t) is the
+    order-pinned sequential fold round(acc·f, 6).  The corpus-sized
+    work is ONE map-side-combinable per-device (min day, min event
+    day, max day) rollup; the bucket table is CALENDAR-bounded
+    (observation span / bucket_days rows), so the suffix sum and the
+    KM fold run driver-side over a control-plane-sized collect —
+    unlike the oracle-paired batch key there is no cross-engine hash
+    to pin, so the fold needn't ride a HOF.
+
+    Returns ``{"n_devices": int, "n_events": int, "n_censored": int,
+    "median_survival_days": int | None, "km_curve": [{"t": int,
+    "n_risk": int, "d": int, "c": int, "km": float}, ...]}`` (plain
+    dict, foreachBatch-safe).  ``median_survival_days`` is the start
+    day (t·bucket_days) of the first bucket where Ŝ(t) ≤ 0.5, None
+    while the fleet's survival stays above half.  NULL-timestamp /
+    NULL-device rows belong to no lifetime and are screened; rows
+    where ``event_expr`` evaluates NULL simply aren't events.
+    """
+    df = spark.read.parquet(stage_path).filter(
+        F.col(ts_col).isNotNull() & F.col(device_col).isNotNull()
+    )
+    day = F.floor(F.col(ts_col).cast("bigint") / F.lit(86400)).cast("bigint")
+    per_dev = (
+        df.select(
+            F.col(device_col).alias("dev"),
+            day.alias("day"),
+            F.when(F.expr(event_expr), day).alias("event_day"),
+        )
+        .groupBy("dev")
+        .agg(
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            F.min("event_day").alias("event_day"),
+        )
+    )
+    life = per_dev.select(
+        F.floor(
+            (
+                F.coalesce(F.col("event_day"), F.col("last_day"))
+                - F.col("first_day")
+            )
+            / F.lit(float(bucket_days))
+        )
+        .cast("int")
+        .alias("t"),
+        F.col("event_day").isNotNull().cast("int").alias("event"),
+    )
+    bucket = (
+        life.groupBy("t")
+        .agg(
+            F.sum("event").alias("d"),
+            F.sum(F.lit(1) - F.col("event")).alias("c"),
+            F.count("*").alias("m"),
+        )
+        .orderBy("t")
+        .collect()  # control-plane: calendar-bounded bucket table
+    )
+    if not bucket:
+        return {"n_devices": 0, "n_events": 0, "n_censored": 0,
+                "median_survival_days": None, "km_curve": []}
+    total = sum(int(r["m"]) for r in bucket)
+    at_risk, curve, km, median = total, [], 1.0, None
+    for r in bucket:
+        t, d, c = int(r["t"]), int(r["d"]), int(r["c"])
+        factor = round((at_risk - d) / at_risk, 6)
+        km = round(km * factor, 6)
+        curve.append({"t": t, "n_risk": at_risk, "d": d, "c": c, "km": km})
+        if median is None and km <= 0.5:
+            median = t * bucket_days
+        at_risk -= d + c
+    return {
+        "n_devices": total,
+        "n_events": sum(p["d"] for p in curve),
+        "n_censored": sum(p["c"] for p in curve),
+        "median_survival_days": median,
+        "km_curve": curve,
+    }
+
+
 def pipeline_maintenance(
     spark: SparkSession,
     stage_path: str,
@@ -711,6 +813,7 @@ def pipeline_maintenance(
     monitor_sprt: bool = False,
     monitor_mann_whitney: bool = False,
     monitor_did_treat_expr: str | None = None,
+    monitor_survival: bool = False,
 ) -> dict:
     """One scheduled-maintenance pass — the in-engine analog of the
     reference's nightly crawler run (``cron(0 4 * * ? *)``,
@@ -740,7 +843,10 @@ def pipeline_maintenance(
     boolean over stage columns, e.g. a firmware-cohort predicate) adds
     a ``did`` block (see :func:`did_monitor_report`): the
     difference-in-differences rollout readout for fleet changes that
-    were not randomized.
+    were not randomized.  ``monitor_survival=True`` adds a ``survival``
+    block (see :func:`survival_monitor_report`): the Kaplan–Meier
+    time-to-first-low-battery curve with right censoring — how long
+    devices LIVE, which no rate or trend monitor answers unbiasedly.
     """
     import os as _os
 
@@ -772,6 +878,8 @@ def pipeline_maintenance(
         report["did"] = did_monitor_report(
             spark, stage_path, treat_expr=monitor_did_treat_expr
         )
+    if monitor_survival and _os.path.isdir(stage_path):
+        report["survival"] = survival_monitor_report(spark, stage_path)
     for t in catalog_tables or []:
         if spark.catalog.tableExists(t):
             spark.catalog.recoverPartitions(t)

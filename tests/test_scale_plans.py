@@ -758,6 +758,73 @@ def test_did_monitor_isolates_rollout_effect(spark, tmp_path):
     assert miss["cells"]["treat_pre"]["n"] == 0
 
 
+def test_survival_monitor_censors_correctly(spark, tmp_path):
+    """The maintenance-cadence KM survival monitor (streaming twin of
+    x_survival, r10): 6 devices first seen the same day — three go
+    low-battery at days 3/10/17, one at day 24, two never do (last
+    readings days 20 and 25, CENSORED).  Hand-computed product-limit
+    curve with 7-day buckets: n_risk 6/5/4/2, Ŝ = .833333, .666666,
+    .5, .25; median at bucket 2 → 14 days.  A naive churn rate would
+    call the two censored devices dead — KM must not."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        pipeline_maintenance,
+        survival_monitor_report,
+    )
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    day0 = 1_700_000_000 - (1_700_000_000 % 86400)
+    rows = []
+
+    def readings(dev, last_day, event_day=None):
+        for d in range(last_day + 1):
+            low = event_day is not None and d >= event_day
+            rows.append((dev, day0 + d * 86400, 9.0 if low else 12.6))
+
+    readings(1, 5, event_day=3)
+    readings(2, 12, event_day=10)
+    readings(3, 18, event_day=17)
+    readings(4, 20)                 # censored at day 20 (bucket 2)
+    readings(5, 25)                 # censored at day 25 (bucket 3)
+    readings(6, 26, event_day=24)
+    path = str(tmp_path / "stage")
+    # NULL-ts / NULL-device rows belong to no lifetime
+    rows += [(1, None, 9.0), (None, day0, 9.0)]
+    spark.createDataFrame(
+        rows, "deviceid int, date_time int, battery_voltage double"
+    ).write.parquet(path)
+    got = survival_monitor_report(spark, path)
+    assert got["n_devices"] == 6
+    assert got["n_events"] == 4 and got["n_censored"] == 2
+    assert [p["n_risk"] for p in got["km_curve"]] == [6, 5, 4, 2]
+    assert [p["km"] for p in got["km_curve"]] == pytest.approx(
+        [0.833333, 0.666666, 0.5, 0.25], abs=2e-6
+    )
+    assert got["median_survival_days"] == 14
+
+    # healthy fleet: no events → km stays 1.0, median None
+    healthy = str(tmp_path / "healthy")
+    spark.createDataFrame(
+        [(d, day0 + i * 86400, 12.6) for d in (1, 2) for i in range(9)],
+        "deviceid int, date_time int, battery_voltage double",
+    ).write.parquet(healthy)
+    h = survival_monitor_report(spark, healthy)
+    assert h["n_events"] == 0 and h["median_survival_days"] is None
+    assert all(p["km"] == 1.0 for p in h["km_curve"])
+
+    # and through the maintenance entry point
+    declared = StructType([
+        StructField("deviceid", IntegerType()),
+        StructField("date_time", IntegerType()),
+        StructField("battery_voltage", DoubleType()),
+    ])
+    report = pipeline_maintenance(
+        spark, path, declared, monitor_survival=True
+    )
+    assert report["survival"] == got
+
+
 def test_monitors_screen_null_timestamps_and_null_treat(spark, tmp_path):
     """NULL-hygiene regression (round-10 review): rows whose timestamp —
     or, for DiD, whose treat predicate — evaluates NULL belong to NO
