@@ -11,7 +11,7 @@ few large ones (BASELINE.md "output file sizing").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -254,6 +254,15 @@ def drift_psi_report(
     }
 
 
+def _epoch_day(ts_col: str) -> Column:
+    """UTC epoch-day bucket (floor(epoch/86400)) — a pure integer with NO
+    session-timezone dependency (to_date/from_unixtime renders in the
+    session TZ, so the same stage data produced different day boundaries
+    per deployment TZ — the r8 ADVICE lesson).  ONE definition so every
+    monitor in this module shares identical day boundaries."""
+    return F.floor(F.col(ts_col).cast("bigint") / F.lit(86400)).cast("bigint")
+
+
 def timeseries_monitor_report(
     spark: SparkSession,
     stage_path: str,
@@ -299,16 +308,10 @@ def timeseries_monitor_report(
     from pyspark.sql.window import Window as W
 
     df = spark.read.parquet(stage_path).filter(F.col(value_col).isNotNull())
-    # Day buckets are UTC epoch-days (floor(epoch/86400)) — a pure integer
-    # with NO session-timezone dependency.  The previous
-    # to_date(from_unixtime(...)) rendered in the Spark session timezone,
-    # so the same stage data produced different day boundaries (and a
-    # different alarm_latest) per deployment TZ (r8 ADVICE).
+    # Day buckets via the shared _epoch_day (session-TZ independent)
     d = df.groupBy(
         F.col(key_col).alias("k"),
-        F.floor(F.col(ts_col).cast("bigint") / F.lit(86400))
-        .cast("bigint")
-        .alias("day"),
+        _epoch_day(ts_col).alias("day"),
     ).agg(
         F.avg(value_col).alias("x"),
         F.sum(value_col).alias("tot"),
@@ -425,11 +428,7 @@ def sprt_monitor_report(
     up = _math.log((1.0 - beta) / alpha)
     lo = _math.log(beta / (1.0 - alpha))
     df = spark.read.parquet(stage_path)
-    d = df.groupBy(
-        F.floor(F.col(ts_col).cast("bigint") / F.lit(86400))
-        .cast("bigint")
-        .alias("day")
-    ).agg(
+    d = df.groupBy(_epoch_day(ts_col).alias("day")).agg(
         F.count("*").alias("n"),
         # a row whose predicate is NULL (e.g. NULL voltage) is a trial
         # that was NOT a success — coalesce per row so an all-NULL day
@@ -522,7 +521,7 @@ def mann_whitney_monitor_report(
     df = spark.read.parquet(stage_path).filter(
         F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
     )
-    day = F.floor(F.col(ts_col).cast("bigint") / F.lit(86400)).cast("bigint")
+    day = _epoch_day(ts_col)
     v = df.select(F.col(value_col).alias("val"), day.alias("day"))
     mx = v.agg(F.max("day").alias("max_day"))
     g = (
@@ -625,7 +624,7 @@ def did_monitor_report(
     df = spark.read.parquet(stage_path).filter(
         F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
     )
-    day = F.floor(F.col(ts_col).cast("bigint") / F.lit(86400)).cast("bigint")
+    day = _epoch_day(ts_col)
     e = df.select(
         F.expr(treat_expr).cast("int").alias("treat"),
         F.col(value_col).alias("val"),
@@ -744,7 +743,7 @@ def survival_monitor_report(
     df = spark.read.parquet(stage_path).filter(
         F.col(ts_col).isNotNull() & F.col(device_col).isNotNull()
     )
-    day = F.floor(F.col(ts_col).cast("bigint") / F.lit(86400)).cast("bigint")
+    day = _epoch_day(ts_col)
     per_dev = (
         df.select(
             F.col(device_col).alias("dev"),
@@ -783,12 +782,26 @@ def survival_monitor_report(
     if not bucket:
         return {"n_devices": 0, "n_events": 0, "n_censored": 0,
                 "median_survival_days": None, "km_curve": []}
+
+    def _r6(x: float) -> float:
+        # HALF_UP at 6 dp on the shortest decimal repr — Spark/DuckDB
+        # round() semantics, NOT Python's builtin banker's rounding, so
+        # the fold stays value-identical to the batch twin's
+        # round(acc*f, 6) recurrence on exact half-ties
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
     total = sum(int(r["m"]) for r in bucket)
     at_risk, curve, km, median = total, [], 1.0, None
     for r in bucket:
         t, d, c = int(r["t"]), int(r["d"]), int(r["c"])
-        factor = round((at_risk - d) / at_risk, 6)
-        km = round(km * factor, 6)
+        factor = _r6((at_risk - d) / at_risk)
+        km = _r6(km * factor)
         curve.append({"t": t, "n_risk": at_risk, "d": d, "c": c, "km": km})
         if median is None and km <= 0.5:
             median = t * bucket_days
