@@ -18,46 +18,21 @@ from . import tierl  # noqa: F401,E402
 from . import tierm  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
-# keys per round.  After round 9: ALL 226 keys are green at their latest
-# driver check, 0 failures ever.  Round 10 (VERDICT.md r9 "Next round"
-# #1/#4) front-loads:
-#   1. slots 1-29 = the 29 r5-era rows that slipped past r9's 50-key cut
-#      (4 rounds stale; the ONLY keys whose latest driver evidence is
-#      r5) — nothing may displace them;
-#   2. slots 30-32 = the 3 keys whose code changed in round 9 AFTER
-#      their latest driver row (cat_register LOCATION absolutized f043e1f;
-#      x_sprt NULL-predicate trials 73d6e88; x_mmr_diversify limit-probe
-#      pool guard 8b5a636);
-#   3. slots 33-36 = keys changed THIS round: x_gains_lift /
-#      x_mann_whitney / x_cramers_v (the three r9 ADVICE fixes — nullif
-#      denominator guards, DOUBLE tie-correction, derived min(r−1,c−1))
-#      and x_dedup_simhash (max_bucket clique guard, VERDICT r9 #2);
-#   4. slots 37-50 = the r6-era block, CORRECTNESS_r06 insertion order
-#      (14 of its 50 keys fit; the remainder is listed in the same order
-#      past the cut so the r11 window continues it with no re-planning:
-#      r11 should take the next 36 r6-era names below, then the r7 block).
+# keys per round.  After round 10: ALL 226 keys are green at their latest
+# driver check, 0 failures ever; staleness census (union of
+# CORRECTNESS_r01–r10, latest row per key): 36 keys at r6, 49 at r7,
+# 44 at r8, 47 at r9, 50 at r10.  Round 11 (VERDICT.md r10 "Next round"
+# #1) front-loads:
+#   1. slots 1-36 = the 36 r6-era rows (4 rounds stale — the oldest
+#      evidence anywhere), CORRECTNESS_r06 insertion order, exactly the
+#      post-cut queue the r10 comment pinned — nothing may displace them;
+#   2. slots 37-50 = the 14 oldest r7-era rows, CORRECTNESS_r07
+#      insertion order.  The remaining 35 r7-era keys are listed in the
+#      same order past the cut so the r12 window continues with no
+#      re-planning: r12 should take the next 35 r7-era names below,
+#      then start the r8 block (CORRECTNESS_r08 insertion order).
 _NEEDS_VERDICT = [
-    # r5-era stale rows (r9 VERDICT #1) — MUST hold slots 1-29
-    "op_classify", "f_unbase64", "f_isbase64", "f_from_json",
-    "agg_class_count", "src_ingest", "q_agg_grouping_sets",
-    "q_agg_percentile", "q_agg_stats", "q_explode", "q_fn_bitwise",
-    "q_fn_conditional", "q_fn_sql_udfs", "q_join_full", "q_lateral",
-    "q_pivot", "q_recursive_cte", "q_trajectory", "q_unpivot",
-    "q_win_firstlast", "q_win_ntile", "q_win_range", "x_embed_quantize",
-    "x_lm_bigram", "x_minhash_calibration", "x_pmi_collocations",
-    "x_sim_ivf2", "x_sim_quantized", "x_token_entropy",
-    # changed in r9 after their latest driver row (r9 VERDICT #1)
-    "cat_register", "x_sprt", "x_mmr_diversify",
-    # changed THIS round (r9 ADVICE ×3 + the simhash clique guard)
-    "x_gains_lift", "x_mann_whitney", "x_cramers_v", "x_dedup_simhash",
-    # r6-era rows (next-oldest), CORRECTNESS_r06 insertion order;
-    # the first 14 complete this round's window, the rest queue for r11
-    "x_rank_fusion", "x_percentile_norm", "x_dedup_census",
-    "x_split_leakage", "x_split_cluster_safe", "x_keywords_tfidf",
-    "x_lang_mismatch", "x_embed_norms", "x_dataset_diff", "x_source_kl",
-    "x_curate_corpus", "q_triangle_count_guarded", "x_pagerank_guarded",
-    "x_lpa_guarded",
-    # --- r10 cut line (50) --- r11 continues here, r6 order preserved
+    # r6-era rows (r10 VERDICT #1) — MUST hold slots 1-36
     "x_sim_ivf_2level", "x_dedup_cluster_star", "x_sim_ivf_2level_exact",
     "x_curriculum_shards", "x_dataset_card", "x_decontaminate_near",
     "x_chunk_documents", "x_multimodal_decode", "x_dedup_ledger_near",
@@ -68,6 +43,23 @@ _NEEDS_VERDICT = [
     "q_join_asof_near", "q_scan_prune", "q_project_filter",
     "q_join_inner", "q_join_left", "q_join_semi", "q_join_anti",
     "q_join_range", "q_join_asof", "q_agg_basic",
+    # r7-era rows (next-oldest), CORRECTNESS_r07 insertion order;
+    # the first 14 complete this round's window, the rest queue for r12
+    "q_agg_distinct", "q_agg_approx", "q_agg_rollup", "q_agg_cube",
+    "q_win_rank", "q_win_lag", "q_win_rolling", "q_topk", "q_union",
+    "q_intersect", "q_except", "q_fn_string", "q_fn_datetime",
+    "q_fn_math",
+    # --- r11 cut line (50) --- r12 continues here, r7 order preserved
+    "q_fn_haversine", "q_fn_array", "q_fn_json", "q_subquery",
+    "x_dedup_semantic_guarded", "x_embed_pq", "x_sim_pq",
+    "x_heavy_hitters", "x_vocab_bpe", "x_sim_zero_norm", "x_bpe_tokenize",
+    "x_sim_ivfpq", "x_linreg_gd", "x_kcore", "x_jaccard_prefix",
+    "x_hll_union", "x_shuffle_epoch", "x_block_sorted", "x_feature_mi",
+    "x_scorer_spearman", "x_join_card", "x_f2_countsketch",
+    "x_ewma_anomaly", "x_agg_salted", "x_hll_intersect", "x_link_adamic",
+    "x_ttest_welch", "x_srm_chisq", "x_bootstrap_ci", "x_seq_transitions",
+    "x_cuped", "x_skyline", "x_geo_nearest", "x_abtest_mde",
+    "x_k_anonymity",
 ]
 
 
