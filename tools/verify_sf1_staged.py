@@ -22,11 +22,24 @@ over the already-materialized upstream views — the recursion's working
 set is label-table-sized, never corpus-sized.
 
 ``--agg`` keys compare WITHOUT collecting: row count plus a commutative
-per-row md5 sum computed inside each engine (integer-output keys only —
-the one quadratic-output key, x_dedup_simhash, is all-BIGINT/INT).
+per-row md5 sum computed inside each engine.  Criteria for using --agg:
+(a) the key's output is too large to collect at sf1 (quadratic-output
+keys — pair lists like x_dedup_simhash's 164M implied pairs), AND
+(b) every output column stringifies bit-identically cross-engine:
+integer/boolean/string/DATE only (enforced by a TypeError guard —
+doubles and timestamps must use the default collect-based compare,
+which normalizes via _norm_cell).
+
+``--all`` is the STANDING sf1 GATE (VERDICT r10 #5): it replays every
+registry key through this staged loop — collect-based compare by
+default, switching to the commutative-hash compare automatically for
+the keys in ``AGG_KEYS`` — so the SCALE.md "226/226 at sf1"
+certification line is ONE command.  A resume after an interruption is
+the same command with the not-yet-reported keys listed explicitly.
 
 Usage: python tools/verify_sf1_staged.py x_curate_corpus q_triangle_count
        python tools/verify_sf1_staged.py --agg x_dedup_simhash
+       python tools/verify_sf1_staged.py --all      # full sf1 gate
        SF_DIR=.scratch/sf1 MEM=48GB python tools/verify_sf1_staged.py ...
 """
 
@@ -123,10 +136,15 @@ def split_with_chain(sql: str) -> tuple[list[tuple[str, str, str]], str]:
 # ---------------------------------------------------------------------------
 
 
-_BASE_TABLES = frozenset(
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings".split()
+# Single source of truth for the driver-registered base tables: used both
+# for view creation in main() and for the CTE-name clash guard below —
+# a table added to one list but not the other would leave the guard
+# silently blind (ADVICE r10 #2).
+BASE_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
 )
+_BASE_TABLES = frozenset(BASE_TABLES)
 
 
 def staged_oracle(con, sql: str, workdir: str, key: str, verbose: bool = True,
@@ -172,7 +190,13 @@ def staged_oracle(con, sql: str, workdir: str, key: str, verbose: bool = True,
 # ---------------------------------------------------------------------------
 
 
-_INT_TYPES = {"tinyint", "smallint", "int", "bigint", "boolean", "string"}
+# Cell types whose CAST-to-string form is bit-identical on Spark and
+# DuckDB: integers, booleans, strings, and DATEs (both stringify ISO
+# '1992-01-01'; ADVICE r10 #1).  Doubles/decimals stay excluded —
+# '1.0E20' vs '1e+20', 'NaN' vs 'nan' — and timestamps too ('2024-01-01
+# 00:00:00' vs fractional-second variants across casts).
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint", "boolean", "string",
+              "date"}
 
 
 def spark_agg_hash(sdf) -> tuple[int, int]:
@@ -214,17 +238,32 @@ def duck_agg_hash(con, from_clause: str, cols: list[str]) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 
+# Keys whose sf1 output is too large to collect (quadratic pair lists) AND
+# whose output columns are all agg-hash-safe types — --all switches these
+# to the commutative-hash compare automatically (docstring criteria).
+AGG_KEYS = frozenset({"x_dedup_simhash"})
+
+
 def main() -> int:
     import duckdb
 
-    args = [a for a in sys.argv[1:] if a != "--agg"]
-    agg_mode = "--agg" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    bad_flags = flags - {"--agg", "--all"}
+    if bad_flags:
+        print(f"unknown flag(s): {', '.join(sorted(bad_flags))}")
+        return 2
+    agg_mode = "--agg" in flags
+    all_mode = "--all" in flags
 
     import __spark_entry__ as entrymod
     from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.session import get_spark
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    keys = args or ["x_curate_corpus", "q_triangle_count"]
+    if all_mode:
+        keys = args or list(qs)
+    else:
+        keys = args or ["x_curate_corpus", "q_triangle_count"]
     unknown = [k for k in keys if k not in qs or k not in oracles]
     if unknown:
         print(f"unknown/oracle-less key(s): {', '.join(unknown)}")
@@ -234,8 +273,7 @@ def main() -> int:
     con = duckdb.connect()
     con.sql(f"SET memory_limit='{MEM}'")
     con.sql(f"SET temp_directory='{workdir}/duck_tmp'")
-    for t in ("region nation customer supplier part orders lineitem events "
-              "documents embeddings").split():
+    for t in BASE_TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
@@ -245,16 +283,25 @@ def main() -> int:
 
     failures, passed = [], 0
     try:
-        for key in keys:
-            print(f"[{key}] staged oracle replay @ {SF_DIR}", flush=True)
+        for pos, key in enumerate(keys, 1):
+            use_agg = agg_mode or (all_mode and key in AGG_KEYS)
+            tag = " [agg]" if use_agg else ""
+            print(f"[{key}] ({pos}/{len(keys)}) staged oracle replay "
+                  f"@ {SF_DIR}{tag}", flush=True)
             t0 = time.time()
             key_views: list[str] = []
+            # per-key staging dir, removed as soon as the DuckDB phase is
+            # done: under --all the staged parquet of 226 keys would
+            # otherwise accumulate in one dir and exhaust the host disk
+            # at sf1 (the whole point of staging was bounding disk)
+            key_dir = os.path.join(workdir, key)
+            os.makedirs(key_dir, exist_ok=True)
             try:
                 rel = staged_oracle(
-                    con, oracles[key], workdir, key, created_views=key_views
+                    con, oracles[key], key_dir, key, created_views=key_views
                 )
                 duck_cols = list(rel.columns)
-                if agg_mode:
+                if use_agg:
                     view = f"__final_{key}"
                     con.sql(f"CREATE OR REPLACE VIEW {view} AS {rel.sql_query()}")
                     key_views.append(view)
@@ -268,15 +315,17 @@ def main() -> int:
                 continue
             finally:
                 # one key's CTE views must not leak into the next key's
-                # namespace (same shared connection)
+                # namespace (same shared connection); rows/hashes are
+                # already fetched, so the backing parquet can go too
                 for v in reversed(key_views):
                     con.sql(f"DROP VIEW IF EXISTS {v}")
+                shutil.rmtree(key_dir, ignore_errors=True)
             t_duck = time.time() - t0
             t0 = time.time()
             try:
                 sdf = qs[key](spark, SF_DIR)
                 spark_cols = list(sdf.columns)
-                if agg_mode:
+                if use_agg:
                     sn, sh = spark_agg_hash(sdf)
                 else:
                     spark_rows = [tuple(r) for r in sdf.collect()]
@@ -288,7 +337,7 @@ def main() -> int:
             problems = []
             if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
                 problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
-            if agg_mode:
+            if use_agg:
                 if not problems and (sn, sh) != (dn, dh):
                     problems.append(f"agg spark=({sn},{sh}) duck=({dn},{dh})")
                 n_out = f"{sn} rows (commutative-hash compare)"
