@@ -354,16 +354,31 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = _sf_from_dir(SF_DIR)
-    full_line = json.dumps(
-        {
-            "metric": "headline_queries_total_time",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "provenance": _provenance(SF_DIR, spark),
-        }
-    )
+    record = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "provenance": _provenance(SF_DIR, spark),
+    }
+    # Once-per-round coverage for the NON-headline keys (VERDICT r10 #6):
+    # they are excluded from HEADLINE because they are cheap, which also
+    # made a regression there invisible to the bench series.  min-of-1
+    # (they are not trended run-over-run, just bounded), opt-in via env
+    # so the driver's headline-total series stays comparable; the
+    # builder's BENCH_LOCAL_r{N}.json record sets it.
+    if not subset and os.environ.get("SPARK_GRAFT_NON_HEADLINE"):
+        nh_timings: dict[str, float] = {}
+        for key in qs:
+            if key in timings:
+                continue
+            t0 = time.perf_counter()
+            qs[key](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            nh_timings[key] = round(time.perf_counter() - t0, 3)
+        record["non_headline"] = nh_timings
+        record["non_headline_total"] = round(sum(nh_timings.values()), 3)
+    full_line = json.dumps(record)
     print(full_line)
     # Also persist the full record beside the repo: the driver's BENCH
     # artifact truncates its stdout tail to ~2 KB, so cross-round
