@@ -815,6 +815,214 @@ def survival_monitor_report(
     }
 
 
+def auc_monitor_report(
+    spark: SparkSession,
+    stage_path: str,
+    score_expr: str = "solar_panel_voltage",
+    label_expr: str = "battery_voltage < 10.0",
+    ts_col: str = "date_time",
+    recent_days: int = 7,
+    drop_threshold: float = 0.1,
+) -> dict:
+    """Scorer-discrimination drift monitor at the maintenance cadence —
+    the streaming-maintenance twin of the batch ``x_auc`` key
+    (plans/tierm.py), the way ``mann_whitney_monitor_report`` twins
+    x_mann_whitney (VERDICT r10 #4's scorer-eval cadence): exact ROC
+    AUC of a fixed scorer (``score_expr``) against a binary outcome
+    (``label_expr``) computed SEPARATELY for the last ``recent_days``
+    UTC epoch-days and for all prior history, answering "does the
+    scorer still rank-discriminate the outcome this week".  The default
+    pair audits whether solar-panel voltage still rank-predicts the
+    low-battery alert condition — a sensor fault or firmware change
+    that decouples them shows up here before any mean/trend monitor
+    moves.
+
+    Same rank-identity machinery as the batch key (Hanley & McNeil:
+    AUC is the normalized Mann–Whitney U): tie-averaged ranks over the
+    per-window DISTINCT-SCORE support table (scores pinned at 6 dp),
+    rank sums accumulated in DECIMAL(38,0) for the same ~2e12-row
+    overflow headroom as the MW monitor, AUC = (R₊ − n₊(n₊+1)/2)/
+    (n₊·n₋) with a nullif guard so a single-class window reads None,
+    not ANSI DIVIDE_BY_ZERO.
+
+    Because AUC is invariant under monotone transforms but DIRECTION
+    depends on the scorer's sign convention (low solar → low battery
+    gives AUC < 0.5), drift is judged on DISCRIMINATION |2·AUC − 1|
+    (the Gini magnitude): ``degraded`` fires when the recent window's
+    discrimination fell more than ``drop_threshold`` below baseline.
+
+    Returns ``{"n_recent": int, "n_baseline": int, "auc_recent":
+    float | None, "auc_baseline": float | None,
+    "delta_discrimination": float | None, "degraded": bool}`` (plain
+    dict, foreachBatch-safe).  Windows with no rows or only one label
+    class report auc = None and never fire the flag.
+
+    Scale: one map-side-combinable (window, score, label) count over
+    the corpus plus a 1-row max-day broadcast; the rank window rides
+    the per-window distinct-score support (≤ 10⁶ + 1 distinct 6-dp
+    scores regardless of corpus size); the final collect is ≤ 2 rows.
+    No corpus sort.
+    """
+    from pyspark.sql.window import Window as W
+
+    df = spark.read.parquet(stage_path)
+    score = F.expr(score_expr)
+    label = F.expr(label_expr)
+    # NULL score/label/ts rows belong to no window and no rank — the
+    # same screen-first hygiene as the MW/DiD/KM monitors (a NULL label
+    # would count in t but join neither class, biasing every later
+    # score's cumulative rank c).
+    v = df.filter(
+        score.isNotNull() & label.isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.round(score, 6).alias("score_r"),
+        label.cast("int").alias("label"),
+        _epoch_day(ts_col).alias("day"),
+    )
+    mx = v.agg(F.max("day").alias("max_day"))
+    g = (
+        v.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "win",
+            (F.col("day") > F.col("max_day") - F.lit(recent_days)).cast("int"),
+        )
+        .groupBy("win", "score_r")
+        .agg(F.count("*").alias("t"), F.sum("label").alias("pos"))
+    )
+    w = (
+        W.partitionBy("win")
+        .orderBy("score_r")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    r = g.withColumn("c", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    cells = (
+        r.groupBy("win")
+        .agg(
+            F.sum(
+                F.col("pos").cast("decimal(18,0)")
+                * (2 * F.col("c") + F.col("t") + 1).cast("decimal(19,0)")
+            ).alias("r_pos2"),
+            F.sum("pos").alias("n_pos"),
+            F.sum(F.col("t") - F.col("pos")).alias("n_neg"),
+        )
+        .selectExpr(
+            "win", "CAST(n_pos + n_neg AS BIGINT) AS n",
+            "round(CAST(r_pos2 - CAST(n_pos AS DECIMAL(19,0)) * (n_pos + 1)"
+            " AS DOUBLE)"
+            " / nullif(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE),"
+            " 0.0), 6) AS auc",
+        )
+        .collect()  # control-plane: <= 2 rows (recent / baseline)
+    )
+    by_win = {int(row["win"]): row for row in cells}
+    rec, base = by_win.get(1), by_win.get(0)
+    n_recent = int(rec["n"]) if rec else 0
+    n_baseline = int(base["n"]) if base else 0
+    auc_recent = float(rec["auc"]) if rec and rec["auc"] is not None else None
+    auc_baseline = (
+        float(base["auc"]) if base and base["auc"] is not None else None
+    )
+    delta = None
+    if auc_recent is not None and auc_baseline is not None:
+        delta = round(
+            abs(2.0 * auc_recent - 1.0) - abs(2.0 * auc_baseline - 1.0), 6
+        )
+    return {
+        "n_recent": n_recent,
+        "n_baseline": n_baseline,
+        "auc_recent": auc_recent,
+        "auc_baseline": auc_baseline,
+        "delta_discrimination": delta,
+        "degraded": delta is not None and delta < -drop_threshold,
+    }
+
+
+def benford_monitor_report(
+    spark: SparkSession,
+    stage_path: str,
+    value_col: str = "no_messages_sent_since_last_power_cycle",
+    min_n: int = 100,
+) -> dict:
+    """Benford first-significant-digit forensic gate at the maintenance
+    cadence — the streaming-maintenance twin of the batch ``x_benford``
+    key (plans/tierl.py), the "Benford gate in pipeline_maintenance"
+    of VERDICT r10 #4: the digit-1–9 distribution of ``value_col``
+    (a naturally multiplicative counter — the default is the messages-
+    since-power-cycle counter) against N·log10(1+1/d).  A firmware bug
+    that clamps, fabricates, or truncates the counter drifts from the
+    log-law; no reference sample is needed — the law IS the reference.
+
+    The headline verdict is Nigrini's MAD (mean absolute deviation of
+    the nine digit PROPORTIONS from Benford), because chi-square power
+    grows with N — at fleet scale chi² flags immaterial deviations, so
+    it is REPORTED (with the digit table) but the ``conforming`` flag
+    reads the scale-free MAD against Nigrini's 0.015 nonconformity
+    bound.  ``mad_verdict`` grades close ≤ 0.006 < acceptable ≤ 0.012
+    < marginal ≤ 0.015 < nonconforming.  Fewer than ``min_n`` usable
+    rows → conforming None (small-sample digit tests are noise).
+
+    Returns ``{"n_total": int, "digits": {d: {"n", "expected_r",
+    "chi_r"}}, "chi_total": float, "mad": float | None,
+    "mad_verdict": str | None, "conforming": bool | None}`` (plain
+    dict, foreachBatch-safe).
+
+    Scale: digit extraction is floor → BIGINT → string prefix (never
+    float formatting), then ONE map-side-combinable ≤ 9-group count;
+    the spine/chi²/MAD fold runs driver-side on those ≤ 9 cells —
+    control-plane, same economics as the batch key's 9-row tail.
+    """
+    import math
+
+    counts = (
+        spark.read.parquet(stage_path)
+        .filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 1))
+        .select(
+            F.substring(
+                F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .collect()  # control-plane: <= 9 cells
+    )
+    obs = {int(r["digit"]): int(r["n"]) for r in counts}
+    n_total = sum(obs.values())
+    digits: dict[int, dict] = {}
+    chi_total, mad_sum = 0.0, 0.0
+    for d in range(1, 10):
+        p = math.log10(1.0 + 1.0 / d)
+        n = obs.get(d, 0)
+        if n_total:
+            expected = n_total * p
+            chi = round((n - expected) ** 2 / expected, 6)
+            mad_sum += abs(n / n_total - p)
+        else:
+            expected, chi = 0.0, 0.0
+        digits[d] = {"n": n, "expected_r": round(expected, 6), "chi_r": chi}
+        chi_total += chi
+    if n_total < min_n:
+        mad = mad_verdict = conforming = None
+    else:
+        mad = round(mad_sum / 9.0, 6)
+        mad_verdict = (
+            "close" if mad <= 0.006
+            else "acceptable" if mad <= 0.012
+            else "marginal" if mad <= 0.015
+            else "nonconforming"
+        )
+        conforming = mad <= 0.015
+    return {
+        "n_total": n_total,
+        "digits": digits,
+        "chi_total": round(chi_total, 4),
+        "mad": mad,
+        "mad_verdict": mad_verdict,
+        "conforming": conforming,
+    }
+
+
 def pipeline_maintenance(
     spark: SparkSession,
     stage_path: str,
@@ -827,6 +1035,8 @@ def pipeline_maintenance(
     monitor_mann_whitney: bool = False,
     monitor_did_treat_expr: str | None = None,
     monitor_survival: bool = False,
+    monitor_auc: bool = False,
+    monitor_benford: bool = False,
 ) -> dict:
     """One scheduled-maintenance pass — the in-engine analog of the
     reference's nightly crawler run (``cron(0 4 * * ? *)``,
@@ -860,6 +1070,14 @@ def pipeline_maintenance(
     block (see :func:`survival_monitor_report`): the Kaplan–Meier
     time-to-first-low-battery curve with right censoring — how long
     devices LIVE, which no rate or trend monitor answers unbiasedly.
+    ``monitor_auc=True`` adds an ``auc`` block (see
+    :func:`auc_monitor_report`): recent-vs-baseline scorer
+    DISCRIMINATION via the exact rank-identity AUC — the scorer-eval
+    cadence next to the distribution (MW) and trend (CUSUM) monitors.
+    ``monitor_benford=True`` adds a ``benford`` block (see
+    :func:`benford_monitor_report`): the first-digit forensic gate —
+    the reference-free data-fabrication screen next to PSI's
+    two-sample comparison.
     """
     import os as _os
 
@@ -893,6 +1111,10 @@ def pipeline_maintenance(
         )
     if monitor_survival and _os.path.isdir(stage_path):
         report["survival"] = survival_monitor_report(spark, stage_path)
+    if monitor_auc and _os.path.isdir(stage_path):
+        report["auc"] = auc_monitor_report(spark, stage_path)
+    if monitor_benford and _os.path.isdir(stage_path):
+        report["benford"] = benford_monitor_report(spark, stage_path)
     for t in catalog_tables or []:
         if spark.catalog.tableExists(t):
             spark.catalog.recoverPartitions(t)

@@ -873,6 +873,137 @@ def test_monitors_screen_null_timestamps_and_null_treat(spark, tmp_path):
     assert kc["did"] is None and not kc["significant"]
 
 
+def test_auc_monitor_detects_discrimination_loss(spark, tmp_path):
+    """The maintenance-cadence AUC monitor (streaming twin of x_auc,
+    r11 — the VERDICT r10 #4 scorer-eval cadence): in the baseline the
+    solar scorer perfectly rank-separates the low-battery label
+    (every positive's score below every negative's → AUC exactly 0.0,
+    discrimination 1.0); in the last 7 epoch-days the pos/neg score
+    distributions coincide (AUC exactly 0.5, discrimination 0.0) —
+    delta_discrimination = −1 and the flag fires.  Session-timezone
+    invariant (epoch-day bucketing); a single-class window reads
+    auc = None through the nullif guard and never fires."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        auc_monitor_report,
+        pipeline_maintenance,
+    )
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    day0 = 1_700_000_000 - (1_700_000_000 % 86400) + 79_980  # 22:13 UTC
+    rows = []
+    for day in range(30):
+        ts = day0 + day * 86400
+        if day < 23:   # baseline: low solar ⇔ low battery, AUC = 0
+            quads = [(1.0, 9.0), (2.0, 9.5), (5.0, 12.0), (6.0, 13.0)]
+        else:          # recent: same scores, labels decoupled, AUC = 0.5
+            quads = [(1.0, 12.0), (2.0, 9.0), (5.0, 9.5), (6.0, 13.0)]
+        for k, (solar, bv) in enumerate(quads):
+            rows.append((1, ts + k * 60, solar, bv))
+    schema = ("deviceid int, date_time int, solar_panel_voltage double, "
+              "battery_voltage double")
+    path = str(tmp_path / "stage")
+    spark.createDataFrame(rows, schema).write.parquet(path)
+    got = auc_monitor_report(spark, path)
+    assert got["n_recent"] == 7 * 4 and got["n_baseline"] == 23 * 4
+    assert got["auc_baseline"] == 0.0 and got["auc_recent"] == 0.5
+    assert got["delta_discrimination"] == -1.0 and got["degraded"]
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        assert auc_monitor_report(spark, path) == got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    # NULL score/label/ts rows belong to no window — report unchanged
+    dirty = rows + [(1, None, 3.0, 9.0), (1, day0, None, 9.0),
+                    (1, day0, 3.0, None)]
+    dp = str(tmp_path / "dirty")
+    spark.createDataFrame(dirty, schema).write.parquet(dp)
+    assert auc_monitor_report(spark, dp) == got
+
+    # single-class window: every reading healthy → both windows lack a
+    # positive, auc None on both sides, no verdict
+    flat = [(1, day0 + d * 86400, 5.0, 12.6) for d in range(10)]
+    fp = str(tmp_path / "flat")
+    spark.createDataFrame(flat, schema).write.parquet(fp)
+    fz = auc_monitor_report(spark, fp)
+    assert fz["auc_recent"] is None and fz["auc_baseline"] is None
+    assert fz["delta_discrimination"] is None and not fz["degraded"]
+
+    # and through the maintenance entry point
+    declared = StructType([
+        StructField("deviceid", IntegerType()),
+        StructField("date_time", IntegerType()),
+        StructField("solar_panel_voltage", DoubleType()),
+        StructField("battery_voltage", DoubleType()),
+    ])
+    report = pipeline_maintenance(spark, path, declared, monitor_auc=True)
+    assert report["auc"] == got
+
+
+def test_benford_monitor_flags_fabricated_counter(spark, tmp_path):
+    """The maintenance-cadence Benford gate (streaming twin of
+    x_benford, r11 — the VERDICT r10 #4 Benford gate): a counter
+    planted at EXACTLY round(1000·log10(1+1/d)) rows per digit (values
+    d·111, so digit extraction walks the multi-char path) grades
+    'close' (MAD ≤ 0.006, the rounding residue alone); a fabricated
+    uniform-digit counter (100 rows each of 100d) has MAD ≈ 0.0597 —
+    'nonconforming', flag down.  NULL/zero/negative rows are screened;
+    below min_n the verdict abstains (None, not a noise verdict)."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        benford_monitor_report,
+        pipeline_maintenance,
+    )
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    import math
+
+    per_digit = {d: round(1000 * math.log10(1 + 1 / d)) for d in range(1, 10)}
+    assert sum(per_digit.values()) == 1000
+    rows = [(1, d * 111) for d, n in per_digit.items() for _ in range(n)]
+    rows += [(1, 0), (1, -5), (1, None)]  # screened: digit undefined
+    schema = ("deviceid int, "
+              "no_messages_sent_since_last_power_cycle int")
+    path = str(tmp_path / "stage")
+    spark.createDataFrame(rows, schema).write.parquet(path)
+    got = benford_monitor_report(spark, path)
+    assert got["n_total"] == 1000
+    assert got["digits"][1]["n"] == per_digit[1]
+    assert got["mad"] is not None and got["mad"] <= 0.006
+    assert got["mad_verdict"] == "close" and got["conforming"] is True
+
+    fab = [(1, d * 100 + 7) for d in range(1, 10) for _ in range(100)]
+    fp = str(tmp_path / "fab")
+    spark.createDataFrame(fab, schema).write.parquet(fp)
+    bad = benford_monitor_report(spark, fp)
+    assert bad["n_total"] == 900
+    assert abs(bad["mad"] - 0.059716) < 1e-4
+    assert bad["mad_verdict"] == "nonconforming"
+    assert bad["conforming"] is False and bad["chi_total"] > 20.09
+
+    # below min_n: abstain, don't guess
+    tiny = [(1, 123)] * 50
+    tp = str(tmp_path / "tiny")
+    spark.createDataFrame(tiny, schema).write.parquet(tp)
+    tz = benford_monitor_report(spark, tp)
+    assert tz["n_total"] == 50
+    assert tz["mad"] is None and tz["conforming"] is None
+
+    # and through the maintenance entry point
+    declared = StructType([
+        StructField("deviceid", IntegerType()),
+        StructField("no_messages_sent_since_last_power_cycle",
+                    IntegerType()),
+    ])
+    report = pipeline_maintenance(
+        spark, path, declared, monitor_benford=True
+    )
+    assert report["benford"] == got
+
+
 def test_tiere_plans_have_no_cartesian_or_nested_loop(spark, queries):
     """Tier E candidate generation must stay keyed: the triangle wedge
     join, the SemDeDup pair join and the Bloom probe are all equi-joins —
