@@ -131,6 +131,43 @@ def test_agg_hash_guard_rejects_float_output(spark):
         spark_agg_hash(floats)
 
 
+def test_staging_preserves_hugeint_floor_division_semantics():
+    """Round-11 live finding (x_pack_sequences at sf1): DuckDB writes
+    HUGEINT stage columns — every sum() over BIGINT — to parquet as
+    DOUBLE, and `//` on DOUBLE is plain division where integer `//`
+    floors, so CAST(st // 512 AS INT) ROUNDED at half-window boundaries
+    (pack_id 25.97 → 26 instead of 25).  The replayer must restore the
+    stage's HUGEINT type on the view, and must refuse loudly when the
+    DOUBLE round-trip itself would have been lossy (≥ 2^53)."""
+    with tempfile.TemporaryDirectory(prefix="staged_test_") as workdir:
+        con = duckdb.connect()
+        con.sql("CREATE VIEW base AS SELECT range AS id, "
+                "(range * 7 + 3) % 1000 AS w FROM range(200)")
+        sql = (
+            "WITH s AS (SELECT id, sum(w) OVER (ORDER BY id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st "
+            "FROM base) "
+            "SELECT id, CAST(st // 512 AS INT) AS bucket, "
+            "CAST(st % 512 AS INT) AS off FROM s"
+        )
+        direct = sorted(map(tuple, con.sql(sql).fetchall()))
+        assert con.sql(
+            "SELECT typeof(sum(w) OVER ()) FROM base LIMIT 1"
+        ).fetchone()[0] == "HUGEINT"  # the trap's precondition
+        rel = staged_oracle(con, sql, workdir, "floor_key", verbose=False)
+        assert sorted(map(tuple, rel.fetchall())) == direct
+        # lossy stage: a HUGEINT beyond 2^53 must refuse, not corrupt
+        con.sql("CREATE VIEW big AS SELECT (1::HUGEINT << 60) AS v")
+        with pytest.raises(ValueError, match="2\\^53"):
+            staged_oracle(
+                con,
+                "WITH s AS (SELECT sum(v) AS sv FROM big) "
+                "SELECT sv FROM s",
+                workdir, "lossy_key", verbose=False,
+            )
+        con.close()
+
+
 @pytest.mark.parametrize("key", SAMPLE)
 def test_staged_replay_equals_direct_single_sql(key):
     oracles = entrymod.oracle_sql()

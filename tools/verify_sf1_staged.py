@@ -171,10 +171,53 @@ def staged_oracle(con, sql: str, workdir: str, key: str, verbose: bool = True,
             q = f"WITH RECURSIVE {name}{collist} AS ({body}) SELECT * FROM {name}"
         else:
             q = body
+        # Parquet has no int128, so DuckDB writes HUGEINT stage columns
+        # (every sum() over BIGINT!) as DOUBLE — which silently changes
+        # SEMANTICS downstream, not just types: `//` on DOUBLE is plain
+        # division (13298.0 // 512 = 25.97…) and CAST(… AS INT) then
+        # ROUNDS where integer `//` floors (caught live by
+        # x_pack_sequences at sf1: pack_id off by one at half-window
+        # boundaries).  Restore the original type on the view so every
+        # later stage sees the exact relation the inline CTE produced.
+        hug_cols = [
+            c for (c, typ, *_) in con.sql(f"DESCRIBE ({q})").fetchall()
+            if typ.upper() in ("HUGEINT", "UHUGEINT")
+        ]
         con.sql(f"COPY ({q}) TO '{path}' (FORMAT PARQUET)")
-        con.sql(
-            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
-        )
+        if hug_cols:
+            proj = ", ".join(
+                f'CAST("{c}" AS HUGEINT) AS "{c}"' if c in hug_cols
+                else f'"{c}"'
+                for (c, *_r) in con.sql(
+                    f"DESCRIBE SELECT * FROM read_parquet('{path}')"
+                ).fetchall()
+            )
+            con.sql(
+                f"CREATE OR REPLACE VIEW {name} AS "
+                f"SELECT {proj} FROM read_parquet('{path}')"
+            )
+            # the DOUBLE round-trip is value-exact only below 2^53 —
+            # a genuinely huge rank-sum would come back corrupted, so
+            # fail LOUDLY instead of re-verifying garbage
+            checks = ", ".join(
+                f'max(abs(CAST("{c}" AS DOUBLE))) AS "{c}"' for c in hug_cols
+            )
+            mx = con.sql(
+                f"SELECT {checks} FROM read_parquet('{path}')"
+            ).fetchone()
+            too_big = [c for c, v in zip(hug_cols, mx)
+                       if v is not None and v >= 2.0 ** 53]
+            if too_big:
+                raise ValueError(
+                    f"{key}: stage {name!r} HUGEINT column(s) {too_big} "
+                    "exceed 2^53 — the parquet DOUBLE round-trip is lossy "
+                    "here; this stage cannot be replayed staged"
+                )
+        else:
+            con.sql(
+                f"CREATE OR REPLACE VIEW {name} AS "
+                f"SELECT * FROM read_parquet('{path}')"
+            )
         if created_views is not None:
             created_views.append(name)
         if verbose:
