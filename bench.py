@@ -293,11 +293,22 @@ def _provenance(sf_dir: str, spark) -> dict:
         if not os.path.exists(path):
             continue
         tables[name] = table_meta(path)
+    # Host job-dispatch latency (tools/latency_probe.py, 30-rep quick
+    # form), measured AFTER the timing loops: the round-10/11 bench
+    # investigation showed job-count-heavy iterative keys amplify host
+    # dispatch-latency shifts 1.5-2.5x while scan-bound keys don't move,
+    # so a cross-round total diff is uninterpretable without this number
+    # in the SAME record (SCALE.md 7q).
+    t0 = time.perf_counter()
+    for _ in range(30):
+        spark.range(1).count()
+    dispatch_ms = round((time.perf_counter() - t0) / 30 * 1000, 1)
     return {
         "tables": tables,
         "default_parallelism": spark.sparkContext.defaultParallelism,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "runs_per_query": {"default": 2, "extra": sorted(EXTRA_RUN_KEYS)},
+        "job_dispatch_ms": dispatch_ms,
     }
 
 
