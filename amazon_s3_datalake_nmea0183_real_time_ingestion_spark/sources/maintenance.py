@@ -477,6 +477,25 @@ def sprt_monitor_report(
     }
 
 
+def _recent_window_flag(v: DataFrame, flag: str, recent_days: int) -> DataFrame:
+    """Tag each row of ``v`` (which carries a ``day`` epoch-day column)
+    with 1 = in the last ``recent_days`` days of the observed range,
+    0 = baseline: one 1-row max-day aggregate broadcast-crossJoined in.
+    ONE definition so every recent-vs-history monitor (Mann–Whitney,
+    AUC) shares identical window boundaries — the ``_epoch_day``
+    precedent: a future cutoff-semantics fix must have exactly one
+    place to land."""
+    mx = v.agg(F.max("day").alias("max_day"))
+    return (
+        v.crossJoin(F.broadcast(mx))
+        .withColumn(
+            flag,
+            (F.col("day") > F.col("max_day") - F.lit(recent_days)).cast("int"),
+        )
+        .drop("max_day")
+    )
+
+
 def mann_whitney_monitor_report(
     spark: SparkSession,
     stage_path: str,
@@ -523,13 +542,8 @@ def mann_whitney_monitor_report(
     )
     day = _epoch_day(ts_col)
     v = df.select(F.col(value_col).alias("val"), day.alias("day"))
-    mx = v.agg(F.max("day").alias("max_day"))
     g = (
-        v.crossJoin(F.broadcast(mx))
-        .withColumn(
-            "is_recent",
-            (F.col("day") > F.col("max_day") - F.lit(recent_days)).cast("int"),
-        )
+        _recent_window_flag(v, "is_recent", recent_days)
         .groupBy("val")
         .agg(F.count("*").alias("t"), F.sum("is_recent").alias("a"))
     )
@@ -879,13 +893,8 @@ def auc_monitor_report(
         label.cast("int").alias("label"),
         _epoch_day(ts_col).alias("day"),
     )
-    mx = v.agg(F.max("day").alias("max_day"))
     g = (
-        v.crossJoin(F.broadcast(mx))
-        .withColumn(
-            "win",
-            (F.col("day") > F.col("max_day") - F.lit(recent_days)).cast("int"),
-        )
+        _recent_window_flag(v, "win", recent_days)
         .groupBy("win", "score_r")
         .agg(F.count("*").alias("t"), F.sum("label").alias("pos"))
     )
@@ -973,9 +982,21 @@ def benford_monitor_report(
     """
     import math
 
+    # Screen to the digit-extractable domain BEFORE the ANSI casts: the
+    # family convention (x_benford screens o_totalprice >= 1.0 — values
+    # in (0,1) have no first digit under the integer-prefix extraction),
+    # plus NaN (which compares GREATER than any numeric in Spark, so it
+    # passes >= 1 and then throws in floor→BIGINT under ANSI) and the
+    # 2^63 cast-overflow bound for double-typed columns (review r11).
+    vd = F.col(value_col).cast("double")
     counts = (
         spark.read.parquet(stage_path)
-        .filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 1))
+        .filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(vd)
+            & (vd >= 1.0)
+            & (vd < 9.0e18)
+        )
         .select(
             F.substring(
                 F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1

@@ -371,7 +371,6 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "provenance": _provenance(SF_DIR, spark),
     }
     # Once-per-round coverage for the NON-headline keys (VERDICT r10 #6):
     # they are excluded from HEADLINE because they are cheap, which also
@@ -389,6 +388,9 @@ def main() -> int:
             nh_timings[key] = round(time.perf_counter() - t0, 3)
         record["non_headline"] = nh_timings
         record["non_headline_total"] = round(sum(nh_timings.values()), 3)
+    # provenance LAST so its dispatch-latency probe postdates every
+    # timing loop above, including the opt-in non-headline pass
+    record["provenance"] = _provenance(SF_DIR, spark)
     full_line = json.dumps(record)
     print(full_line)
     # Also persist the full record beside the repo: the driver's BENCH

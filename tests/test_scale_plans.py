@@ -992,6 +992,20 @@ def test_benford_monitor_flags_fabricated_counter(spark, tmp_path):
     assert tz["n_total"] == 50
     assert tz["mad"] is None and tz["conforming"] is None
 
+    # double-typed column: NaN compares GREATER than any numeric in
+    # Spark, so without the isnan screen it passes >= 1 and ANSI-throws
+    # in floor→BIGINT; >=2^63 values would CAST_OVERFLOW; (0,1) values
+    # have no first digit under the integer-prefix extraction — all
+    # three must be screened, not crash the maintenance pass
+    dbl = [(1, float(d) * 111.0) for d in range(1, 10) for _ in range(112)]
+    dbl += [(1, float("nan")), (1, 9.3e18), (1, 0.5), (1, None)]
+    dp2 = str(tmp_path / "dbl")
+    spark.createDataFrame(
+        dbl, "deviceid int, no_messages_sent_since_last_power_cycle double"
+    ).write.parquet(dp2)
+    dz = benford_monitor_report(spark, dp2)
+    assert dz["n_total"] == 9 * 112 and dz["mad_verdict"] == "nonconforming"
+
     # and through the maintenance entry point
     declared = StructType([
         StructField("deviceid", IntegerType()),

@@ -156,15 +156,28 @@ def test_staging_preserves_hugeint_floor_division_semantics():
         ).fetchone()[0] == "HUGEINT"  # the trap's precondition
         rel = staged_oracle(con, sql, workdir, "floor_key", verbose=False)
         assert sorted(map(tuple, rel.fetchall())) == direct
-        # lossy stage: a HUGEINT beyond 2^53 must refuse, not corrupt
+        # lossy stage: a HUGEINT beyond 2^53 must refuse, not corrupt —
+        # and must refuse BEFORE creating the stage view, else an
+        # un-tracked view leaks on the shared connection and outlives
+        # its per-key backing parquet in an --all run (review r11)
         con.sql("CREATE VIEW big AS SELECT (1::HUGEINT << 60) AS v")
         with pytest.raises(ValueError, match="2\\^53"):
             staged_oracle(
                 con,
-                "WITH s AS (SELECT sum(v) AS sv FROM big) "
-                "SELECT sv FROM s",
+                "WITH sbig AS (SELECT sum(v) AS sv FROM big) "
+                "SELECT sv FROM sbig",
                 workdir, "lossy_key", verbose=False,
             )
+        assert ("sbig",) not in con.sql(
+            "SELECT table_name FROM information_schema.tables"
+        ).fetchall()
+        # unsigned stays unsigned through the restore (DuckDB's sum()
+        # over UBIGINT returns signed HUGEINT, so force UHUGEINT)
+        usql = ("WITH s2 AS (SELECT (sum(w))::UHUGEINT AS su FROM base) "
+                "SELECT su, typeof(su) AS t FROM s2")
+        rel2 = staged_oracle(con, usql, workdir, "unsigned_key",
+                             verbose=False)
+        assert rel2.fetchall() == con.sql(usql).fetchall()
         con.close()
 
 

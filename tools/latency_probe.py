@@ -17,10 +17,13 @@ claims become a trackable number instead of an inference:
 - 2-stage shuffle job (stage boundary + exchange cost)
 
 Run it at round start on a quiet box and record the numbers in SCALE.md
-next to the bench totals.  Reference points measured round 11
-(kernel 6.18.5-fc-v20, OpenJDK 17.0.20, local[32]): 95.7 ms / 444.7 ms
-/ 254.8 ms — the round where full-bench totals sat ~21% above the
-round-9-era records with unchanged plans.
+next to the bench totals.  The round-11 first-cut probe had two
+measurement flaws fixed in-round (bare range(1) defaulted to 32
+partitions; repartition(32) added a shuffle to the fan-out probe) —
+corrected reference points, round 11 quiet box (kernel 6.18.5-fc-v20,
+OpenJDK 17.0.20, local[32]): see SCALE.md §7q.  Absolute levels drift
+with residual host load; treat the probe as a same-moment companion to
+a bench run, not a constant of the box.
 
 Usage: python tools/latency_probe.py [reps]
 """
@@ -44,16 +47,23 @@ def main() -> int:
     spark = get_spark("latency-probe")
     spark.sparkContext.setLogLevel("ERROR")
     for _ in range(5):  # JIT/codegen warmup outside the timed loops
-        spark.range(1).count()
+        spark.range(0, 1, 1, 1).count()
 
+    # numPartitions=1 EXPLICIT: bare spark.range(1) defaults to
+    # defaultParallelism partitions (32 here), which silently made the
+    # "one task" probe a 32-task job (review r11)
     t0 = time.perf_counter()
     for _ in range(reps):
-        spark.range(1).count()
+        spark.range(0, 1, 1, 1).count()
     one_task = (time.perf_counter() - t0) / reps
 
+    # explicit numPartitions=32, NO repartition(): a repartition inserts
+    # a round-robin exchange, which would make this a 2-stage shuffle
+    # measurement instead of the pure 32-task fan-out it claims
+    # (review r11 — the first recorded baseline had that flaw)
     t0 = time.perf_counter()
     for _ in range(max(reps // 5, 1)):
-        spark.range(32 * 1000).repartition(32).count()
+        spark.range(0, 32 * 1000, 1, 32).count()
     fan_out = (time.perf_counter() - t0) / max(reps // 5, 1)
 
     t0 = time.perf_counter()

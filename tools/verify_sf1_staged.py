@@ -179,26 +179,19 @@ def staged_oracle(con, sql: str, workdir: str, key: str, verbose: bool = True,
         # x_pack_sequences at sf1: pack_id off by one at half-window
         # boundaries).  Restore the original type on the view so every
         # later stage sees the exact relation the inline CTE produced.
-        hug_cols = [
-            c for (c, typ, *_) in con.sql(f"DESCRIBE ({q})").fetchall()
+        hug_cols = {
+            c: typ.upper()
+            for (c, typ, *_) in con.sql(f"DESCRIBE ({q})").fetchall()
             if typ.upper() in ("HUGEINT", "UHUGEINT")
-        ]
+        }
         con.sql(f"COPY ({q}) TO '{path}' (FORMAT PARQUET)")
         if hug_cols:
-            proj = ", ".join(
-                f'CAST("{c}" AS HUGEINT) AS "{c}"' if c in hug_cols
-                else f'"{c}"'
-                for (c, *_r) in con.sql(
-                    f"DESCRIBE SELECT * FROM read_parquet('{path}')"
-                ).fetchall()
-            )
-            con.sql(
-                f"CREATE OR REPLACE VIEW {name} AS "
-                f"SELECT {proj} FROM read_parquet('{path}')"
-            )
-            # the DOUBLE round-trip is value-exact only below 2^53 —
-            # a genuinely huge rank-sum would come back corrupted, so
-            # fail LOUDLY instead of re-verifying garbage
+            # the DOUBLE round-trip is value-exact only below 2^53 — a
+            # genuinely huge rank-sum would come back corrupted, so fail
+            # LOUDLY instead of re-verifying garbage.  Checked against
+            # the parquet BEFORE creating the view: raising afterwards
+            # would leak an un-tracked view on the shared connection
+            # that outlives its per-key backing files (review r11).
             checks = ", ".join(
                 f'max(abs(CAST("{c}" AS DOUBLE))) AS "{c}"' for c in hug_cols
             )
@@ -213,6 +206,19 @@ def staged_oracle(con, sql: str, workdir: str, key: str, verbose: bool = True,
                     "exceed 2^53 — the parquet DOUBLE round-trip is lossy "
                     "here; this stage cannot be replayed staged"
                 )
+            # restore the ORIGINAL type (UHUGEINT stays unsigned — a
+            # signed restore would flip underflow semantics downstream)
+            proj = ", ".join(
+                f'CAST("{c}" AS {hug_cols[c]}) AS "{c}"' if c in hug_cols
+                else f'"{c}"'
+                for (c, *_r) in con.sql(
+                    f"DESCRIBE SELECT * FROM read_parquet('{path}')"
+                ).fetchall()
+            )
+            con.sql(
+                f"CREATE OR REPLACE VIEW {name} AS "
+                f"SELECT {proj} FROM read_parquet('{path}')"
+            )
         else:
             con.sql(
                 f"CREATE OR REPLACE VIEW {name} AS "
@@ -298,6 +304,12 @@ def main() -> int:
         return 2
     agg_mode = "--agg" in flags
     all_mode = "--all" in flags
+    if agg_mode and all_mode:
+        # --all already auto-selects the hash compare for AGG_KEYS;
+        # forcing it globally would TypeError every double-output key
+        # and report a misleading mass of failures
+        print("--agg cannot combine with --all (AGG_KEYS auto-selects)")
+        return 2
 
     import __spark_entry__ as entrymod
     from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.session import get_spark
