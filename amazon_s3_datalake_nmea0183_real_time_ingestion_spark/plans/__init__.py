@@ -18,38 +18,26 @@ from . import tierl  # noqa: F401,E402
 from . import tierm  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
-# keys per round.  After round 10: ALL 226 keys are green at their latest
+# keys per round.  After round 11: ALL 226 keys are green at their latest
 # driver check, 0 failures ever; staleness census (union of
-# CORRECTNESS_r01–r10, latest row per key): 36 keys at r6, 49 at r7,
-# 44 at r8, 47 at r9, 50 at r10.  Round 11 (VERDICT.md r10 "Next round"
+# CORRECTNESS_r01–r11, latest row per key): 35 keys at r7, 44 at r8,
+# 47 at r9, 50 at r10, 50 at r11.  Round 12 (VERDICT.md r11 "Next round"
 # #1) front-loads:
-#   1. slots 1-36 = the 36 r6-era rows (4 rounds stale — the oldest
-#      evidence anywhere), CORRECTNESS_r06 insertion order, exactly the
-#      post-cut queue the r10 comment pinned — nothing may displace them;
-#   2. slots 37-50 = the 14 oldest r7-era rows, CORRECTNESS_r07
-#      insertion order.  The remaining 35 r7-era keys are listed in the
-#      same order past the cut so the r12 window continues with no
-#      re-planning: r12 should take the next 35 r7-era names below,
-#      then start the r8 block (CORRECTNESS_r08 insertion order).
+#   1. slots 1-35 = the 35 r7-era rows (the oldest evidence anywhere),
+#      CORRECTNESS_r07 insertion order — exactly the post-cut queue the
+#      r11 comment pinned — nothing may displace them;
+#   2. slots 36-50 = the 15 oldest r8-era rows, CORRECTNESS_r08
+#      insertion order.  The remaining 29 r8-era keys are listed in the
+#      same order past the cut so the r13 window continues with no
+#      re-planning: r13 should take the next 29 r8-era names below,
+#      then start the r9 block (CORRECTNESS_r09 insertion order:
+#      x_pack_sequences, x_quality_model, x_session, x_sim_ivf,
+#      x_sim_lsh, x_sim_topk, x_split_hash, x_text_curate,
+#      x_text_fingerprint, x_text_langid, x_text_line_dedup, x_text_pii,
+#      x_text_quality, x_text_repetition, x_text_tf, x_text_tfidf,
+#      x_text_tokens, x_url_parse, x_vocab_topk, x_benford, x_dp_counts).
 _NEEDS_VERDICT = [
-    # r6-era rows (r10 VERDICT #1) — MUST hold slots 1-36
-    "x_sim_ivf_2level", "x_dedup_cluster_star", "x_sim_ivf_2level_exact",
-    "x_curriculum_shards", "x_dataset_card", "x_decontaminate_near",
-    "x_chunk_documents", "x_multimodal_decode", "x_dedup_ledger_near",
-    "q_funnel", "q_retention", "q_gapfill", "x_scd2", "x_bm25",
-    "x_surprisal", "x_dedup_best", "x_zorder", "x_pagerank", "q_merge",
-    "q_pattern_match", "q_agg_approx_quantile", "x_ann_recall",
-    "q_fn_variant", "x_data_checks", "x_dedup_url", "q_histogram",
-    "q_join_asof_near", "q_scan_prune", "q_project_filter",
-    "q_join_inner", "q_join_left", "q_join_semi", "q_join_anti",
-    "q_join_range", "q_join_asof", "q_agg_basic",
-    # r7-era rows (next-oldest), CORRECTNESS_r07 insertion order;
-    # the first 14 complete this round's window, the rest queue for r12
-    "q_agg_distinct", "q_agg_approx", "q_agg_rollup", "q_agg_cube",
-    "q_win_rank", "q_win_lag", "q_win_rolling", "q_topk", "q_union",
-    "q_intersect", "q_except", "q_fn_string", "q_fn_datetime",
-    "q_fn_math",
-    # --- r11 cut line (50) --- r12 continues here, r7 order preserved
+    # r7-era rows (r11 VERDICT #1) — MUST hold slots 1-35
     "q_fn_haversine", "q_fn_array", "q_fn_json", "q_subquery",
     "x_dedup_semantic_guarded", "x_embed_pq", "x_sim_pq",
     "x_heavy_hitters", "x_vocab_bpe", "x_sim_zero_norm", "x_bpe_tokenize",
@@ -60,6 +48,23 @@ _NEEDS_VERDICT = [
     "x_ttest_welch", "x_srm_chisq", "x_bootstrap_ci", "x_seq_transitions",
     "x_cuped", "x_skyline", "x_geo_nearest", "x_abtest_mde",
     "x_k_anonymity",
+    # r8-era rows (next-oldest), CORRECTNESS_r08 insertion order;
+    # the first 15 complete this round's window, the rest queue for r13
+    "x_calibration", "x_cusum_changepoint", "x_forecast_mase",
+    "x_gini_concentration", "x_autocorr", "x_l_diversity",
+    "x_basket_rules", "x_seasonality_strength", "x_rfm", "x_cohort_ltv",
+    "x_target_encoding", "x_active_users", "x_geo_grid", "x_ks_test",
+    "x_conformal",
+    # --- r12 cut line (50) --- r13 continues here, r8 order preserved
+    "x_dedup_best_guarded", "x_dedup_cluster_guarded", "cat_recover",
+    "f_contains", "f_element_at", "f_split", "op_alert_filter",
+    "op_error_route", "op_event_partition", "op_flatten_soh",
+    "op_geocode_join", "op_nmea_latlon", "q_agg_modern", "snk_raw_json",
+    "snk_stage_parquet", "x_data_mix", "x_data_upsample",
+    "x_decontaminate", "x_dedup_cluster", "x_dedup_embed",
+    "x_dedup_exact", "x_dedup_near", "x_dedup_ngram", "x_domain_quota",
+    "x_embed_reduce", "x_kmeans_assign", "x_kmeans_iter", "x_multimodal",
+    "x_multimodal_binary",
 ]
 
 
@@ -71,6 +76,14 @@ _BACK: list[str] = []
 
 
 def _front_load(priority: list[str], back: list[str]) -> None:
+    # ADVICE r11: a typo'd rotation must fail at import, not silently
+    # shrink the 50-key adjudication window.
+    unknown = [k for k in priority + back if k not in REGISTRY]
+    if unknown:
+        raise KeyError(f"_NEEDS_VERDICT/_BACK names not in REGISTRY: {unknown}")
+    if len(set(priority)) != len(priority):
+        dupes = sorted({k for k in priority if priority.count(k) > 1})
+        raise ValueError(f"duplicate keys in _NEEDS_VERDICT: {dupes}")
     ordered = {k: REGISTRY[k] for k in priority if k in REGISTRY}
     ordered.update(
         {k: q for k, q in REGISTRY.items() if k not in ordered and k not in back}
