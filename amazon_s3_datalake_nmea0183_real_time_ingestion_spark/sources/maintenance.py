@@ -988,6 +988,12 @@ def benford_monitor_report(
     # plus NaN (which compares GREATER than any numeric in Spark, so it
     # passes >= 1 and then throws in floor→BIGINT under ANSI) and the
     # 2^63 cast-overflow bound for double-typed columns (review r11).
+    # The 9.0e18 bound is DELIBERATELY conservative (ADVICE r11): it
+    # also drops legitimate BIGINTs in [9.0e18, 2^63) — all first-digit
+    # 9, ~2.4% of the signed-64 range — because a double that close to
+    # 2^63 can round UP across the cast boundary and overflow under
+    # ANSI.  Counters that genuinely reach that magnitude will slightly
+    # undercount the digit-9 cell; acceptable for a drift gate.
     vd = F.col(value_col).cast("double")
     counts = (
         spark.read.parquet(stage_path)

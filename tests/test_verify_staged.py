@@ -117,18 +117,74 @@ def test_staging_refuses_base_table_cte_and_cleans_up_views():
         con.close()
 
 
-def test_agg_hash_guard_rejects_float_output(spark):
-    """--agg's commutative-hash compare stringifies cells inside each
-    engine; float cells stringify differently across Spark and DuckDB,
-    so the integer/string-only restriction is ENFORCED, not assumed."""
+def test_agg_hash_guard_rejects_unencodable_output(spark):
+    """--agg's commutative-hash compare encodes cells inside each
+    engine; timestamps/decimals stringify differently across Spark and
+    DuckDB, so the dtype restriction is ENFORCED, not assumed.  Doubles
+    are eligible since r12 via the 4dp fixed-point encoding, but finite
+    magnitudes >= 9e14 (BIGINT-cast overflow after *1e4) are refused."""
     from verify_sf1_staged import spark_agg_hash
 
     ints = spark.createDataFrame([(1, "a")], "k bigint, s string")
     n, h = spark_agg_hash(ints)
     assert n == 1 and h > 0
-    floats = spark.createDataFrame([(1, 2.5)], "k bigint, x double")
-    with pytest.raises(TypeError, match="integer/string-output only"):
-        spark_agg_hash(floats)
+    ts = spark.createDataFrame([(1,)], "k bigint").selectExpr(
+        "k", "timestamp'2024-01-01' AS t"
+    )
+    with pytest.raises(TypeError, match="integer/string/double-output only"):
+        spark_agg_hash(ts)
+    big = spark.createDataFrame([(1, 9.1e14)], "k bigint, x double")
+    with pytest.raises(ValueError, match="4dp fixed-point"):
+        spark_agg_hash(big)
+    # ±inf/NaN take label encodings, so they must NOT trip the magnitude
+    # pre-check (only finite out-of-range values do)
+    inf = spark.createDataFrame(
+        [(1, float("inf")), (2, float("nan"))], "k bigint, x double"
+    )
+    n, h = spark_agg_hash(inf)
+    assert n == 2 and h > 0
+
+
+def test_agg_hash_double_encoding_matches_cross_engine(spark):
+    """The 4dp fixed-point double encoding (VERDICT r11 #6: q_unpivot to
+    --agg) must produce IDENTICAL (n, hash) on Spark and DuckDB for the
+    full cell zoo: negatives, sub-4dp fractions, NULL, NaN (→ 'NULL',
+    mirroring _norm_cell), ±inf (→ labels), exact integers-as-doubles,
+    and mixed int/string columns alongside."""
+    from verify_sf1_staged import duck_agg_hash, spark_agg_hash
+
+    rows = [
+        (1, "a", 2.5),
+        (2, "b", -1.00005),
+        (3, None, 0.07),
+        (4, "d", None),
+        (5, "e", float("nan")),
+        (6, "f", float("inf")),
+        (7, "g", float("-inf")),
+        (8, "h", 123456789.9999),
+        (9, "i", -0.0),
+    ]
+    sdf = spark.createDataFrame(rows, "k bigint, s string, v double")
+    sn, sh = spark_agg_hash(sdf)
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW zoo AS SELECT * FROM (VALUES "
+        "(1, 'a', 2.5::DOUBLE), "
+        "(2, 'b', -1.00005::DOUBLE), "
+        "(3, NULL, 0.07::DOUBLE), "
+        "(4, 'd', NULL::DOUBLE), "
+        "(5, 'e', 'nan'::DOUBLE), "
+        "(6, 'f', 'infinity'::DOUBLE), "
+        "(7, 'g', '-infinity'::DOUBLE), "
+        "(8, 'h', 123456789.9999::DOUBLE), "
+        "(9, 'i', -0.0::DOUBLE)"
+        ") t(k, s, v)"
+    )
+    dn, dh = duck_agg_hash(con, "zoo", ["k", "s", "v"])
+    con.close()
+    assert (sn, sh) == (dn, dh)
+    assert sn == 9 and sh > 0
 
 
 def test_staging_preserves_hugeint_floor_division_semantics():

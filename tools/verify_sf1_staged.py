@@ -23,12 +23,26 @@ set is label-table-sized, never corpus-sized.
 
 ``--agg`` keys compare WITHOUT collecting: row count plus a commutative
 per-row md5 sum computed inside each engine.  Criteria for using --agg:
-(a) the key's output is too large to collect at sf1 (quadratic-output
-keys — pair lists like x_dedup_simhash's 164M implied pairs), AND
-(b) every output column stringifies bit-identically cross-engine:
-integer/boolean/string/DATE only (enforced by a TypeError guard —
-doubles and timestamps must use the default collect-based compare,
-which normalizes via _norm_cell).
+(a) the key's output is too large to collect at sf1 — quadratic-output
+keys (pair lists like x_dedup_simhash's 164M implied pairs) or keys
+whose collect-compare harness cost dominates the gate (q_unpivot's
+24M-row / 181 s collect in r11, SCALE.md §7r); AND
+(b) every output column encodes identically cross-engine:
+  - integer/boolean/string/DATE stringify bit-identically — used raw;
+  - DOUBLE uses the repo's 4dp fixed-point float convention:
+    ``floor(v * 10000)`` as BIGINT, NaN → 'NULL' and ±inf → 'inf'/'-inf'
+    (mirroring verify_local._norm_cell), finite |v| >= 9e14 refused by a
+    pre-check in BOTH engines (v*1e4 must stay under 2^63 for the ANSI
+    cast).  The multiply+floor is the SAME IEEE op on the SAME bits in
+    both engines, so equal inputs always hash equal; the trade is that
+    doubles agreeing to 4dp but differing beyond are NOT distinguished —
+    so a double column is only agg-eligible when it is a pure projection
+    of base-table data (bit-identical by construction; q_unpivot's
+    ``val``) or an already-ROUNDed aggregate (the 4dp convention);
+  - timestamps and decimals stay collect-only (TypeError guard).
+Under ``--all``, collect-based keys are additionally row-count-capped
+(``ROW_CEILING`` env, default 10M): a future large-output key fails with
+an "add to AGG_KEYS" hint instead of an opaque driver OOM (ADVICE r11).
 
 ``--all`` is the STANDING sf1 GATE (VERDICT r10 #5): it replays every
 registry key through this staged loop — collect-based compare by
@@ -241,29 +255,73 @@ def staged_oracle(con, sql: str, workdir: str, key: str, verbose: bool = True,
 
 # Cell types whose CAST-to-string form is bit-identical on Spark and
 # DuckDB: integers, booleans, strings, and DATEs (both stringify ISO
-# '1992-01-01'; ADVICE r10 #1).  Doubles/decimals stay excluded —
-# '1.0E20' vs '1e+20', 'NaN' vs 'nan' — and timestamps too ('2024-01-01
-# 00:00:00' vs fractional-second variants across casts).
+# '1992-01-01'; ADVICE r10 #1).  DOUBLE is handled by the 4dp
+# fixed-point encoding below (raw stringification differs: '1.0E20' vs
+# '1e+20', 'NaN' vs 'nan'); decimals and timestamps stay excluded
+# ('2024-01-01 00:00:00' vs fractional-second variants across casts).
 _INT_TYPES = {"tinyint", "smallint", "int", "bigint", "boolean", "string",
               "date"}
+
+# finite |v| must keep v*1e4 under 2^63 for the ANSI BIGINT cast; the
+# bound is conservative (9e18 < 2^63 = 9.223e18) for the same reason the
+# Benford monitor's is — a double near the cast boundary can round UP
+# across it
+_DBL_ABS_MAX = 9.0e14
 
 
 def spark_agg_hash(sdf) -> tuple[int, int]:
     from pyspark.sql import functions as F
 
-    # the commutative-hash compare stringifies cells INSIDE each engine;
-    # only integer/string cells stringify identically across Spark and
-    # DuckDB (doubles differ: '1.0E20' vs '1e+20', 'NaN' vs 'nan') —
-    # enforce the docstring's restriction instead of trusting it
-    bad = [(c, t) for c, t in sdf.dtypes if t not in _INT_TYPES]
+    # the commutative-hash compare encodes cells INSIDE each engine;
+    # enforce the docstring's dtype restriction instead of trusting it
+    bad = [(c, t) for c, t in sdf.dtypes
+           if t not in _INT_TYPES and t != "double"]
     if bad:
         raise TypeError(
-            f"--agg compare is integer/string-output only; got {bad} — "
-            "cross-engine float stringification differs, use the "
+            f"--agg compare is integer/string/double-output only; got {bad} "
+            "— cross-engine stringification differs, use the "
             "collect-based compare for this key"
         )
+    dbl = [c for c, t in sdf.dtypes if t == "double"]
+    if dbl:
+        # pre-check: finite magnitudes must stay under _DBL_ABS_MAX so
+        # floor(v*1e4) fits BIGINT; NaN/±inf are screened OUT of the max
+        # (they get label encodings, not the fixed-point path)
+        finite = {
+            c: F.when(
+                ~F.isnan(F.col(c)) & (F.abs(F.col(c)) != F.lit(float("inf"))),
+                F.abs(F.col(c)),
+            )
+            for c in dbl
+        }
+        mx = sdf.agg(*[F.max(finite[c]).alias(c) for c in dbl]).collect()[0]
+        too_big = [c for c in dbl if mx[c] is not None and mx[c] >= _DBL_ABS_MAX]
+        if too_big:
+            raise ValueError(
+                f"--agg double column(s) {too_big} hold finite values >= "
+                f"{_DBL_ABS_MAX:.0e} — the 4dp fixed-point encoding would "
+                "overflow the ANSI BIGINT cast; use the collect compare"
+            )
+
+    def cell(c: str, t: str):
+        if t == "double":
+            v = F.col(c)
+            # mirrors verify_local._norm_cell: NaN → 'NULL', ±inf →
+            # 'inf'/'-inf'; finite → floor(v*1e4) (same IEEE multiply +
+            # floor on the same bits in both engines, so equal inputs
+            # always encode equal)
+            return F.coalesce(
+                F.when(F.isnan(v), F.lit("NULL"))
+                .when(v == F.lit(float("inf")), F.lit("inf"))
+                .when(v == F.lit(float("-inf")), F.lit("-inf"))
+                .otherwise(F.floor(v * F.lit(10000.0)).cast("string")),
+                F.lit("NULL"),
+            )
+        return F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+
+    types = dict(sdf.dtypes)
     cols = [sdf.columns[i] for i in _col_order(list(sdf.columns))]
-    cells = [F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in cols]
+    cells = [cell(c, types[c]) for c in cols]
     # first 15 hex chars of md5 -> non-negative BIGINT, summed exactly
     rowh = F.conv(F.substring(F.md5(F.concat_ws("|", *cells)), 1, 15), 16, 10)
     agg = sdf.agg(
@@ -274,8 +332,44 @@ def spark_agg_hash(sdf) -> tuple[int, int]:
 
 
 def duck_agg_hash(con, from_clause: str, cols: list[str]) -> tuple[int, int]:
+    types = {
+        c: t.upper()
+        for (c, t, *_r) in con.sql(
+            f"DESCRIBE SELECT * FROM {from_clause}"
+        ).fetchall()
+    }
+    dbl = [c for c in cols if types[c] == "DOUBLE"]
+    if dbl:
+        # symmetric pre-check to spark_agg_hash's, so an out-of-range
+        # double fails with the same actionable message on either side
+        checks = ", ".join(
+            f"max(CASE WHEN isnan({c}) OR isinf({c}) THEN NULL "
+            f"ELSE abs({c}) END) AS {c}"
+            for c in dbl
+        )
+        mx = con.sql(f"SELECT {checks} FROM {from_clause}").fetchone()
+        too_big = [c for c, v in zip(dbl, mx)
+                   if v is not None and v >= _DBL_ABS_MAX]
+        if too_big:
+            raise ValueError(
+                f"--agg double column(s) {too_big} hold finite values >= "
+                f"{_DBL_ABS_MAX:.0e} — the 4dp fixed-point encoding would "
+                "overflow the BIGINT cast; use the collect compare"
+            )
+
+    def cell(c: str) -> str:
+        if types[c] == "DOUBLE":
+            return (
+                f"coalesce(CASE WHEN isnan({c}) THEN 'NULL' "
+                f"WHEN {c} = 'infinity'::DOUBLE THEN 'inf' "
+                f"WHEN {c} = '-infinity'::DOUBLE THEN '-inf' "
+                f"ELSE CAST(CAST(floor({c} * 10000.0) AS BIGINT) AS VARCHAR) "
+                f"END, 'NULL')"
+            )
+        return f"coalesce(CAST({c} AS VARCHAR), 'NULL')"
+
     ordered = [cols[i] for i in _col_order(cols)]
-    cells = ", ".join(f"coalesce(CAST({c} AS VARCHAR), 'NULL')" for c in ordered)
+    cells = ", ".join(cell(c) for c in ordered)
     row = con.sql(
         f"SELECT count(*) AS n, "
         f"sum(('0x' || substr(md5(concat_ws('|', {cells})), 1, 15))::BIGINT)"
@@ -287,10 +381,22 @@ def duck_agg_hash(con, from_clause: str, cols: list[str]) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 
-# Keys whose sf1 output is too large to collect (quadratic pair lists) AND
-# whose output columns are all agg-hash-safe types — --all switches these
-# to the commutative-hash compare automatically (docstring criteria).
-AGG_KEYS = frozenset({"x_dedup_simhash"})
+# Keys whose sf1 output is too large (or too slow) to collect AND whose
+# output columns are all agg-hash-safe per the docstring criteria —
+# --all switches these to the commutative-hash compare automatically.
+#   x_dedup_simhash: 164M implied pairs at sf1, int/string columns only.
+#   q_unpivot: 24M rows at sf1 — 181 s of collect-compare HARNESS cost
+#     in the r11 gate vs 0.31 s of query (SCALE.md §7r, VERDICT r11 #6);
+#     its one double column `val` is a pure projection of lineitem data,
+#     so both engines feed bit-identical doubles to the 4dp encoding.
+AGG_KEYS = frozenset({"x_dedup_simhash", "q_unpivot"})
+
+# Under --all, collect-based keys are row-count-capped so a future
+# large-output key fails with an actionable hint instead of an opaque
+# driver-side OOM during fetchall (ADVICE r11).  With q_unpivot (24M
+# rows) moved to AGG_KEYS, every remaining collect key is far below 10M
+# at sf1 (the r12 full sweep ran clean under this ceiling).
+ROW_CEILING = int(os.environ.get("ROW_CEILING", 10_000_000))
 
 
 def main() -> int:
@@ -363,6 +469,23 @@ def main() -> int:
                     dn, dh = duck_agg_hash(con, view, duck_cols)
                     duck_rows = None
                 else:
+                    if all_mode:
+                        # ADVICE r11: cap the collect path under --all so
+                        # a future large-output key fails with a hint, not
+                        # a driver OOM mid-gate (costs one extra run of
+                        # the final SELECT, which is cheap over the
+                        # already-materialized stage views)
+                        n_final = con.sql(
+                            f"SELECT count(*) FROM ({rel.sql_query()})"
+                        ).fetchone()[0]
+                        if n_final > ROW_CEILING:
+                            raise ValueError(
+                                f"output too large for the collect compare "
+                                f"under --all ({n_final} rows > ROW_CEILING="
+                                f"{ROW_CEILING}); add the key to AGG_KEYS if "
+                                "dtype-eligible (see --agg criteria) or "
+                                "raise ROW_CEILING explicitly"
+                            )
                     duck_rows = rel.fetchall()
             except Exception as e:  # noqa: BLE001
                 failures.append((key, f"DUCKDB: {type(e).__name__}: {str(e)[:300]}"))
