@@ -1050,6 +1050,191 @@ def benford_monitor_report(
     }
 
 
+def gini_monitor_report(
+    spark: SparkSession,
+    stage_path: str,
+    key_col: str = "deviceid",
+    ts_col: str = "date_time",
+    recent_days: int = 7,
+    jump_threshold: float = 0.05,
+) -> dict:
+    """Ingest-concentration drift monitor at the maintenance cadence —
+    the streaming-maintenance twin of the batch ``x_gini_concentration``
+    key (plans/tierk.py), the way ``benford_monitor_report`` twins
+    x_benford (VERDICT r11 #5's cadence-echo ask): the Gini coefficient
+    of the per-``key_col`` row-count distribution computed SEPARATELY
+    for the last ``recent_days`` UTC epoch-days and for all prior
+    history, answering "is ingest volume concentrating on few devices
+    this week".  A stuck retry loop, a chatty firmware rollout, or a
+    fleet-wide outage that silences all but a few gateways shows up as
+    a Gini jump before any per-device trend monitor accumulates enough
+    history to alarm.
+
+    Same sorted-rank identity as the batch key (G = 2·Σ(i·xᵢ)/(n·Σx)
+    − (n+1)/n, ranks = deterministic (count, key) row_numbers): Σ(i·xᵢ)
+    and Σx are EXACT sums over the per-window device-count table, so
+    each window's Gini is one fixed-order double expression over exact
+    integers, rounded at 6 dp like the batch key.  Rank-sum headroom:
+    i·c ≤ (#devices)·(rows/device); accumulated in DECIMAL(38,0) for
+    the same ~2e12-row magnitudes the MW/AUC monitors argue.
+
+    Returns ``{"n_recent": int, "n_baseline": int, "k_recent": int,
+    "k_baseline": int, "gini_recent": float | None, "gini_baseline":
+    float | None, "delta": float | None, "concentrating": bool}``
+    (plain dict, foreachBatch-safe).  An empty window reads None and
+    never fires; ``concentrating`` fires when the recent Gini rose more
+    than ``jump_threshold`` above baseline.
+
+    Scale: one map-side-combinable (window, key) count over the corpus
+    plus a 1-row max-day broadcast; the rank window rides the
+    per-window DEVICE-cardinality table (fleet-sized, not corpus-
+    sized); the final collect is ≤ 2 rows.  No corpus sort.
+    """
+    from pyspark.sql.window import Window as W
+
+    df = spark.read.parquet(stage_path)
+    # NULL key/ts rows belong to no device and no window — the same
+    # screen-first hygiene as the MW/AUC monitors.
+    v = df.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(key_col).alias("k"), _epoch_day(ts_col).alias("day"))
+    g = (
+        _recent_window_flag(v, "win", recent_days)
+        .groupBy("win", "k")
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.partitionBy("win").orderBy(F.col("c").asc(), F.col("k").asc())
+    r = g.select("win", "c", F.row_number().over(w).alias("i"))
+    cells = (
+        r.groupBy("win")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("tot"),
+            F.sum(
+                F.col("i").cast("decimal(19,0)")
+                * F.col("c").cast("decimal(19,0)")
+            ).alias("wsum"),
+        )
+        .selectExpr(
+            "win", "n", "CAST(tot AS BIGINT) AS tot",
+            "round(2.0 * CAST(wsum AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))"
+            " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini",
+        )
+        .collect()  # control-plane: <= 2 rows (recent / baseline)
+    )
+    by_win = {int(row["win"]): row for row in cells}
+    rec, base = by_win.get(1), by_win.get(0)
+    gini_recent = float(rec["gini"]) if rec else None
+    gini_baseline = float(base["gini"]) if base else None
+    delta = None
+    if gini_recent is not None and gini_baseline is not None:
+        delta = round(gini_recent - gini_baseline, 6)
+    return {
+        "n_recent": int(rec["tot"]) if rec else 0,
+        "n_baseline": int(base["tot"]) if base else 0,
+        "k_recent": int(rec["n"]) if rec else 0,
+        "k_baseline": int(base["n"]) if base else 0,
+        "gini_recent": gini_recent,
+        "gini_baseline": gini_baseline,
+        "delta": delta,
+        "concentrating": delta is not None and delta > jump_threshold,
+    }
+
+
+def source_kl_monitor_report(
+    spark: SparkSession,
+    stage_path: str,
+    cat_col: str = "deviceid",
+    ts_col: str = "date_time",
+    recent_days: int = 7,
+    kl_threshold: float = 0.1,
+) -> dict:
+    """Categorical-mix drift monitor at the maintenance cadence — the
+    streaming-maintenance twin of the batch ``x_source_kl`` key
+    (plans/tierg.py), completing the two-sample family: PSI
+    (drift_psi_report) bins a NUMERIC column against a persisted
+    profile, Mann–Whitney tests a numeric distribution recent-vs-
+    history, THIS reads KL(p_recent ‖ p_baseline) in nats over a
+    CATEGORICAL column's mix — "did traffic composition shift this
+    week", e.g. one device class going silent or a new talker ID
+    flooding in.
+
+    Same smoothing convention as the batch key: +0.5 Laplace counts on
+    the UNION category scaffold (both windows densified over all
+    categories seen in either), so the KL is finite by construction —
+    a category present recently but absent from baseline contributes a
+    large-but-finite term instead of ∞.  Same 6-dp round.
+
+    Returns ``{"n_recent": int, "n_baseline": int, "k_categories": int,
+    "kl_nats": float | None, "shifted": bool}`` (plain dict,
+    foreachBatch-safe).  Either window empty → kl None, no verdict
+    (smoothing alone would otherwise fabricate a uniform recent mix
+    and "compare" it).
+
+    Scale: one map-side-combinable (category, window) count over the
+    corpus plus a 1-row max-day broadcast; smoothing/normalizing rides
+    the category-cardinality table with two 1-row broadcast totals;
+    the final collect is 1 row.  No corpus sort.
+    """
+    df = spark.read.parquet(stage_path)
+    v = df.filter(
+        F.col(cat_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(cat_col).alias("cat"), _epoch_day(ts_col).alias("day"))
+    # one (category) row holding both windows' counts: a = recent,
+    # t - a = baseline — the union scaffold falls out for free (any
+    # category seen in either window has a row; absent sides smooth)
+    g = (
+        _recent_window_flag(v, "win", recent_days)
+        .groupBy("cat")
+        .agg(F.count("*").alias("t"), F.sum("win").alias("a"))
+        .select(
+            "cat",
+            "t",
+            "a",
+            (F.col("a").cast("double") + 0.5).alias("cs_r"),
+            ((F.col("t") - F.col("a")).cast("double") + 0.5).alias("cs_b"),
+        )
+    )
+    tot = F.broadcast(
+        g.agg(
+            F.sum("cs_r").alias("ts_r"),
+            F.sum("cs_b").alias("ts_b"),
+            F.sum("a").alias("n_r"),
+            F.sum(F.col("t") - F.col("a")).alias("n_b"),
+            F.count("*").alias("k"),
+        )
+    )
+    term = (F.col("cs_r") / F.col("ts_r")) * F.log(
+        (F.col("cs_r") / F.col("ts_r")) / (F.col("cs_b") / F.col("ts_b"))
+    )
+    rows = (
+        g.crossJoin(tot)
+        .agg(
+            F.round(F.sum(term), 6).alias("kl"),
+            F.first("n_r").alias("n_r"),
+            F.first("n_b").alias("n_b"),
+            F.first("k").alias("k"),
+        )
+        .collect()  # control-plane: 1 row
+    )
+    if not rows or rows[0]["k"] is None or int(rows[0]["k"]) == 0:
+        return {"n_recent": 0, "n_baseline": 0, "k_categories": 0,
+                "kl_nats": None, "shifted": False}
+    row = rows[0]
+    n_recent, n_baseline = int(row["n_r"]), int(row["n_b"])
+    kl = float(row["kl"]) if row["kl"] is not None else None
+    if n_recent == 0 or n_baseline == 0:
+        kl = None  # smoothing alone must not fabricate a comparison
+    return {
+        "n_recent": n_recent,
+        "n_baseline": n_baseline,
+        "k_categories": int(row["k"]),
+        "kl_nats": kl,
+        "shifted": kl is not None and kl > kl_threshold,
+    }
+
+
 def pipeline_maintenance(
     spark: SparkSession,
     stage_path: str,
@@ -1064,6 +1249,8 @@ def pipeline_maintenance(
     monitor_survival: bool = False,
     monitor_auc: bool = False,
     monitor_benford: bool = False,
+    monitor_gini: bool = False,
+    monitor_source_kl: bool = False,
 ) -> dict:
     """One scheduled-maintenance pass — the in-engine analog of the
     reference's nightly crawler run (``cron(0 4 * * ? *)``,
@@ -1105,6 +1292,14 @@ def pipeline_maintenance(
     :func:`benford_monitor_report`): the first-digit forensic gate —
     the reference-free data-fabrication screen next to PSI's
     two-sample comparison.
+    ``monitor_gini=True`` adds a ``gini`` block (see
+    :func:`gini_monitor_report`): recent-vs-baseline ingest
+    CONCENTRATION — is volume piling onto few devices — next to the
+    per-device trend monitors that need history to alarm.
+    ``monitor_source_kl=True`` adds a ``source_kl`` block (see
+    :func:`source_kl_monitor_report`): the categorical-mix twin of
+    PSI's numeric two-sample gate — KL divergence of the recent
+    category mix against history.
     """
     import os as _os
 
@@ -1142,6 +1337,10 @@ def pipeline_maintenance(
         report["auc"] = auc_monitor_report(spark, stage_path)
     if monitor_benford and _os.path.isdir(stage_path):
         report["benford"] = benford_monitor_report(spark, stage_path)
+    if monitor_gini and _os.path.isdir(stage_path):
+        report["gini"] = gini_monitor_report(spark, stage_path)
+    if monitor_source_kl and _os.path.isdir(stage_path):
+        report["source_kl"] = source_kl_monitor_report(spark, stage_path)
     for t in catalog_tables or []:
         if spark.catalog.tableExists(t):
             spark.catalog.recoverPartitions(t)

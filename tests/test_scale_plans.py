@@ -1018,6 +1018,150 @@ def test_benford_monitor_flags_fabricated_counter(spark, tmp_path):
     assert report["benford"] == got
 
 
+def test_gini_monitor_detects_ingest_concentration(spark, tmp_path):
+    """The maintenance-cadence Gini gate (streaming twin of
+    x_gini_concentration, r12 — the VERDICT r11 #5 cadence echo): in the
+    baseline 4 devices send equal volume (Gini exactly 0); in the last
+    7 epoch-days device 1 sends 97×/day while the rest send 1×/day —
+    recent Gini is exactly 0.72 by the sorted-rank identity
+    (counts [7,7,7,679]: wsum = 7·1+7·2+7·3+679·4 = 2758, G =
+    2·2758/(4·700) − 5/4), delta 0.72 > 0.05 and the flag fires.
+    Session-timezone invariant; NULL key/ts rows screened; a
+    single-window table reads None on the missing side and never
+    fires."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        gini_monitor_report,
+        pipeline_maintenance,
+    )
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    day0 = 1_700_000_000 - (1_700_000_000 % 86400) + 79_980  # 22:13 UTC
+    rows = []
+    for day in range(30):
+        ts = day0 + day * 86400
+        if day < 23:   # baseline: 4 devices × 5 rows each → Gini 0
+            per_dev = {1: 5, 2: 5, 3: 5, 4: 5}
+        else:          # recent: device 1 floods → Gini 0.72
+            per_dev = {1: 97, 2: 1, 3: 1, 4: 1}
+        for dev, n in per_dev.items():
+            rows += [(dev, ts + k) for k in range(n)]
+    schema = "deviceid int, date_time int"
+    path = str(tmp_path / "stage")
+    spark.createDataFrame(rows, schema).write.parquet(path)
+    got = gini_monitor_report(spark, path)
+    assert got["n_recent"] == 700 and got["n_baseline"] == 23 * 20
+    assert got["k_recent"] == 4 and got["k_baseline"] == 4
+    assert got["gini_baseline"] == 0.0 and got["gini_recent"] == 0.72
+    assert got["delta"] == 0.72 and got["concentrating"]
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        assert gini_monitor_report(spark, path) == got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    # NULL key/ts rows belong to no window — report unchanged
+    dirty = rows + [(None, day0), (1, None)]
+    dp = str(tmp_path / "dirty")
+    spark.createDataFrame(dirty, schema).write.parquet(dp)
+    assert gini_monitor_report(spark, dp) == got
+
+    # all rows inside the recent window: baseline side None, no verdict
+    recent_only = [(d, day0 + k) for d in (1, 2) for k in range(3)]
+    rp = str(tmp_path / "recent_only")
+    spark.createDataFrame(recent_only, schema).write.parquet(rp)
+    rz = gini_monitor_report(spark, rp)
+    assert rz["n_baseline"] == 0 and rz["gini_baseline"] is None
+    assert rz["delta"] is None and not rz["concentrating"]
+
+    # and through the maintenance entry point
+    declared = StructType([
+        StructField("deviceid", IntegerType()),
+        StructField("date_time", IntegerType()),
+    ])
+    report = pipeline_maintenance(spark, path, declared, monitor_gini=True)
+    assert report["gini"] == got
+
+
+def test_source_kl_monitor_flags_category_mix_shift(spark, tmp_path):
+    """The maintenance-cadence categorical-mix gate (streaming twin of
+    x_source_kl, r12 — the VERDICT r11 #5 cadence echo): baseline
+    traffic is uniform over 4 devices; in the last 7 epoch-days only
+    device 1 sends — KL(recent ‖ baseline) is far above the 0.1-nat
+    threshold and the flag fires.  A no-shift control (same mix both
+    windows) reads near-zero KL and stays quiet.  +0.5 smoothing over
+    the union scaffold keeps a baseline-absent category finite.
+    Session-timezone invariant; NULL screens; an empty window reads
+    None, never a smoothed-uniform fabrication."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        pipeline_maintenance,
+        source_kl_monitor_report,
+    )
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    day0 = 1_700_000_000 - (1_700_000_000 % 86400) + 79_980  # 22:13 UTC
+    rows = []
+    for day in range(30):
+        ts = day0 + day * 86400
+        if day < 23:   # baseline: uniform mix over 4 devices
+            per_dev = {1: 25, 2: 25, 3: 25, 4: 25}
+        else:          # recent: device 1 only — mix collapses
+            per_dev = {1: 100}
+        for dev, n in per_dev.items():
+            rows += [(dev, ts + k) for k in range(n)]
+    schema = "deviceid int, date_time int"
+    path = str(tmp_path / "stage")
+    spark.createDataFrame(rows, schema).write.parquet(path)
+    got = source_kl_monitor_report(spark, path)
+    assert got["n_recent"] == 700 and got["n_baseline"] == 2300
+    assert got["k_categories"] == 4
+    assert got["kl_nats"] is not None and got["kl_nats"] > 1.0
+    assert got["shifted"]
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        assert source_kl_monitor_report(spark, path) == got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    # NULL cat/ts rows belong to no window — report unchanged
+    dirty = rows + [(None, day0), (1, None)]
+    dp = str(tmp_path / "dirty")
+    spark.createDataFrame(dirty, schema).write.parquet(dp)
+    assert source_kl_monitor_report(spark, dp) == got
+
+    # no-shift control: identical mix both windows → near-zero KL
+    flat = []
+    for day in range(30):
+        ts = day0 + day * 86400
+        flat += [(dev, ts + k) for dev in (1, 2, 3, 4) for k in range(25)]
+    fp = str(tmp_path / "flat")
+    spark.createDataFrame(flat, schema).write.parquet(fp)
+    fz = source_kl_monitor_report(spark, fp)
+    assert fz["kl_nats"] is not None and abs(fz["kl_nats"]) < 0.01
+    assert not fz["shifted"]
+
+    # all rows recent: baseline empty → None, no smoothed fabrication
+    recent_only = [(d, day0 + k) for d in (1, 2) for k in range(3)]
+    rp = str(tmp_path / "recent_only")
+    spark.createDataFrame(recent_only, schema).write.parquet(rp)
+    rz = source_kl_monitor_report(spark, rp)
+    assert rz["n_baseline"] == 0 and rz["kl_nats"] is None
+    assert not rz["shifted"]
+
+    # and through the maintenance entry point
+    declared = StructType([
+        StructField("deviceid", IntegerType()),
+        StructField("date_time", IntegerType()),
+    ])
+    report = pipeline_maintenance(
+        spark, path, declared, monitor_source_kl=True
+    )
+    assert report["source_kl"] == got
+
+
 def test_tiere_plans_have_no_cartesian_or_nested_loop(spark, queries):
     """Tier E candidate generation must stay keyed: the triangle wedge
     join, the SemDeDup pair join and the Bloom probe are all equi-joins —
