@@ -187,6 +187,39 @@ def test_agg_hash_double_encoding_matches_cross_engine(spark):
     assert sn == 9 and sh > 0
 
 
+def test_revive_spark_replaces_dead_session():
+    """r12 live finding: one executor heap OOM in local mode kills the
+    whole JVM, and without clearing the client-side singletons every
+    later key of the standing 226-key gate fails ConnectionRefused.
+    The revival must hand back a session whose JVM answers jobs.  Runs
+    in a SUBPROCESS so killing/recreating sessions can't disturb the
+    suite's shared session fixture."""
+    import subprocess
+    import sys as _sys
+
+    code = """
+import sys
+sys.path.insert(0, {repo!r}); sys.path.insert(0, {tools!r})
+from verify_sf1_staged import _revive_spark, _spark_alive
+from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.session import get_spark
+spark = get_spark("revive-test")
+assert _spark_alive(spark)
+spark.stop()  # stand-in for a JVM death: session unusable either way
+assert not _spark_alive(spark)
+s2 = _revive_spark(spark)
+assert _spark_alive(s2)
+assert s2.range(0, 5, 1, 1).count() == 5
+s2.stop()
+print("REVIVED-OK")
+""".format(repo=_REPO, tools=os.path.join(_REPO, "tools"))
+    out = subprocess.run(
+        [_sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "REVIVED-OK" in out.stdout
+
+
 def test_staging_preserves_hugeint_floor_division_semantics():
     """Round-11 live finding (x_pack_sequences at sf1): DuckDB writes
     HUGEINT stage columns — every sum() over BIGINT — to parquet as

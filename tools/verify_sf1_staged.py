@@ -51,9 +51,19 @@ the keys in ``AGG_KEYS`` — so the SCALE.md "226/226 at sf1"
 certification line is ONE command.  A resume after an interruption is
 the same command with the not-yet-reported keys listed explicitly.
 
+If the local-mode Spark JVM dies mid-run (an executor heap OOM in local
+mode kills the WHOLE JVM and its py4j gateway), the tool revives the
+session and retries the key once on a fresh heap, so one OOM costs one
+retry, not the remaining keys of a 226-key sweep (r12 live finding: one
+q_triangle_count OOM at the 8g default cascaded 55 downstream keys as
+ConnectionRefusedError before this guard existed).  For the full --all
+sweep at sf1, give the session headroom up front:
+``SPARK_GRAFT_DRIVER_MEM=24g`` (the box's 128 GiB fits this next to
+DuckDB's 48 GB limit with a wide margin).
+
 Usage: python tools/verify_sf1_staged.py x_curate_corpus q_triangle_count
        python tools/verify_sf1_staged.py --agg x_dedup_simhash
-       python tools/verify_sf1_staged.py --all      # full sf1 gate
+       SPARK_GRAFT_DRIVER_MEM=24g python tools/verify_sf1_staged.py --all
        SF_DIR=.scratch/sf1 MEM=48GB python tools/verify_sf1_staged.py ...
 """
 
@@ -399,6 +409,45 @@ AGG_KEYS = frozenset({"x_dedup_simhash", "q_unpivot"})
 ROW_CEILING = int(os.environ.get("ROW_CEILING", 10_000_000))
 
 
+def _spark_alive(spark) -> bool:
+    """True iff the session's JVM still answers a trivial 1-task job."""
+    try:
+        spark.range(0, 1, 1, 1).count()
+        return True
+    except Exception:  # noqa: BLE001 — any py4j/socket error means dead
+        return False
+
+
+def _revive_spark(old):
+    """Replace a dead local-mode Spark JVM with a fresh one mid-run.
+
+    The r12 full sweep lost 55 keys to ONE executor heap OOM: in local
+    mode the dead JVM takes the py4j gateway with it, so every later
+    key's spark phase failed with ConnectionRefusedError while the
+    DuckDB side kept working.  A standing 226-key gate must contain
+    that blast radius to the key that OOM'd (retried once on a fresh
+    heap), not the rest of the run.  Clearing the client-side
+    singletons is what makes getOrCreate launch a NEW JVM instead of
+    handing back the corpse."""
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.session import get_spark
+
+    try:
+        old.stop()
+    except Exception:  # noqa: BLE001 — stopping a dead JVM throws; fine
+        pass
+    SparkContext._active_spark_context = None
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+    spark = get_spark("verify-sf1-staged")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
 def main() -> int:
     import duckdb
 
@@ -500,15 +549,29 @@ def main() -> int:
                 shutil.rmtree(key_dir, ignore_errors=True)
             t_duck = time.time() - t0
             t0 = time.time()
-            try:
-                sdf = qs[key](spark, SF_DIR)
-                spark_cols = list(sdf.columns)
-                if use_agg:
-                    sn, sh = spark_agg_hash(sdf)
-                else:
-                    spark_rows = [tuple(r) for r in sdf.collect()]
-            except Exception as e:  # noqa: BLE001
-                failures.append((key, f"SPARK: {type(e).__name__}: {str(e)[:300]}"))
+            spark_err = None
+            for _attempt in (1, 2):
+                try:
+                    sdf = qs[key](spark, SF_DIR)
+                    spark_cols = list(sdf.columns)
+                    if use_agg:
+                        sn, sh = spark_agg_hash(sdf)
+                    else:
+                        spark_rows = [tuple(r) for r in sdf.collect()]
+                    spark_err = None
+                    break
+                except Exception as e:  # noqa: BLE001
+                    spark_err = f"SPARK: {type(e).__name__}: {str(e)[:300]}"
+                    if _spark_alive(spark):
+                        break  # genuine query error: no blind retry
+                    # JVM died (heap OOM kills the whole local-mode JVM):
+                    # revive so the blast radius is THIS key, retried
+                    # once on a fresh heap — not the rest of the run
+                    print(f"[warn] {key}: Spark JVM died — reviving "
+                          "session", flush=True)
+                    spark = _revive_spark(spark)
+            if spark_err:
+                failures.append((key, spark_err))
                 print(f"[FAIL] {key}: spark error", flush=True)
                 continue
             t_spark = time.time() - t0
