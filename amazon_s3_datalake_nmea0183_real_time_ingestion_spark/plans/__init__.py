@@ -77,18 +77,22 @@ _BACK: list[str] = []
 
 def _front_load(priority: list[str], back: list[str]) -> None:
     # ADVICE r11: a typo'd rotation must fail at import, not silently
-    # shrink the 50-key adjudication window.
-    unknown = [k for k in priority + back if k not in REGISTRY]
+    # shrink the 50-key adjudication window.  The guards validate BOTH
+    # lists (and their union — a key can't be front- and back-loaded)
+    # and run before any mutation, so a failed rotation leaves REGISTRY
+    # untouched; no silent `if k in REGISTRY` filtering remains.
+    combined = priority + back
+    unknown = [k for k in combined if k not in REGISTRY]
     if unknown:
         raise KeyError(f"_NEEDS_VERDICT/_BACK names not in REGISTRY: {unknown}")
-    if len(set(priority)) != len(priority):
-        dupes = sorted({k for k in priority if priority.count(k) > 1})
-        raise ValueError(f"duplicate keys in _NEEDS_VERDICT: {dupes}")
-    ordered = {k: REGISTRY[k] for k in priority if k in REGISTRY}
+    if len(set(combined)) != len(combined):
+        dupes = sorted({k for k in combined if combined.count(k) > 1})
+        raise ValueError(f"duplicate keys across _NEEDS_VERDICT/_BACK: {dupes}")
+    ordered = {k: REGISTRY[k] for k in priority}
     ordered.update(
         {k: q for k, q in REGISTRY.items() if k not in ordered and k not in back}
     )
-    ordered.update({k: REGISTRY[k] for k in back if k in REGISTRY})
+    ordered.update({k: REGISTRY[k] for k in back})
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

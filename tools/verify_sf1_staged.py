@@ -32,8 +32,9 @@ whose collect-compare harness cost dominates the gate (q_unpivot's
   - DOUBLE uses the repo's 4dp fixed-point float convention:
     ``floor(v * 10000)`` as BIGINT, NaN → 'NULL' and ±inf → 'inf'/'-inf'
     (mirroring verify_local._norm_cell), finite |v| >= 9e14 refused by a
-    pre-check in BOTH engines (v*1e4 must stay under 2^63 for the ANSI
-    cast).  The multiply+floor is the SAME IEEE op on the SAME bits in
+    range check riding the SAME single hash pass in BOTH engines (v*1e4
+    must stay under 2^63 for the ANSI cast; such cells take an 'OOR'
+    sentinel and the tainted hash is discarded before comparison).  The multiply+floor is the SAME IEEE op on the SAME bits in
     both engines, so equal inputs always hash equal; the trade is that
     doubles agreeing to 4dp but differing beyond are NOT distinguished —
     so a double column is only agg-eligible when it is a pure projection
@@ -293,25 +294,6 @@ def spark_agg_hash(sdf) -> tuple[int, int]:
             "collect-based compare for this key"
         )
     dbl = [c for c, t in sdf.dtypes if t == "double"]
-    if dbl:
-        # pre-check: finite magnitudes must stay under _DBL_ABS_MAX so
-        # floor(v*1e4) fits BIGINT; NaN/±inf are screened OUT of the max
-        # (they get label encodings, not the fixed-point path)
-        finite = {
-            c: F.when(
-                ~F.isnan(F.col(c)) & (F.abs(F.col(c)) != F.lit(float("inf"))),
-                F.abs(F.col(c)),
-            )
-            for c in dbl
-        }
-        mx = sdf.agg(*[F.max(finite[c]).alias(c) for c in dbl]).collect()[0]
-        too_big = [c for c in dbl if mx[c] is not None and mx[c] >= _DBL_ABS_MAX]
-        if too_big:
-            raise ValueError(
-                f"--agg double column(s) {too_big} hold finite values >= "
-                f"{_DBL_ABS_MAX:.0e} — the 4dp fixed-point encoding would "
-                "overflow the ANSI BIGINT cast; use the collect compare"
-            )
 
     def cell(c: str, t: str):
         if t == "double":
@@ -319,11 +301,17 @@ def spark_agg_hash(sdf) -> tuple[int, int]:
             # mirrors verify_local._norm_cell: NaN → 'NULL', ±inf →
             # 'inf'/'-inf'; finite → floor(v*1e4) (same IEEE multiply +
             # floor on the same bits in both engines, so equal inputs
-            # always encode equal)
+            # always encode equal).  Finite |v| >= _DBL_ABS_MAX takes
+            # the 'OOR' sentinel INSTEAD of the ANSI-overflowing cast,
+            # so the range check can ride the same single pass as the
+            # hash (review r12): the max-of-finite-abs below is
+            # validated BEFORE any hash is compared, so an OOR-tainted
+            # hash is never used.
             return F.coalesce(
                 F.when(F.isnan(v), F.lit("NULL"))
                 .when(v == F.lit(float("inf")), F.lit("inf"))
                 .when(v == F.lit(float("-inf")), F.lit("-inf"))
+                .when(F.abs(v) >= F.lit(_DBL_ABS_MAX), F.lit("OOR"))
                 .otherwise(F.floor(v * F.lit(10000.0)).cast("string")),
                 F.lit("NULL"),
             )
@@ -332,12 +320,33 @@ def spark_agg_hash(sdf) -> tuple[int, int]:
     types = dict(sdf.dtypes)
     cols = [sdf.columns[i] for i in _col_order(list(sdf.columns))]
     cells = [cell(c, types[c]) for c in cols]
-    # first 15 hex chars of md5 -> non-negative BIGINT, summed exactly
+    # first 15 hex chars of md5 -> non-negative BIGINT, summed exactly;
+    # the per-double finite-max range checks share this one pass
+    finite_max = [
+        F.max(
+            F.when(
+                ~F.isnan(F.col(c)) & (F.abs(F.col(c)) != F.lit(float("inf"))),
+                F.abs(F.col(c)),
+            )
+        ).alias(f"__mx_{c}")
+        for c in dbl
+    ]
     rowh = F.conv(F.substring(F.md5(F.concat_ws("|", *cells)), 1, 15), 16, 10)
     agg = sdf.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(rowh.cast("decimal(38,0)")).alias("h"),
+        *finite_max,
     ).collect()[0]
+    too_big = [
+        c for c in dbl
+        if agg[f"__mx_{c}"] is not None and agg[f"__mx_{c}"] >= _DBL_ABS_MAX
+    ]
+    if too_big:
+        raise ValueError(
+            f"--agg double column(s) {too_big} hold finite values >= "
+            f"{_DBL_ABS_MAX:.0e} — the 4dp fixed-point encoding would "
+            "overflow the ANSI BIGINT cast; use the collect compare"
+        )
     return int(agg["n"]), int(agg["h"] or 0)
 
 
@@ -349,30 +358,17 @@ def duck_agg_hash(con, from_clause: str, cols: list[str]) -> tuple[int, int]:
         ).fetchall()
     }
     dbl = [c for c in cols if types[c] == "DOUBLE"]
-    if dbl:
-        # symmetric pre-check to spark_agg_hash's, so an out-of-range
-        # double fails with the same actionable message on either side
-        checks = ", ".join(
-            f"max(CASE WHEN isnan({c}) OR isinf({c}) THEN NULL "
-            f"ELSE abs({c}) END) AS {c}"
-            for c in dbl
-        )
-        mx = con.sql(f"SELECT {checks} FROM {from_clause}").fetchone()
-        too_big = [c for c, v in zip(dbl, mx)
-                   if v is not None and v >= _DBL_ABS_MAX]
-        if too_big:
-            raise ValueError(
-                f"--agg double column(s) {too_big} hold finite values >= "
-                f"{_DBL_ABS_MAX:.0e} — the 4dp fixed-point encoding would "
-                "overflow the BIGINT cast; use the collect compare"
-            )
 
     def cell(c: str) -> str:
         if types[c] == "DOUBLE":
+            # same when-chain as the Spark side, 'OOR' sentinel
+            # included so the single-pass range check below can't be
+            # pre-empted by a BIGINT cast overflow
             return (
                 f"coalesce(CASE WHEN isnan({c}) THEN 'NULL' "
                 f"WHEN {c} = 'infinity'::DOUBLE THEN 'inf' "
                 f"WHEN {c} = '-infinity'::DOUBLE THEN '-inf' "
+                f"WHEN abs({c}) >= {_DBL_ABS_MAX!r} THEN 'OOR' "
                 f"ELSE CAST(CAST(floor({c} * 10000.0) AS BIGINT) AS VARCHAR) "
                 f"END, 'NULL')"
             )
@@ -380,11 +376,27 @@ def duck_agg_hash(con, from_clause: str, cols: list[str]) -> tuple[int, int]:
 
     ordered = [cols[i] for i in _col_order(cols)]
     cells = ", ".join(cell(c) for c in ordered)
+    # symmetric single-pass range check to spark_agg_hash's, so an
+    # out-of-range double fails with the same actionable message on
+    # either side — validated before any hash is compared
+    finite_max = "".join(
+        f", max(CASE WHEN isnan({c}) OR isinf({c}) THEN NULL "
+        f"ELSE abs({c}) END) AS \"__mx_{c}\""
+        for c in dbl
+    )
     row = con.sql(
         f"SELECT count(*) AS n, "
         f"sum(('0x' || substr(md5(concat_ws('|', {cells})), 1, 15))::BIGINT)"
-        f"::HUGEINT AS h FROM {from_clause}"
+        f"::HUGEINT AS h{finite_max} FROM {from_clause}"
     ).fetchone()
+    too_big = [c for i, c in enumerate(dbl)
+               if row[2 + i] is not None and row[2 + i] >= _DBL_ABS_MAX]
+    if too_big:
+        raise ValueError(
+            f"--agg double column(s) {too_big} hold finite values >= "
+            f"{_DBL_ABS_MAX:.0e} — the 4dp fixed-point encoding would "
+            "overflow the BIGINT cast; use the collect compare"
+        )
     return int(row[0]), int(row[1] or 0)
 
 
