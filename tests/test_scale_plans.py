@@ -1067,6 +1067,12 @@ def test_gini_monitor_detects_ingest_concentration(spark, tmp_path):
     spark.createDataFrame(dirty, schema).write.parquet(dp)
     assert gini_monitor_report(spark, dp) == got
 
+    # partitioning-equivalence: the report is a pure function of the
+    # rows, not of the stage zone's file layout
+    pp = str(tmp_path / "parts7")
+    spark.createDataFrame(rows, schema).repartition(7).write.parquet(pp)
+    assert gini_monitor_report(spark, pp) == got
+
     # all rows inside the recent window: baseline side None, no verdict
     recent_only = [(d, day0 + k) for d in (1, 2) for k in range(3)]
     rp = str(tmp_path / "recent_only")
@@ -1131,6 +1137,12 @@ def test_source_kl_monitor_flags_category_mix_shift(spark, tmp_path):
     dp = str(tmp_path / "dirty")
     spark.createDataFrame(dirty, schema).write.parquet(dp)
     assert source_kl_monitor_report(spark, dp) == got
+
+    # partitioning-equivalence: the report is a pure function of the
+    # rows, not of the stage zone's file layout
+    pp = str(tmp_path / "parts7")
+    spark.createDataFrame(rows, schema).repartition(7).write.parquet(pp)
+    assert source_kl_monitor_report(spark, pp) == got
 
     # no-shift control: identical mix both windows → near-zero KL
     flat = []
