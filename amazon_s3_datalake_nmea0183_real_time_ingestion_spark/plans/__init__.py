@@ -18,44 +18,22 @@ from . import tierl  # noqa: F401,E402
 from . import tierm  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
-# keys per round.  After round 11: ALL 226 keys are green at their latest
+# keys per round.  After round 12: ALL 226 keys are green at their latest
 # driver check, 0 failures ever; staleness census (union of
-# CORRECTNESS_r01–r11, latest row per key): 35 keys at r7, 44 at r8,
-# 47 at r9, 50 at r10, 50 at r11.  Round 12 (VERDICT.md r11 "Next round"
-# #1) front-loads:
-#   1. slots 1-35 = the 35 r7-era rows (the oldest evidence anywhere),
-#      CORRECTNESS_r07 insertion order — exactly the post-cut queue the
-#      r11 comment pinned — nothing may displace them;
-#   2. slots 36-50 = the 15 oldest r8-era rows, CORRECTNESS_r08
-#      insertion order.  The remaining 29 r8-era keys are listed in the
-#      same order past the cut so the r13 window continues with no
-#      re-planning: r13 should take the next 29 r8-era names below,
-#      then start the r9 block (CORRECTNESS_r09 insertion order:
-#      x_pack_sequences, x_quality_model, x_session, x_sim_ivf,
-#      x_sim_lsh, x_sim_topk, x_split_hash, x_text_curate,
-#      x_text_fingerprint, x_text_langid, x_text_line_dedup, x_text_pii,
-#      x_text_quality, x_text_repetition, x_text_tf, x_text_tfidf,
-#      x_text_tokens, x_url_parse, x_vocab_topk, x_benford, x_dp_counts).
+# CORRECTNESS_r01–r12, latest row per key): 29 keys at r8, 47 at r9,
+# 50 each at r10/r11/r12.  Round 13 (VERDICT.md r12 "Next round" #1)
+# front-loads:
+#   1. slots 1-29 = the 29 r8-era rows (the oldest evidence anywhere),
+#      CORRECTNESS_r08 insertion order — exactly the post-cut queue the
+#      r12 comment pinned — nothing may displace them;
+#   2. slots 30-50 = the 21 oldest r9-era rows, CORRECTNESS_r09
+#      insertion order.  The remaining 26 r9-era keys are listed in the
+#      same order past the cut so the r14 window continues with no
+#      re-planning: r14 should take the 26 r9-era names below, then
+#      start the r10 block (CORRECTNESS_r10 insertion order).
 _NEEDS_VERDICT = [
-    # r7-era rows (r11 VERDICT #1) — MUST hold slots 1-35
-    "q_fn_haversine", "q_fn_array", "q_fn_json", "q_subquery",
-    "x_dedup_semantic_guarded", "x_embed_pq", "x_sim_pq",
-    "x_heavy_hitters", "x_vocab_bpe", "x_sim_zero_norm", "x_bpe_tokenize",
-    "x_sim_ivfpq", "x_linreg_gd", "x_kcore", "x_jaccard_prefix",
-    "x_hll_union", "x_shuffle_epoch", "x_block_sorted", "x_feature_mi",
-    "x_scorer_spearman", "x_join_card", "x_f2_countsketch",
-    "x_ewma_anomaly", "x_agg_salted", "x_hll_intersect", "x_link_adamic",
-    "x_ttest_welch", "x_srm_chisq", "x_bootstrap_ci", "x_seq_transitions",
-    "x_cuped", "x_skyline", "x_geo_nearest", "x_abtest_mde",
-    "x_k_anonymity",
-    # r8-era rows (next-oldest), CORRECTNESS_r08 insertion order;
-    # the first 15 complete this round's window, the rest queue for r13
-    "x_calibration", "x_cusum_changepoint", "x_forecast_mase",
-    "x_gini_concentration", "x_autocorr", "x_l_diversity",
-    "x_basket_rules", "x_seasonality_strength", "x_rfm", "x_cohort_ltv",
-    "x_target_encoding", "x_active_users", "x_geo_grid", "x_ks_test",
-    "x_conformal",
-    # --- r12 cut line (50) --- r13 continues here, r8 order preserved
+    # r8-era rows (r12 VERDICT #1) — MUST hold slots 1-29,
+    # CORRECTNESS_r08 insertion order
     "x_dedup_best_guarded", "x_dedup_cluster_guarded", "cat_recover",
     "f_contains", "f_element_at", "f_split", "op_alert_filter",
     "op_error_route", "op_event_partition", "op_flatten_soh",
@@ -65,6 +43,24 @@ _NEEDS_VERDICT = [
     "x_dedup_exact", "x_dedup_near", "x_dedup_ngram", "x_domain_quota",
     "x_embed_reduce", "x_kmeans_assign", "x_kmeans_iter", "x_multimodal",
     "x_multimodal_binary",
+    # r9-era rows (next-oldest), CORRECTNESS_r09 insertion order;
+    # the first 21 complete this round's window, the rest queue for r14
+    "x_pack_sequences", "x_quality_model", "x_session", "x_sim_ivf",
+    "x_sim_lsh", "x_sim_topk", "x_split_hash", "x_text_curate",
+    "x_text_fingerprint", "x_text_langid", "x_text_line_dedup",
+    "x_text_pii", "x_text_quality", "x_text_repetition", "x_text_tf",
+    "x_text_tfidf", "x_text_tokens", "x_url_parse", "x_vocab_topk",
+    "x_benford", "x_dp_counts",
+    # --- r13 cut line (50) --- r14 continues here, r9 order preserved
+    "x_theta_intersect", "x_active_users_hll", "x_diff_in_diff",
+    "x_survival", "x_auc", "x_dedup_simhash_rep", "q_triangle_count",
+    "x_outlier_mad", "q_ts_downsample", "x_sample_weighted",
+    "x_decontaminate_bloom", "x_dedup_semantic", "x_dedup_lev",
+    "x_sample_stratified", "x_winsorize", "x_dedup_containment",
+    "x_drift_psi", "x_dedup_containment_guarded", "x_novelty",
+    "x_hard_negatives", "x_lpa", "x_dedup_substring",
+    "x_data_temperature", "x_dsir", "x_dedup_substring_guarded",
+    "x_label_noise",
 ]
 
 
