@@ -302,17 +302,20 @@ def _provenance(sf_dir: str, spark) -> dict:
     # matches the probe's corrected one_task baseline — bare range(1) is
     # a 32-task job at local[32] (ADVICE r11; BENCH_r11's 93.2 ms was the
     # uncorrected 32-task form, comparable to fan_out_32, not one_task).
-    t0 = time.perf_counter()
-    for _ in range(30):
-        spark.range(0, 1, 1, 1).count()
-    dispatch_ms = round((time.perf_counter() - t0) / 30 * 1000, 1)
     return {
         "tables": tables,
         "default_parallelism": spark.sparkContext.defaultParallelism,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "runs_per_query": {"default": 2, "extra": sorted(EXTRA_RUN_KEYS)},
-        "job_dispatch_ms": dispatch_ms,
+        "job_dispatch_ms": _dispatch_probe(spark),
     }
+
+
+def _dispatch_probe(spark) -> float:
+    t0 = time.perf_counter()
+    for _ in range(30):
+        spark.range(0, 1, 1, 1).count()
+    return round((time.perf_counter() - t0) / 30 * 1000, 1)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -353,6 +356,14 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
+    # Dispatch probe BEFORE the timing loops as well as after (provenance):
+    # the r12 driver record's lone regression (q_triangle_count 8.6→12.0 s
+    # on bit-identical code) could not be adjudicated because the post-run
+    # probe read healthy — a transient during the early keys was invisible.
+    # Bracketing each record (pre + post) bounds when contention could have
+    # occurred (VERDICT r12 #3).
+    dispatch_pre_ms = _dispatch_probe(spark)
+
     # Two runs per query, report the min: steady-state time (first run pays
     # one-off plan compilation + file-index warmup; the reference pipeline's
     # per-record Lambda has no such cold cost to compare against) and ~20%
@@ -392,8 +403,10 @@ def main() -> int:
         record["non_headline"] = nh_timings
         record["non_headline_total"] = round(sum(nh_timings.values()), 3)
     # provenance LAST so its dispatch-latency probe postdates every
-    # timing loop above, including the opt-in non-headline pass
+    # timing loop above, including the opt-in non-headline pass; together
+    # with the pre-loop probe the record brackets its own run.
     record["provenance"] = _provenance(SF_DIR, spark)
+    record["provenance"]["job_dispatch_ms_pre"] = dispatch_pre_ms
     full_line = json.dumps(record)
     print(full_line)
     # Also persist the full record beside the repo: the driver's BENCH
