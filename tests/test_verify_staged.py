@@ -145,6 +145,59 @@ def test_agg_hash_guard_rejects_unencodable_output(spark):
     assert n == 2 and h > 0
 
 
+def test_duck_agg_hash_guard_mirrors_spark_side():
+    """ADVICE r12 #1: the DuckDB phase runs FIRST in the gate, so an
+    unencodable output type must fail THERE (attributed to the agg-hash
+    contract, before a full hash scan), with the same message as the
+    Spark-side guard.  HUGEINT stays eligible — integer text is
+    engine-independent and the staged views deliberately restore
+    HUGEINT on summed BIGINT columns."""
+    from verify_sf1_staged import duck_agg_hash
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW bad_ts AS SELECT 1::BIGINT AS k, "
+        "TIMESTAMP '2024-01-01' AS t"
+    )
+    with pytest.raises(TypeError, match="integer/string/double-output only"):
+        duck_agg_hash(con, "bad_ts", ["k", "t"])
+    con.sql(
+        "CREATE VIEW bad_dec AS SELECT 1::BIGINT AS k, "
+        "1.50::DECIMAL(10,2) AS d"
+    )
+    with pytest.raises(TypeError, match="integer/string/double-output only"):
+        duck_agg_hash(con, "bad_dec", ["k", "d"])
+    con.sql(
+        "CREATE VIEW ok_huge AS "
+        "SELECT sum(i)::HUGEINT AS s, 'x' AS tag FROM range(5) t(i)"
+    )
+    n, h = duck_agg_hash(con, "ok_huge", ["s", "tag"])
+    assert n == 1 and h > 0
+    con.close()
+
+
+def test_row_ceiling_fetchmany_probe_contract():
+    """ADVICE r12 #2: the --all collect path caps output via
+    fetchmany(ROW_CEILING+1) on the relation's streaming cursor instead
+    of a count(*) pre-query that re-executed the whole final SELECT.
+    The replacement is sound iff (a) fetchmany(n) returning < n rows
+    means the result is EXHAUSTED (the probe IS the complete result) and
+    (b) returning n rows means at least n exist (over-ceiling detected
+    without materializing the remainder).  Pin that cursor contract."""
+    from verify_sf1_staged import ROW_CEILING
+
+    con = duckdb.connect()
+    under = con.sql("SELECT i FROM range(7) t(i)")
+    probe = under.fetchmany(10)
+    assert len(probe) == 7  # exhausted: probe == full result
+    assert under.fetchall() == []  # nothing left on the cursor
+    over = con.sql("SELECT i FROM range(12) t(i)")
+    probe = over.fetchmany(10)
+    assert len(probe) == 10  # ceiling hit without draining the rest
+    con.close()
+    assert ROW_CEILING >= 1_000_000  # the gate's cap stays generous
+
+
 def test_agg_hash_double_encoding_matches_cross_engine(spark):
     """The 4dp fixed-point double encoding (VERDICT r11 #6: q_unpivot to
     --agg) must produce IDENTICAL (n, hash) on Spark and DuckDB for the

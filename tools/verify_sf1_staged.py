@@ -299,7 +299,13 @@ def spark_agg_hash(sdf) -> tuple[int, int]:
         if t == "double":
             v = F.col(c)
             # mirrors verify_local._norm_cell: NaN → 'NULL', ±inf →
-            # 'inf'/'-inf'; finite → floor(v*1e4) (same IEEE multiply +
+            # 'inf'/'-inf' — NaN-as-'NULL' is the DOCUMENTED SHARED
+            # CONVENTION with duck_agg_hash and the collect path
+            # (ADVICE r12 #4): a cross-engine NULL↔NaN swap in a double
+            # column is invisible to this compare by design; if an
+            # AGG_KEYS candidate ever needs NULL/NaN fidelity, encode
+            # NaN as a distinct 'NaN' label in BOTH engines instead.
+            # finite → floor(v*1e4) (same IEEE multiply +
             # floor on the same bits in both engines, so equal inputs
             # always encode equal).  Finite |v| >= _DBL_ABS_MAX takes
             # the 'OOR' sentinel INSTEAD of the ANSI-overflowing cast,
@@ -350,6 +356,17 @@ def spark_agg_hash(sdf) -> tuple[int, int]:
     return int(agg["n"]), int(agg["h"] or 0)
 
 
+# DuckDB-side mirror of spark_agg_hash's _INT_TYPES: types whose CAST
+# to VARCHAR matches Spark's string form bit-for-bit.  HUGEINT/UHUGEINT
+# are included (integer text is engine-independent; the staged views
+# deliberately restore HUGEINT on summed BIGINT columns) — a HUGEINT
+# final column pairs with a Spark DECIMAL(38,0), which the SPARK-side
+# guard rejects, so the pair still can't silently pass.
+_DUCK_AGG_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                   "UHUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
+                   "UBIGINT", "BOOLEAN", "VARCHAR", "DATE", "DOUBLE"}
+
+
 def duck_agg_hash(con, from_clause: str, cols: list[str]) -> tuple[int, int]:
     types = {
         c: t.upper()
@@ -357,6 +374,18 @@ def duck_agg_hash(con, from_clause: str, cols: list[str]) -> tuple[int, int]:
             f"DESCRIBE SELECT * FROM {from_clause}"
         ).fetchall()
     }
+    # ADVICE r12 #1: mirror spark_agg_hash's dtype guard so a
+    # TIMESTAMP/DECIMAL output fails HERE — attributed to the agg-hash
+    # contract, before a full hash scan — instead of being raw-
+    # stringified ('2024-01-01 00:00:00' vs Spark's cast variants) and
+    # surfacing later as a misattributed Spark-phase mismatch.
+    bad = [(c, types[c]) for c in cols if types[c] not in _DUCK_AGG_TYPES]
+    if bad:
+        raise TypeError(
+            f"--agg compare is integer/string/double-output only; got {bad} "
+            "— cross-engine stringification differs, use the "
+            "collect-based compare for this key"
+        )
     dbl = [c for c in cols if types[c] == "DOUBLE"]
 
     def cell(c: str) -> str:
@@ -440,7 +469,15 @@ def _revive_spark(old):
     that blast radius to the key that OOM'd (retried once on a fresh
     heap), not the rest of the run.  Clearing the client-side
     singletons is what makes getOrCreate launch a NEW JVM instead of
-    handing back the corpse."""
+    handing back the corpse.
+
+    VERSION PIN (ADVICE r12 #3): the attribute pokes below are private
+    PySpark client internals, written against pyspark 4.1 — a PySpark
+    upgrade can silently change singleton handling.  The canary is
+    tests/test_sf1_tooling.py's subprocess revival test (kills a real
+    JVM, revives, asserts a job answers); re-verify it on any PySpark
+    bump before trusting this path.  The post-revival _spark_alive
+    assert below also fails loud rather than handing back a corpse."""
     from pyspark import SparkContext
     from pyspark.sql import SparkSession
 
@@ -457,6 +494,12 @@ def _revive_spark(old):
     SparkSession._activeSession = None
     spark = get_spark("verify-sf1-staged")
     spark.sparkContext.setLogLevel("ERROR")
+    if not _spark_alive(spark):
+        raise RuntimeError(
+            "JVM revival produced a session that does not answer a "
+            "1-task job — private-API singleton clearing no longer "
+            "works on this PySpark version; see docstring version pin"
+        )
     return spark
 
 
@@ -533,21 +576,25 @@ def main() -> int:
                     if all_mode:
                         # ADVICE r11: cap the collect path under --all so
                         # a future large-output key fails with a hint, not
-                        # a driver OOM mid-gate (costs one extra run of
-                        # the final SELECT, which is cheap over the
-                        # already-materialized stage views)
-                        n_final = con.sql(
-                            f"SELECT count(*) FROM ({rel.sql_query()})"
-                        ).fetchone()[0]
-                        if n_final > ROW_CEILING:
+                        # a driver OOM mid-gate.  ADVICE r12 #2: probe via
+                        # fetchmany(ceiling+1) on the relation's streaming
+                        # cursor instead of a count(*) pre-query — the old
+                        # form re-executed the ENTIRE final SELECT once per
+                        # key, doubling DuckDB compute for compute-heavy
+                        # finals; fetchmany executes once, the remainder
+                        # never materializes past the ceiling, and an
+                        # under-ceiling probe already IS the full result.
+                        duck_rows = rel.fetchmany(ROW_CEILING + 1)
+                        if len(duck_rows) > ROW_CEILING:
                             raise ValueError(
                                 f"output too large for the collect compare "
-                                f"under --all ({n_final} rows > ROW_CEILING="
-                                f"{ROW_CEILING}); add the key to AGG_KEYS if "
+                                f"under --all (> ROW_CEILING={ROW_CEILING} "
+                                "rows); add the key to AGG_KEYS if "
                                 "dtype-eligible (see --agg criteria) or "
                                 "raise ROW_CEILING explicitly"
                             )
-                    duck_rows = rel.fetchall()
+                    else:
+                        duck_rows = rel.fetchall()
             except Exception as e:  # noqa: BLE001
                 failures.append((key, f"DUCKDB: {type(e).__name__}: {str(e)[:300]}"))
                 print(f"[FAIL] {key}: duckdb error", flush=True)
