@@ -1235,6 +1235,204 @@ def source_kl_monitor_report(
     }
 
 
+def heavy_hitters_monitor_report(
+    spark: SparkSession,
+    stage_path: str,
+    key_col: str = "deviceid",
+    ts_col: str = "date_time",
+    recent_days: int = 7,
+    k: int = 10,
+    share_threshold: float = 0.5,
+    depth: int = 4,
+    width: int = 1024,
+) -> dict:
+    """Token-flood monitor at the maintenance cadence — the streaming-
+    maintenance twin of the batch ``x_heavy_hitters`` key
+    (plans/tieri.py), the way gini/source-KL twin their batch keys
+    (VERDICT r12 #7's suggested echo): the count-min sketch (Cormode &
+    Muthukrishnan '05, operators/sketches.py) built over the last
+    ``recent_days`` UTC epoch-days of ``key_col`` traffic, its top-``k``
+    heavy hitters adjudicated against the exact recount, and a flood
+    verdict — "is one key swamping recent ingest, and WHICH".  Gini
+    says concentration rose; THIS names the keys doing it and prices
+    the sketch you'd deploy to watch for them between census runs.
+
+    Same grid, hashes, and never-underestimates invariant as the batch
+    key: cells come from ``cms_from_counts`` over the exact per-key
+    recount (cell-identical to the production ``cms_from_stream`` by
+    associativity — the equivalence is pytest-pinned on corpus data),
+    estimates from ``cms_estimate``'s broadcast-probe min.  A broken
+    sketch build/probe flips ``cms_sound``.
+
+    Returns ``{"n_recent": int, "k_distinct_recent": int, "top":
+    [{"key": str, "exact_n": int, "est": int, "overcount": int,
+    "share": float}, ...], "top_share": float | None, "flooding": bool,
+    "cms_sound": bool | None, "max_overcount": int | None}`` (plain
+    dict, foreachBatch-safe).  An empty window reads empty/None and
+    never fires.
+
+    Scale: the corpus-sized work is ONE map-side-combinable (key)
+    count over the recent window; the sketch is ≤ depth·width rows and
+    broadcasts into the k-row estimate probe; top-k rides a fleet-sized
+    count table; the final collect is ≤ k + 1 rows.  With an UNBOUNDED
+    key universe (raw tokens, not device ids), drop the exact side for
+    ``cms_from_stream`` + an external candidate list — the report shape
+    and the sketch economics (partial state capped at depth·width
+    counters per partition) are unchanged; the exact recount here is
+    the adjudication side, exactly as in the batch key.
+    """
+    from ..operators.sketches import cms_estimate, cms_from_counts
+
+    df = spark.read.parquet(stage_path)
+    v = df.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col).cast("string").alias("k"),
+        _epoch_day(ts_col).alias("day"),
+    )
+    recent = _recent_window_flag(v, "win", recent_days).filter(
+        F.col("win") == 1
+    )
+    cnt = recent.groupBy("k").agg(F.count("*").alias("exact_n"))
+    sketch = cms_from_counts(cnt, "k", "exact_n", depth=depth, width=width)
+    topk = (
+        cnt.orderBy(F.col("exact_n").desc(), F.col("k").asc()).limit(k)
+    )
+    est = cms_estimate(topk, sketch, "k", depth=depth, width=width)
+    rows = est.orderBy(
+        F.col("exact_n").desc(), F.col("k").asc()
+    ).collect()  # control-plane: <= k rows
+    tot = cnt.agg(
+        F.sum("exact_n").alias("n"), F.count("*").alias("kd")
+    ).collect()[0]  # control-plane: 1 row
+    n_recent = int(tot["n"]) if tot["n"] is not None else 0
+    if n_recent == 0:
+        return {"n_recent": 0, "k_distinct_recent": 0, "top": [],
+                "top_share": None, "flooding": False, "cms_sound": None,
+                "max_overcount": None}
+    top = [
+        {
+            "key": r["k"],
+            "exact_n": int(r["exact_n"]),
+            "est": int(r["est"]),
+            "overcount": int(r["est"]) - int(r["exact_n"]),
+            "share": round(int(r["exact_n"]) / n_recent, 6),
+        }
+        for r in rows
+    ]
+    top_share = top[0]["share"]
+    return {
+        "n_recent": n_recent,
+        "k_distinct_recent": int(tot["kd"]),
+        "top": top,
+        "top_share": top_share,
+        "flooding": top_share > share_threshold,
+        "cms_sound": all(t["overcount"] >= 0 for t in top),
+        "max_overcount": max(t["overcount"] for t in top),
+    }
+
+
+def sketch_store_monitor_report(
+    spark: SparkSession,
+    stage_path: str,
+    key_col: str = "deviceid",
+    ts_col: str = "date_time",
+    recent_days: int = 7,
+    lg_k: int = 12,
+    tol: float = 0.05,
+) -> dict:
+    """Per-day HLL sketch-store health monitor at the maintenance
+    cadence — the streaming-maintenance twin of the batch
+    ``x_active_users_hll`` key (plans/tierl.py), the other VERDICT r12
+    #7 echo: for each of the last ``recent_days`` UTC epoch-days, build
+    the day's HyperLogLog distinct-``key_col`` sketch
+    (``hll_sketch_agg``, same lgConfigK as the batch key) and adjudicate
+    its estimate against the exact per-day distinct; then UNION the
+    daily sketches across the window (``hll_union_agg``) and adjudicate
+    the union against the exact window distinct — the mergeability
+    invariant the whole persisted-sketch-store dashboard economics
+    rests on, checked at cadence.  A day with rows missing from the
+    window also surfaces (``missing_days``): an ingestion gap reads as
+    absent state, not a silently-shorter average.
+
+    Returns ``{"days": [{"day": int, "exact": int, "est": int,
+    "rel_err": float, "ok": bool}, ...], "n_days": int, "missing_days":
+    int, "union_exact": int, "union_est": int, "union_ok": bool | None,
+    "healthy": bool | None}`` (plain dict, foreachBatch-safe).  An
+    empty window reads empty/None and never fires; ``healthy`` is True
+    iff every per-day estimate AND the union estimate sit within
+    ``tol`` relative error (lgK 12 ⇒ ~1.6 % stderr, so 5 % is a 3σ
+    gate; fleet-sized daily cardinalities sit in the sketch's sparse
+    regime where the estimate is exact).
+
+    Scale: the corpus-sized work is ONE map-side-combinable per-day
+    aggregate (partial state = one 4 KB sketch per day per partition,
+    plus the exact-distinct adjudication side — drop the exact columns
+    in production and the pass is pure sketch); the union rides the
+    ≤ ``recent_days``-row daily table; the final collect is
+    ≤ recent_days + 1 rows.  Persist the daily sketches next to the
+    stage zone and this health row needs no corpus rescan at all —
+    the x_active_users_hll store economics, monitored.
+    """
+    df = spark.read.parquet(stage_path)
+    v = df.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(key_col).alias("k"), _epoch_day(ts_col).alias("day"))
+    recent = _recent_window_flag(v, "win", recent_days).filter(
+        F.col("win") == 1
+    )
+    daily = recent.groupBy("day").agg(
+        F.hll_sketch_agg("k", F.lit(lg_k)).alias("sk"),
+        F.countDistinct("k").alias("exact"),
+    )
+    per_day = daily.select(
+        "day", "exact", F.hll_sketch_estimate("sk").alias("est")
+    ).orderBy("day").collect()  # control-plane: <= recent_days rows
+    if not per_day:
+        return {"days": [], "n_days": 0, "missing_days": 0,
+                "union_exact": 0, "union_est": 0, "union_ok": None,
+                "healthy": None}
+    union_row = daily.agg(
+        # all daily sketches share lg_k, so the union needs no
+        # allowDifferentLgConfigK (the optional second arg is that
+        # boolean, NOT a lgK override)
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]  # control-plane: 1 row
+    union_exact = int(
+        recent.agg(F.countDistinct("k").alias("x")).collect()[0]["x"]
+    )  # control-plane: 1 row
+    bounds = v.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).collect()[0]  # control-plane: 1 row (over ALL history, so a
+    # leading gap — store older than the window but early window-days
+    # empty — counts as missing, not as a shorter window)
+
+    def _ok(exact: int, est: int) -> tuple[float, bool]:
+        rel = round(abs(est - exact) / exact, 6)  # day present ⇒ exact >= 1
+        return rel, rel <= tol
+
+    days = []
+    for r in per_day:
+        rel, ok = _ok(int(r["exact"]), int(r["est"]))
+        days.append({"day": int(r["day"]), "exact": int(r["exact"]),
+                     "est": int(r["est"]), "rel_err": rel, "ok": ok})
+    # expected day count: the recent window span, clipped to the STORE's
+    # observed age (global min day) so a younger-than-window stage zone
+    # isn't flagged as gapped on day one
+    expected = min(recent_days, int(bounds["hi"]) - int(bounds["lo"]) + 1)
+    union_est = int(union_row["est"])
+    _, union_ok = _ok(union_exact, union_est)
+    return {
+        "days": days,
+        "n_days": len(days),
+        "missing_days": expected - len(days),
+        "union_exact": union_exact,
+        "union_est": union_est,
+        "union_ok": union_ok,
+        "healthy": union_ok and all(d["ok"] for d in days),
+    }
+
+
 def pipeline_maintenance(
     spark: SparkSession,
     stage_path: str,
@@ -1251,6 +1449,8 @@ def pipeline_maintenance(
     monitor_benford: bool = False,
     monitor_gini: bool = False,
     monitor_source_kl: bool = False,
+    monitor_heavy_hitters: bool = False,
+    monitor_sketch_store: bool = False,
 ) -> dict:
     """One scheduled-maintenance pass — the in-engine analog of the
     reference's nightly crawler run (``cron(0 4 * * ? *)``,
@@ -1300,6 +1500,14 @@ def pipeline_maintenance(
     :func:`source_kl_monitor_report`): the categorical-mix twin of
     PSI's numeric two-sample gate — KL divergence of the recent
     category mix against history.
+    ``monitor_heavy_hitters=True`` adds a ``heavy_hitters`` block (see
+    :func:`heavy_hitters_monitor_report`): the CMS token-flood gate —
+    Gini says concentration rose, this names the flooding keys and
+    adjudicates the sketch.
+    ``monitor_sketch_store=True`` adds a ``sketch_store`` block (see
+    :func:`sketch_store_monitor_report`): per-day HLL sketch health —
+    daily and unioned estimates adjudicated against exact distincts,
+    plus ingestion-gap days.
     """
     import os as _os
 
@@ -1341,6 +1549,14 @@ def pipeline_maintenance(
         report["gini"] = gini_monitor_report(spark, stage_path)
     if monitor_source_kl and _os.path.isdir(stage_path):
         report["source_kl"] = source_kl_monitor_report(spark, stage_path)
+    if monitor_heavy_hitters and _os.path.isdir(stage_path):
+        report["heavy_hitters"] = heavy_hitters_monitor_report(
+            spark, stage_path
+        )
+    if monitor_sketch_store and _os.path.isdir(stage_path):
+        report["sketch_store"] = sketch_store_monitor_report(
+            spark, stage_path
+        )
     for t in catalog_tables or []:
         if spark.catalog.tableExists(t):
             spark.catalog.recoverPartitions(t)

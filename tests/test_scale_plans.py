@@ -1174,6 +1174,186 @@ def test_source_kl_monitor_flags_category_mix_shift(spark, tmp_path):
     assert report["source_kl"] == got
 
 
+def test_heavy_hitters_monitor_names_flooding_key(spark, tmp_path):
+    """The maintenance-cadence CMS token-flood gate (streaming twin of
+    x_heavy_hitters, r13 — the VERDICT r12 #7 cadence echo): in the
+    last 7 epoch-days device 1 sends 97×/day while devices 2-4 send
+    1×/day — the top hitter is named with exact share 0.97 > 0.5 and
+    the flood flag fires; every CMS estimate honors the
+    never-underestimates invariant (cms_sound).  A uniform control
+    reads share 0.25 and stays quiet.  Baseline-only traffic is
+    EXCLUDED (flood is a recency question).  Session-timezone
+    invariant; NULL key/ts rows screened; partitioning-equivalent;
+    an empty stage reads empty/None and never fires."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        heavy_hitters_monitor_report,
+        pipeline_maintenance,
+    )
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    day0 = 1_700_000_000 - (1_700_000_000 % 86400) + 79_980  # 22:13 UTC
+    rows = []
+    for day in range(30):
+        ts = day0 + day * 86400
+        if day < 23:   # baseline: device 9 dominates — must NOT leak
+            per_dev = {9: 50, 2: 1}
+        else:          # recent: device 1 floods
+            per_dev = {1: 97, 2: 1, 3: 1, 4: 1}
+        for dev, n in per_dev.items():
+            rows += [(dev, ts + k) for k in range(n)]
+    schema = "deviceid int, date_time int"
+    path = str(tmp_path / "stage")
+    spark.createDataFrame(rows, schema).write.parquet(path)
+    got = heavy_hitters_monitor_report(spark, path)
+    assert got["n_recent"] == 700 and got["k_distinct_recent"] == 4
+    assert got["top"][0]["key"] == "1"
+    assert got["top"][0]["exact_n"] == 679
+    assert got["top_share"] == round(679 / 700, 6)
+    assert got["flooding"] and got["cms_sound"]
+    assert got["max_overcount"] >= 0
+    assert all(t["overcount"] >= 0 for t in got["top"])  # CMS invariant
+    assert all(t["key"] != "9" for t in got["top"])  # baseline excluded
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        assert heavy_hitters_monitor_report(spark, path) == got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    # NULL key/ts rows belong to no window — report unchanged
+    dirty = rows + [(None, day0 + 29 * 86400), (1, None)]
+    dp = str(tmp_path / "dirty")
+    spark.createDataFrame(dirty, schema).write.parquet(dp)
+    assert heavy_hitters_monitor_report(spark, dp) == got
+
+    # partitioning-equivalence: pure function of the rows, not layout
+    pp = str(tmp_path / "parts7")
+    spark.createDataFrame(rows, schema).repartition(7).write.parquet(pp)
+    assert heavy_hitters_monitor_report(spark, pp) == got
+
+    # uniform control: top share 1/4 — no flood
+    flat = []
+    for day in range(30):
+        ts = day0 + day * 86400
+        flat += [(dev, ts + k) for dev in (1, 2, 3, 4) for k in range(25)]
+    fp = str(tmp_path / "flat")
+    spark.createDataFrame(flat, schema).write.parquet(fp)
+    fz = heavy_hitters_monitor_report(spark, fp)
+    assert fz["top_share"] == 0.25 and not fz["flooding"]
+    assert fz["cms_sound"]
+
+    # empty stage: empty/None, never fires
+    ep = str(tmp_path / "empty")
+    spark.createDataFrame([], schema).write.parquet(ep)
+    ez = heavy_hitters_monitor_report(spark, ep)
+    assert ez == {"n_recent": 0, "k_distinct_recent": 0, "top": [],
+                  "top_share": None, "flooding": False, "cms_sound": None,
+                  "max_overcount": None}
+
+    # and through the maintenance entry point
+    declared = StructType([
+        StructField("deviceid", IntegerType()),
+        StructField("date_time", IntegerType()),
+    ])
+    report = pipeline_maintenance(
+        spark, path, declared, monitor_heavy_hitters=True
+    )
+    assert report["heavy_hitters"] == got
+
+
+def test_sketch_store_monitor_adjudicates_daily_and_union_hll(spark, tmp_path):
+    """The maintenance-cadence HLL sketch-store health gate (streaming
+    twin of x_active_users_hll, r13 — the other VERDICT r12 #7 echo):
+    7 recent epoch-days with known per-day device sets — every daily
+    estimate and the 7-day union estimate match the exact distincts
+    (fleet-sized cardinalities sit in the sketch's sparse regime where
+    the estimate is exact), so every ok flag and ``healthy`` read True.
+    A skipped day inside the window reads missing_days 1 (ingestion
+    gap); a store younger than the window is NOT flagged.
+    Session-timezone invariant; NULL screens; partitioning-equivalent;
+    an empty stage reads empty/None and never fires."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        pipeline_maintenance,
+        sketch_store_monitor_report,
+    )
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    day0 = 1_700_000_000 - (1_700_000_000 % 86400) + 79_980  # 22:13 UTC
+    rows = []
+    for day in range(30):
+        ts = day0 + day * 86400
+        # day d sees devices 1..(3 + d % 4): per-day distincts 3..6,
+        # union over any 7-day window = 6
+        for dev in range(1, 4 + day % 4):
+            rows += [(dev, ts + k) for k in range(5)]
+    schema = "deviceid int, date_time int"
+    path = str(tmp_path / "stage")
+    spark.createDataFrame(rows, schema).write.parquet(path)
+    got = sketch_store_monitor_report(spark, path)
+    assert got["n_days"] == 7 and got["missing_days"] == 0
+    assert [d["exact"] for d in got["days"]] == [
+        2 + (23 + i) % 4 + 1 for i in range(7)
+    ]
+    assert all(d["est"] == d["exact"] and d["ok"] for d in got["days"])
+    assert got["union_exact"] == 6 and got["union_est"] == 6
+    assert got["union_ok"] and got["healthy"]
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        assert sketch_store_monitor_report(spark, path) == got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    # NULL key/ts rows belong to no window — report unchanged
+    dirty = rows + [(None, day0 + 29 * 86400), (1, None)]
+    dp = str(tmp_path / "dirty")
+    spark.createDataFrame(dirty, schema).write.parquet(dp)
+    assert sketch_store_monitor_report(spark, dp) == got
+
+    # partitioning-equivalence: pure function of the rows, not layout
+    pp = str(tmp_path / "parts7")
+    spark.createDataFrame(rows, schema).repartition(7).write.parquet(pp)
+    assert sketch_store_monitor_report(spark, pp) == got
+
+    # a silent day INSIDE the window is an ingestion gap, and a LEADING
+    # gap counts too (the store is older than the window, so the empty
+    # early window-days are missing state, not a shorter window)
+    gap = [(d, t) for (d, t) in rows
+           if not (day0 + 26 * 86400 <= t < day0 + 27 * 86400)]
+    gp = str(tmp_path / "gap")
+    spark.createDataFrame(gap, schema).write.parquet(gp)
+    gz = sketch_store_monitor_report(spark, gp)
+    assert gz["n_days"] == 6 and gz["missing_days"] == 1
+
+    # store younger than the window: 3 days of data, expected clips to 3
+    young = [(d, t) for (d, t) in rows if t >= day0 + 27 * 86400]
+    yp = str(tmp_path / "young")
+    spark.createDataFrame(young, schema).write.parquet(yp)
+    yz = sketch_store_monitor_report(spark, yp)
+    assert yz["n_days"] == 3 and yz["missing_days"] == 0
+    assert yz["healthy"]
+
+    # empty stage: empty/None, never fires
+    ep = str(tmp_path / "empty")
+    spark.createDataFrame([], schema).write.parquet(ep)
+    ez = sketch_store_monitor_report(spark, ep)
+    assert ez == {"days": [], "n_days": 0, "missing_days": 0,
+                  "union_exact": 0, "union_est": 0, "union_ok": None,
+                  "healthy": None}
+
+    # and through the maintenance entry point
+    declared = StructType([
+        StructField("deviceid", IntegerType()),
+        StructField("date_time", IntegerType()),
+    ])
+    report = pipeline_maintenance(
+        spark, path, declared, monitor_sketch_store=True
+    )
+    assert report["sketch_store"] == got
+
+
 def test_tiere_plans_have_no_cartesian_or_nested_loop(spark, queries):
     """Tier E candidate generation must stay keyed: the triangle wedge
     join, the SemDeDup pair join and the Bloom probe are all equi-joins —
