@@ -1293,7 +1293,17 @@ def heavy_hitters_monitor_report(
     recent = _recent_window_flag(v, "win", recent_days).filter(
         F.col("win") == 1
     )
-    cnt = recent.groupBy("k").agg(F.count("*").alias("exact_n"))
+    # the fleet-sized count table feeds THREE consumers (sketch build,
+    # top-k, totals) across two actions — one lazy localCheckpoint so
+    # the corpus scan+count runs once (the repo's shared-subtree
+    # convention; fault-tolerance trade documented at the x_dedup_best
+    # precedent: on a cluster, persist(DISK_ONLY) is the re-runnable
+    # variant)
+    cnt = (
+        recent.groupBy("k")
+        .agg(F.count("*").alias("exact_n"))
+        .localCheckpoint(eager=False)
+    )
     sketch = cms_from_counts(cnt, "k", "exact_n", depth=depth, width=width)
     topk = (
         cnt.orderBy(F.col("exact_n").desc(), F.col("k").asc()).limit(k)
@@ -1381,10 +1391,17 @@ def sketch_store_monitor_report(
     recent = _recent_window_flag(v, "win", recent_days).filter(
         F.col("win") == 1
     )
+    # the calendar-sized daily sketch table feeds two actions (per-day
+    # readout, union readout) — one lazy localCheckpoint so the
+    # corpus-sized sketch build runs once (same convention and
+    # fault-tolerance trade as heavy_hitters_monitor_report's count
+    # table; the union-exact and age-bounds aggregates below are
+    # separate column-pruned scans by necessity — neither is derivable
+    # from the per-day table)
     daily = recent.groupBy("day").agg(
         F.hll_sketch_agg("k", F.lit(lg_k)).alias("sk"),
         F.countDistinct("k").alias("exact"),
-    )
+    ).localCheckpoint(eager=False)
     per_day = daily.select(
         "day", "exact", F.hll_sketch_estimate("sk").alias("est")
     ).orderBy("day").collect()  # control-plane: <= recent_days rows
