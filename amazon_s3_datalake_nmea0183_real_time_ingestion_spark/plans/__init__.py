@@ -31,6 +31,11 @@ from . import tierm  # noqa: F401,E402
 #      same order past the cut so the r14 window continues with no
 #      re-planning: r14 should take the 26 r9-era names below, then
 #      start the r10 block (CORRECTNESS_r10 insertion order).
+# r14 note (SCALE.md §7t): the queued pagerank single-checkpoint remedy
+# (drop the pair-list checkpoint, checkpoint only the weighted edge
+# list, derive the report degree from it) touches x_pagerank and
+# x_pagerank_guarded — IF it ships in r14, insert BOTH keys into the
+# r14 window before the cut, displacing the two newest r10-era slots.
 _NEEDS_VERDICT = [
     # r8-era rows (r12 VERDICT #1) — MUST hold slots 1-29,
     # CORRECTNESS_r08 insertion order
