@@ -19,6 +19,15 @@ query before the timed loops.  Build the inputs first:
 
 Emits one JSON line per key ({key: {sf1, sf2, ratio}}) and a FINAL
 summary line.
+
+Known noise mode (measured r13, SCALE.md §7t): keys that lazy-
+localCheckpoint corpus-scale frames leave their blocks in the shared
+session's storage until GC, so a LATER key's sf1 reading can inherit
+memory pressure its sf2 reading escapes (x_dedup_semantic_guarded read
+0.42 in-wave vs 1.42 solo).  Before believing any surprising ratio —
+especially an inversion (<1) or a cliff (>2) — re-measure that key
+SOLO (single-key invocation = fresh JVM), exactly as bench.py's
+full-run-to-full-run rule.
 """
 
 from __future__ import annotations
