@@ -54,9 +54,17 @@ DEFAULT_KEYS = [
     "x_split_cluster_safe",
     "x_dedup_simhash_rep",
 ]
+# the doubling PAIR is overridable so the same tool measures a SECOND
+# doubling (e.g. sf2 → sf4 via `make_sfscale.py --copies 40`): set
+# SFSCALE_A_DIR / SFSCALE_B_DIR; the ratio is always B/A and the labels
+# in the output follow the dir basenames
 DIRS = {
-    "sf1": os.path.join(_REPO, ".scratch", "sf1"),
-    "sf2": os.path.join(_REPO, ".scratch", "sf2"),
+    os.path.basename(os.environ.get("SFSCALE_A_DIR", "sf1")):
+        os.environ.get("SFSCALE_A_DIR",
+                       os.path.join(_REPO, ".scratch", "sf1")),
+    os.path.basename(os.environ.get("SFSCALE_B_DIR", "sf2")):
+        os.environ.get("SFSCALE_B_DIR",
+                       os.path.join(_REPO, ".scratch", "sf2")),
 }
 
 
@@ -77,8 +85,9 @@ def main() -> int:
         print(f"unknown key(s): {unknown}")
         return 2
 
+    label_a, label_b = list(DIRS)  # insertion order: A then B
     # warmup (JIT/codegen) outside the timed loops
-    qs["q_agg_basic"](spark, DIRS["sf1"]).write.format("noop").mode(
+    qs["q_agg_basic"](spark, DIRS[label_a]).write.format("noop").mode(
         "overwrite"
     ).save()
 
@@ -93,7 +102,7 @@ def main() -> int:
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             out[key][sf] = round(best, 2)
-        out[key]["ratio"] = round(out[key]["sf2"] / out[key]["sf1"], 2)
+        out[key]["ratio"] = round(out[key][label_b] / out[key][label_a], 2)
         print(json.dumps({key: out[key]}), flush=True)
 
     print("FINAL " + json.dumps(out), flush=True)
