@@ -19,7 +19,7 @@ a pure linear map both engines replay identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,45 +71,70 @@ def copurchase_pairs(li: DataFrame, key_col: str = "l_orderkey",
     )
 
 
+def weighted_edges(edges: DataFrame, materialize: bool = True) -> DataFrame:
+    """ONE-PASS degree fold: (src, dst) -> (src, dst, __w = 1/out-deg),
+    hash-partitioned on src by the window exchange itself.  The window
+    count over ``partitionBy(src)`` replaces the old groupBy-count +
+    re-join + explicit repartition — the edge list is consumed ONCE, the
+    degree rides the same src exchange the iteration joins want, and the
+    result is the SINGLE corpus-scale frame pagerank stores (lazy
+    localCheckpoint; ``.persist(StorageLevel.DISK_ONLY)`` is the cluster
+    variant when executor memory is the binding constraint).
+
+    This is the r14 memory-cliff remedy (SCALE.md §7t): the previous
+    shape checkpointed BOTH the raw pair list and the derived weighted
+    list, holding the co-purchase graph twice as MEMORY_AND_DISK blocks
+    while the rank iterations shuffled beside it — measured 5.99× on an
+    sf1→sf2 doubling with a GC death at the default heap.  Storing only
+    the weighted list halves corpus-scale block storage; callers that
+    need the degree recover it FROM this frame (count rows per src —
+    w = 1/deg makes it exact), never from a second stored copy of the
+    raw pairs."""
+    w = Window.partitionBy("src")
+    out = edges.select(
+        "src", "dst", (F.lit(1.0) / F.count("*").over(w)).alias("__w")
+    )
+    return out.localCheckpoint(eager=False) if materialize else out
+
+
 def pagerank(
-    edges: DataFrame,
+    edges: DataFrame | None,
     nodes: DataFrame,
     n_iter: int = 3,
     damping: float = 0.85,
     materialize: bool = True,
+    weighted: DataFrame | None = None,
 ) -> DataFrame:
     """``edges`` (src, dst) directed — pass both directions for an
     undirected graph; ``nodes`` (node).  Returns (node, r) after
     ``n_iter`` rounds of  r(v) = (1-d)/N + d * sum_{u->v} r(u)/deg(u),
     with r0 = 1/N.
 
-    ``materialize`` localCheckpoints the edge and node inputs (lazily —
-    first use runs the producing plan once, later iterations read the
-    stored blocks).  Without it, an expensive edge derivation (a
-    pair-generating self-join, say) is REPLANNED inside every unrolled
-    iteration — measured 45 Exchange nodes vs 14 on the co-purchase
-    graph.  Same lineage-cut rationale as connected_components' per-round
-    checkpoint (dedup.py); pass False when the caller already
-    materialized the inputs.
+    ``materialize`` localCheckpoints the derived weighted edge list and
+    the node frame (lazily — first use runs the producing plan once,
+    later iterations read the stored blocks).  Without it, an expensive
+    edge derivation (a pair-generating self-join, say) is REPLANNED
+    inside every unrolled iteration — measured 45 Exchange nodes vs 14
+    on the co-purchase graph.  Same lineage-cut rationale as
+    connected_components' per-round checkpoint (dedup.py); pass False
+    when the caller already materialized the inputs.
 
-    The degree is folded into a per-edge WEIGHT (w = 1/deg) once, and the
-    weighted edge list is materialized PRE-PARTITIONED on src: every
-    iteration's rank join then shuffles only the (nodes-sized) rank table
-    against stationary edge blocks, and the per-iteration deg join
-    disappears — measured 16% faster on the co-purchase graph at sf0.1,
-    bit-identical ranks.  This is the classic stationary-dataset/mutable-
-    dataset split of iterative graph processing expressed in DataFrames."""
+    The degree is folded into a per-edge WEIGHT (w = 1/deg) in one pass
+    (``weighted_edges``), and that list — the ONLY corpus-scale frame
+    this operator stores — is materialized PRE-PARTITIONED on src: every
+    iteration's rank join then shuffles only the (nodes-sized) rank
+    table against stationary edge blocks, and the per-iteration deg join
+    disappears.  The raw ``edges`` input is deliberately NOT
+    checkpointed: it is consumed exactly once (building the weighted
+    list), so storing it bought nothing but a second corpus-scale block
+    set (the r14 memory-cliff remedy; see weighted_edges).  Callers that
+    already built the weighted list pass it via ``weighted`` (then
+    ``edges`` may be None)."""
+    if weighted is None:
+        weighted = weighted_edges(edges, materialize=materialize)
     if materialize:
-        edges = edges.localCheckpoint(eager=False)
         nodes = nodes.localCheckpoint(eager=False)
     nn = nodes.agg(F.count("*").cast("double").alias("__n"))
-    deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
-    weighted = (
-        edges.join(deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w"))
-        .repartition("src")
-        .localCheckpoint(eager=False)
-    )
     base = nodes.crossJoin(F.broadcast(nn))
     ranks = base.select("node", (F.lit(1.0) / F.col("__n")).alias("r"))
     for _ in range(n_iter):

@@ -18,45 +18,29 @@ from . import tierl  # noqa: F401,E402
 from . import tierm  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
-# keys per round.  After round 12: ALL 226 keys are green at their latest
+# keys per round.  After round 13: ALL 226 keys are green at their latest
 # driver check, 0 failures ever; staleness census (union of
-# CORRECTNESS_r01–r12, latest row per key): 29 keys at r8, 47 at r9,
-# 50 each at r10/r11/r12.  Round 13 (VERDICT.md r12 "Next round" #1)
-# front-loads:
-#   1. slots 1-29 = the 29 r8-era rows (the oldest evidence anywhere),
-#      CORRECTNESS_r08 insertion order — exactly the post-cut queue the
-#      r12 comment pinned — nothing may displace them;
-#   2. slots 30-50 = the 21 oldest r9-era rows, CORRECTNESS_r09
-#      insertion order.  The remaining 26 r9-era keys are listed in the
-#      same order past the cut so the r14 window continues with no
-#      re-planning: r14 should take the 26 r9-era names below, then
-#      start the r10 block (CORRECTNESS_r10 insertion order).
-# r14 note (SCALE.md §7t): the queued pagerank single-checkpoint remedy
-# (drop the pair-list checkpoint, checkpoint only the weighted edge
-# list, derive the report degree from it) touches x_pagerank and
-# x_pagerank_guarded — IF it ships in r14, insert BOTH keys into the
-# r14 window before the cut, displacing the two newest r10-era slots.
+# CORRECTNESS_r01–r13, latest row per key): 26 keys at r9 (the oldest
+# evidence anywhere), 50 each at r10/r11/r12/r13.  Round 14 (VERDICT.md
+# r13 "Next round" #1–#2) front-loads:
+#   1. slots 1-26 = the 26 r9-era rows, CORRECTNESS_r09 insertion order
+#      — exactly the post-cut queue the r13 comment pinned;
+#   2. slots 27-28 = x_pagerank + x_pagerank_guarded: the shipped
+#      single-checkpoint remedy (weighted_edges one-pass fold; SCALE.md
+#      §7t) changed both keys' plan this round, so by the
+#      zero-changes-outside-window rule they enter the window now,
+#      displacing the two newest r10-era candidates exactly as the r13
+#      note prescribed;
+#   3. slots 29-50 = the first 22 of the r10 block, CORRECTNESS_r10
+#      insertion order.  The remaining r10-era keys are listed in the
+#      same order past the cut (x_pagerank_guarded already holds a
+#      window slot, so it is skipped there) so the r15 window continues
+#      with no re-planning: r15 takes the 27 queued r10-era names below,
+#      then starts the r11 block (CORRECTNESS_r11 insertion order,
+#      skipping x_pagerank, which gets its fresh row this round).
 _NEEDS_VERDICT = [
-    # r8-era rows (r12 VERDICT #1) — MUST hold slots 1-29,
-    # CORRECTNESS_r08 insertion order
-    "x_dedup_best_guarded", "x_dedup_cluster_guarded", "cat_recover",
-    "f_contains", "f_element_at", "f_split", "op_alert_filter",
-    "op_error_route", "op_event_partition", "op_flatten_soh",
-    "op_geocode_join", "op_nmea_latlon", "q_agg_modern", "snk_raw_json",
-    "snk_stage_parquet", "x_data_mix", "x_data_upsample",
-    "x_decontaminate", "x_dedup_cluster", "x_dedup_embed",
-    "x_dedup_exact", "x_dedup_near", "x_dedup_ngram", "x_domain_quota",
-    "x_embed_reduce", "x_kmeans_assign", "x_kmeans_iter", "x_multimodal",
-    "x_multimodal_binary",
-    # r9-era rows (next-oldest), CORRECTNESS_r09 insertion order;
-    # the first 21 complete this round's window, the rest queue for r14
-    "x_pack_sequences", "x_quality_model", "x_session", "x_sim_ivf",
-    "x_sim_lsh", "x_sim_topk", "x_split_hash", "x_text_curate",
-    "x_text_fingerprint", "x_text_langid", "x_text_line_dedup",
-    "x_text_pii", "x_text_quality", "x_text_repetition", "x_text_tf",
-    "x_text_tfidf", "x_text_tokens", "x_url_parse", "x_vocab_topk",
-    "x_benford", "x_dp_counts",
-    # --- r13 cut line (50) --- r14 continues here, r9 order preserved
+    # r9-era rows (r13 VERDICT #2) — MUST hold slots 1-26,
+    # CORRECTNESS_r09 insertion order
     "x_theta_intersect", "x_active_users_hll", "x_diff_in_diff",
     "x_survival", "x_auc", "x_dedup_simhash_rep", "q_triangle_count",
     "x_outlier_mad", "q_ts_downsample", "x_sample_weighted",
@@ -66,6 +50,27 @@ _NEEDS_VERDICT = [
     "x_hard_negatives", "x_lpa", "x_dedup_substring",
     "x_data_temperature", "x_dsir", "x_dedup_substring_guarded",
     "x_label_noise",
+    # the r14 single-checkpoint remedy pair (code changed this round —
+    # zero-changes-outside-window rule, r13 VERDICT #1/#3)
+    "x_pagerank", "x_pagerank_guarded",
+    # r10-era rows (next-oldest), CORRECTNESS_r10 insertion order; the
+    # first 22 complete this round's window, the rest queue for r15
+    "op_classify", "f_unbase64", "f_isbase64", "f_from_json",
+    "agg_class_count", "src_ingest", "q_agg_grouping_sets",
+    "q_agg_percentile", "q_agg_stats", "q_explode", "q_fn_bitwise",
+    "q_fn_conditional", "q_fn_sql_udfs", "q_join_full", "q_lateral",
+    "q_pivot", "q_recursive_cte", "q_trajectory", "q_unpivot",
+    "q_win_firstlast", "q_win_ntile", "q_win_range",
+    # --- r14 cut line (50) --- r15 continues here, r10 order preserved
+    # (x_pagerank_guarded skipped: it holds slot 28 above)
+    "x_embed_quantize", "x_lm_bigram", "x_minhash_calibration",
+    "x_pmi_collocations", "x_sim_ivf2", "x_sim_quantized",
+    "x_token_entropy", "cat_register", "x_sprt", "x_mmr_diversify",
+    "x_gains_lift", "x_mann_whitney", "x_cramers_v", "x_dedup_simhash",
+    "x_rank_fusion", "x_percentile_norm", "x_dedup_census",
+    "x_split_leakage", "x_split_cluster_safe", "x_keywords_tfidf",
+    "x_lang_mismatch", "x_embed_norms", "x_dataset_diff", "x_source_kl",
+    "x_curate_corpus", "q_triangle_count_guarded", "x_lpa_guarded",
 ]
 
 

@@ -667,17 +667,28 @@ def x_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 def pagerank_report(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     """3-round damped PageRank report body over a directed (src, dst)
     edge list + node frame (algorithm notes on x_pagerank) — shared by
-    the exhaustive key and the max_basket-guarded twin (tierh)."""
-    from ..operators.graph import pagerank
+    the exhaustive key and the max_basket-guarded twin (tierh).
 
-    # materialize the derived graph once (lazy localCheckpoint): the pair
-    # self-join and node distinct otherwise replan inside every unrolled
-    # iteration AND the degree/output branches below
-    pairs = pairs.localCheckpoint(eager=False)
+    Storage shape (r14 remedy, SCALE.md §7t): exactly ONE corpus-scale
+    frame is checkpointed — the degree-weighted edge list built in one
+    pass by ``weighted_edges`` — plus the node-sized node frame.  The
+    raw pair list is never stored (it is consumed once, folding the
+    degree in), and the report's ``degree`` column is DERIVED from the
+    weighted list (w = 1/deg makes row-count-per-src exact), not from a
+    second stored copy of the pairs.  The previous double-checkpoint
+    shape held the co-purchase graph twice and measured a 5.99× sf1→sf2
+    doubling with a default-heap GC death; tests/test_graph.py pins the
+    single-corpus-scale-scan plan shape."""
+    from ..operators.graph import pagerank, weighted_edges
+
+    # the ONE corpus-scale checkpoint: pair self-join + degree fold run
+    # once, iterations and the degree branch below read the stored blocks
+    weighted = weighted_edges(pairs)
     nodes = nodes.localCheckpoint(eager=False)
-    ranks = pagerank(pairs, nodes, n_iter=3, damping=0.85, materialize=False)
+    ranks = pagerank(None, nodes, n_iter=3, damping=0.85,
+                     materialize=False, weighted=weighted)
     nn = nodes.agg(F.count("*").cast("double").alias("__n"))
-    deg = pairs.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = weighted.groupBy("src").agg(F.count("*").alias("deg"))
     return (
         ranks.join(deg, ranks["node"] == deg["src"], "left")
         .crossJoin(F.broadcast(nn))

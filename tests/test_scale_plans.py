@@ -1420,3 +1420,39 @@ def test_simhash_collapsed_reuses_signature_subtree(spark, queries):
         "signature subtree is being replanned per reference "
         f"({plan.count('documents.parquet')} source scans)"
     )
+
+
+def test_pagerank_report_stores_single_corpus_scale_frame(spark, queries):
+    """r14 memory-cliff remedy pin (SCALE.md §7t / VERDICT r13 finding 1):
+    the pagerank report must checkpoint exactly ONE corpus-scale frame —
+    the degree-weighted edge list from weighted_edges' one-pass fold —
+    plus the node-sized node frame.  The previous shape ALSO stored the
+    raw pair list (the graph held twice as MEMORY_AND_DISK blocks while
+    three rank iterations shuffled beside it: 5.99x on an sf1->sf2
+    doubling, GC death at the default heap).  Pinned two ways so a
+    reintroduced second corpus-scale checkpoint fails here, not at 100 TB:
+    (a) the executed plan's Scan ExistingRDD schemas are exactly
+    {(src, dst, __w), (node)} — no raw (src, dst) pair scan survives;
+    (b) executing the key persists exactly 2 new RDD block sets, exactly
+    one of them edge-scale (strictly more rows than the node universe)."""
+    import re
+
+    sc = spark.sparkContext
+    before = set(dict(sc._jsc.getPersistentRDDs()).keys())
+    df = queries["x_pagerank"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    schemas = {
+        tuple(re.sub(r"#\d+L?", "", cols).split(","))
+        for cols in re.findall(r"Scan ExistingRDD\[([^\]]*)\]", plan)
+    }
+    assert schemas == {("src", "dst", "__w"), ("node",)}, schemas
+    df.write.format("noop").mode("overwrite").save()
+    new = [
+        v for k, v in dict(sc._jsc.getPersistentRDDs()).items()
+        if k not in before
+    ]
+    assert len(new) == 2, f"expected 2 checkpointed frames, got {len(new)}"
+    n_nodes = df.count()  # report is node-sized; reuses the stored blocks
+    counts = sorted(rdd.count() for rdd in new)
+    assert counts[0] == n_nodes, counts  # the node frame
+    assert counts[1] > n_nodes, counts  # the single edge-scale frame
