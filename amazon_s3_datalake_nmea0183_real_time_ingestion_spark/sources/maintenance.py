@@ -1350,6 +1350,7 @@ def sketch_store_monitor_report(
     recent_days: int = 7,
     lg_k: int = 12,
     tol: float = 0.05,
+    as_of_day: int | None = None,
 ) -> dict:
     """Per-day HLL sketch-store health monitor at the maintenance
     cadence — the streaming-maintenance twin of the batch
@@ -1364,6 +1365,23 @@ def sketch_store_monitor_report(
     rests on, checked at cadence.  A day with rows missing from the
     window also surfaces (``missing_days``): an ingestion gap reads as
     absent state, not a silently-shorter average.
+
+    Window anchoring and the trailing-gap blind spot (ADVICE r13): the
+    default window is DATA-anchored at the observed max day
+    (``_recent_window_flag``, shared with every recent-vs-history
+    monitor), which catches leading and interior gaps but is inherently
+    blind to a TRAILING gap — a complete ingest stall re-anchors the
+    window at the last day that did arrive and reads as a full window.
+    Pass ``as_of_day`` (the caller's wall-clock UTC epoch-day, e.g.
+    ``int(time.time()) // 86400``) to anchor the window at now instead:
+    the window becomes (as_of_day - recent_days, as_of_day], stall days
+    count into ``missing_days``, and a fully stalled store reads
+    n_days 0 with missing_days = the expected span (healthy stays the
+    estimate-quality verdict — None with nothing to adjudicate — while
+    missing_days carries the gap signal, same as the default mode).  A
+    store with no rows at all still reads empty/None and never fires:
+    with no observed state the monitor cannot distinguish "stalled"
+    from "never deployed".
 
     Returns ``{"days": [{"day": int, "exact": int, "est": int,
     "rel_err": float, "ok": bool}, ...], "n_days": int, "missing_days":
@@ -1388,9 +1406,17 @@ def sketch_store_monitor_report(
     v = df.filter(
         F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(F.col(key_col).alias("k"), _epoch_day(ts_col).alias("day"))
-    recent = _recent_window_flag(v, "win", recent_days).filter(
-        F.col("win") == 1
-    )
+    if as_of_day is not None:
+        # wall-clock anchoring: the window is fixed at the caller's
+        # "now", so a trailing ingest gap cannot re-anchor it (docstring)
+        recent = v.filter(
+            (F.col("day") > F.lit(as_of_day - recent_days))
+            & (F.col("day") <= F.lit(as_of_day))
+        )
+    else:
+        recent = _recent_window_flag(v, "win", recent_days).filter(
+            F.col("win") == 1
+        )
     # the calendar-sized daily sketch table feeds two actions (per-day
     # readout, union readout) — one lazy localCheckpoint so the
     # corpus-sized sketch build runs once (same convention and
@@ -1406,9 +1432,21 @@ def sketch_store_monitor_report(
         "day", "exact", F.hll_sketch_estimate("sk").alias("est")
     ).orderBy("day").collect()  # control-plane: <= recent_days rows
     if not per_day:
-        return {"days": [], "n_days": 0, "missing_days": 0,
-                "union_exact": 0, "union_est": 0, "union_ok": None,
-                "healthy": None}
+        empty = {"days": [], "n_days": 0, "missing_days": 0,
+                 "union_exact": 0, "union_est": 0, "union_ok": None,
+                 "healthy": None}
+        if as_of_day is not None:
+            # wall-clock mode: an empty window over a NON-empty store is
+            # a complete ingest stall — surface the whole expected span
+            # as missing (an empty store stays empty/None: docstring)
+            b = v.agg(
+                F.min("day").alias("lo"), F.max("day").alias("hi")
+            ).collect()[0]  # control-plane: 1 row
+            if b["lo"] is not None:
+                empty["missing_days"] = max(
+                    0, min(recent_days, as_of_day - int(b["lo"]) + 1)
+                )
+        return empty
     union_row = daily.agg(
         # all daily sketches share lg_k, so the union needs no
         # allowDifferentLgConfigK (the optional second arg is that
@@ -1435,8 +1473,10 @@ def sketch_store_monitor_report(
                      "est": int(r["est"]), "rel_err": rel, "ok": ok})
     # expected day count: the recent window span, clipped to the STORE's
     # observed age (global min day) so a younger-than-window stage zone
-    # isn't flagged as gapped on day one
-    expected = min(recent_days, int(bounds["hi"]) - int(bounds["lo"]) + 1)
+    # isn't flagged as gapped on day one; in wall-clock mode the span
+    # anchors at as_of_day, so trailing stall days count as missing
+    anchor = int(bounds["hi"]) if as_of_day is None else as_of_day
+    expected = min(recent_days, anchor - int(bounds["lo"]) + 1)
     union_est = int(union_row["est"])
     _, union_ok = _ok(union_exact, union_est)
     return {

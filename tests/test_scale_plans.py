@@ -1272,7 +1272,12 @@ def test_sketch_store_monitor_adjudicates_daily_and_union_hll(spark, tmp_path):
     A skipped day inside the window reads missing_days 1 (ingestion
     gap); a store younger than the window is NOT flagged.
     Session-timezone invariant; NULL screens; partitioning-equivalent;
-    an empty stage reads empty/None and never fires."""
+    an empty stage reads empty/None and never fires.  ADVICE r13: the
+    data-anchored default is blind to a TRAILING gap (a stall re-anchors
+    the window), so ``as_of_day`` wall-clock anchoring must surface
+    stall days as missing — including a complete stall (empty window,
+    non-empty store) — while an as_of at the last observed day
+    reproduces the default exactly and an empty store stays silent."""
     from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
         pipeline_maintenance,
         sketch_store_monitor_report,
@@ -1342,6 +1347,28 @@ def test_sketch_store_monitor_adjudicates_daily_and_union_hll(spark, tmp_path):
     assert ez == {"days": [], "n_days": 0, "missing_days": 0,
                   "union_exact": 0, "union_est": 0, "union_ok": None,
                   "healthy": None}
+
+    # wall-clock anchoring (ADVICE r13).  The store's last day is
+    # base+29; "now" two days later = a 2-day trailing stall the
+    # data-anchored mode cannot see: 5 present days, 2 missing.
+    last_day = day0 // 86400 + 29
+    az = sketch_store_monitor_report(spark, path, as_of_day=last_day + 2)
+    assert az["n_days"] == 5 and az["missing_days"] == 2
+    # anchored exactly at the last observed day == the default window
+    assert sketch_store_monitor_report(
+        spark, path, as_of_day=last_day
+    ) == got
+    # complete stall: empty window over a non-empty store surfaces the
+    # whole expected span; healthy stays None (nothing to adjudicate),
+    # missing_days carries the alarm
+    sz = sketch_store_monitor_report(spark, path, as_of_day=last_day + 30)
+    assert sz["n_days"] == 0 and sz["missing_days"] == 7
+    assert sz["healthy"] is None
+    # an empty STORE stays silent even in wall-clock mode (cannot
+    # distinguish "stalled" from "never deployed")
+    assert sketch_store_monitor_report(
+        spark, ep, as_of_day=last_day
+    ) == ez
 
     # and through the maintenance entry point
     declared = StructType([

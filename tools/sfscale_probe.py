@@ -57,15 +57,26 @@ DEFAULT_KEYS = [
 # the doubling PAIR is overridable so the same tool measures a SECOND
 # doubling (e.g. sf2 → sf4 via `make_sfscale.py --copies 40`): set
 # SFSCALE_A_DIR / SFSCALE_B_DIR; the ratio is always B/A and the labels
-# in the output follow the dir basenames
-DIRS = {
-    os.path.basename(os.environ.get("SFSCALE_A_DIR", "sf1")):
-        os.environ.get("SFSCALE_A_DIR",
-                       os.path.join(_REPO, ".scratch", "sf1")),
-    os.path.basename(os.environ.get("SFSCALE_B_DIR", "sf2")):
-        os.environ.get("SFSCALE_B_DIR",
-                       os.path.join(_REPO, ".scratch", "sf2")),
-}
+# in the output follow the dir basenames (ADVICE r13: basenames are
+# display labels only — if they collide, e.g. a trailing slash or two
+# dirs sharing a name, the pair is disambiguated rather than silently
+# collapsing the dict to one entry)
+def _build_dirs() -> dict[str, str]:
+    a = os.environ.get("SFSCALE_A_DIR", os.path.join(_REPO, ".scratch", "sf1"))
+    b = os.environ.get("SFSCALE_B_DIR", os.path.join(_REPO, ".scratch", "sf2"))
+    la = os.path.basename(a.rstrip(os.sep)) or "A"
+    lb = os.path.basename(b.rstrip(os.sep)) or "B"
+    if la == lb:
+        la, lb = f"A:{la}", f"B:{lb}"
+    dirs = {la: a, lb: b}
+    assert len(dirs) == 2, (
+        f"A/B dataset labels collapsed: SFSCALE_A_DIR={a!r} "
+        f"SFSCALE_B_DIR={b!r}"
+    )
+    return dirs
+
+
+DIRS = _build_dirs()
 
 
 def main() -> int:
