@@ -596,6 +596,115 @@ def mann_whitney_monitor_report(
     }
 
 
+def ks_monitor_report(
+    spark: SparkSession,
+    stage_path: str,
+    value_col: str = "battery_voltage",
+    ts_col: str = "date_time",
+    recent_days: int = 7,
+    c_alpha: float = 1.3581015157406195,  # c(0.05) = sqrt(-ln(0.025)/2)
+) -> dict:
+    """Exact two-sample Kolmogorov–Smirnov drift monitor at the
+    maintenance cadence — the streaming-maintenance twin of the batch
+    ``x_ks_test`` key (plans/tierl.py), the VERDICT r13 #6 echo: the
+    last ``recent_days`` UTC epoch-days of ``value_col`` readings
+    against all prior history, D = sup|F_recent − F_baseline| over the
+    pooled support with the α = 0.05 distribution-free critical value
+    c(α)·√((n₁+n₂)/(n₁n₂)).  The BINLESS gate in the drift row: PSI
+    (``drift_psi_report``) compares 10 coarse bins against a stored
+    profile, Mann–Whitney reads stochastic dominance (a DIRECTIONAL
+    shift), KS sees any SHAPE difference — a variance blow-up or a new
+    mode that leaves the median, the mean, and every PSI bin mass
+    untouched.
+
+    Same exact machinery as the batch key: the supremum is found in
+    EXACT INTEGER arithmetic — at each pooled value |cum₁·n₂ − cum₂·n₁|
+    is a BIGINT, so the argmax and the smallest-value tie-break are
+    integer comparisons; only the final normalization and the critical
+    value are doubles, and ``reject`` compares those two UNROUNDED
+    doubles (the reported ``ks_d``/``crit`` are 6-dp displays).  The
+    BIGINT cross-product bound d_num ≤ n₁·n₂ overflows past ~3e9 rows
+    per side — at that scale normalize per-row in DECIMAL(38,0) or
+    subsample, exactly as the batch key documents.
+
+    Returns ``{"n_recent": int, "n_baseline": int, "ks_d": float | None,
+    "crit": float | None, "reject": bool, "at_value": float | None}``
+    (plain dict, foreachBatch-safe).  An empty stage, or a store younger
+    than the window (no baseline yet), reads ks_d/crit/at_value None and
+    never fires.
+
+    Scale: ONE map-side-combinable (value, window) conditional count
+    over the corpus plus the 1-row max-day broadcast; the cumulative
+    sums and the integer max ride the distinct-value SUPPORT table, not
+    the corpus (x_ks_test economics).  No corpus sort.
+    """
+    from pyspark.sql.window import Window as W
+
+    # NULL ts rows belong to neither window; NULL values to neither
+    # sample — screen both up front (the mann_whitney precedent)
+    df = spark.read.parquet(stage_path).filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    v = df.select(
+        F.col(value_col).alias("val"), _epoch_day(ts_col).alias("day")
+    )
+    g = (
+        _recent_window_flag(v, "is_recent", recent_days)
+        .groupBy("val")
+        .agg(
+            F.sum("is_recent").cast("bigint").alias("c1"),
+            F.sum(1 - F.col("is_recent")).cast("bigint").alias("c2"),
+        )
+    )
+    wcum = W.orderBy("val").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    c = g.select(
+        "val",
+        F.sum("c1").over(wcum).cast("bigint").alias("cum1"),
+        F.sum("c2").over(wcum).cast("bigint").alias("cum2"),
+        F.sum("c1").over(w_all).cast("bigint").alias("n1"),
+        F.sum("c2").over(w_all).cast("bigint").alias("n2"),
+    )
+    d = c.select(
+        "val",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+        ).alias("d_num"),
+    ).withColumn("d_max", F.max("d_num").over(w_all))
+    rows = (
+        d.filter(F.col("d_num") == F.col("d_max"))
+        .groupBy()
+        .agg(
+            F.any_value("n1").alias("n1"),
+            F.any_value("n2").alias("n2"),
+            F.any_value("d_max").alias("d_max"),
+            F.min("val").alias("at_value"),
+        )
+        .collect()
+    )  # control-plane: one row
+    silent = {"n_recent": 0, "n_baseline": 0, "ks_d": None, "crit": None,
+              "reject": False, "at_value": None}
+    if not rows or rows[0]["n1"] is None:
+        return silent
+    r = rows[0]
+    n1, n2 = int(r["n1"]), int(r["n2"])
+    if n1 == 0 or n2 == 0:  # no baseline yet (store younger than window)
+        silent["n_recent"], silent["n_baseline"] = n1, n2
+        return silent
+    ks_raw = int(r["d_max"]) / (n1 * float(n2))
+    crit_raw = c_alpha * ((n1 + float(n2)) / (n1 * float(n2))) ** 0.5
+    return {
+        "n_recent": n1,
+        "n_baseline": n2,
+        "ks_d": round(ks_raw, 6),
+        "crit": round(crit_raw, 6),
+        "reject": ks_raw > crit_raw,
+        "at_value": float(r["at_value"]),
+    }
+
+
 def did_monitor_report(
     spark: SparkSession,
     stage_path: str,
@@ -1500,6 +1609,7 @@ def pipeline_maintenance(
     monitor_timeseries: bool = False,
     monitor_sprt: bool = False,
     monitor_mann_whitney: bool = False,
+    monitor_ks: bool = False,
     monitor_did_treat_expr: str | None = None,
     monitor_survival: bool = False,
     monitor_auc: bool = False,
@@ -1533,7 +1643,13 @@ def pipeline_maintenance(
     :func:`mann_whitney_monitor_report`): the distribution-free
     recent-vs-history shift test — CUSUM watches the mean, THIS
     watches stochastic dominance, robust to the heavy tails that fool
-    mean-based trend monitors.  ``monitor_did_treat_expr`` (a SQL
+    mean-based trend monitors.
+    ``monitor_ks=True`` adds a ``ks`` block (see
+    :func:`ks_monitor_report`): the exact two-sample KS recent-vs-
+    history gate — the BINLESS shape test next to PSI's profile bins
+    and Mann–Whitney's directional rank test; it fires on a variance
+    blow-up or new mode that moves neither the median nor any bin
+    mass.  ``monitor_did_treat_expr`` (a SQL
     boolean over stage columns, e.g. a firmware-cohort predicate) adds
     a ``did`` block (see :func:`did_monitor_report`): the
     difference-in-differences rollout readout for fleet changes that
@@ -1592,6 +1708,8 @@ def pipeline_maintenance(
         report["sprt"] = sprt_monitor_report(spark, stage_path)
     if monitor_mann_whitney and _os.path.isdir(stage_path):
         report["mann_whitney"] = mann_whitney_monitor_report(spark, stage_path)
+    if monitor_ks and _os.path.isdir(stage_path):
+        report["ks"] = ks_monitor_report(spark, stage_path)
     if monitor_did_treat_expr and _os.path.isdir(stage_path):
         report["did"] = did_monitor_report(
             spark, stage_path, treat_expr=monitor_did_treat_expr
