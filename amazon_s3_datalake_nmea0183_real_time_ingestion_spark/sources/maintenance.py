@@ -1451,6 +1451,102 @@ def heavy_hitters_monitor_report(
     }
 
 
+def dedup_census_monitor_report(
+    spark: SparkSession,
+    corpus_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    max_df: int = 10,
+    dup_mass_threshold: float = 0.2,
+) -> dict:
+    """Near-dup census monitor at the maintenance cadence — the
+    streaming-maintenance twin of the batch ``x_dedup_census`` key
+    (plans/tierg.py), the VERDICT r13 #6 echo: run the GUARDED near-dup
+    pipeline (rare-shingle inverted index, ``max_df`` boilerplate
+    screen, exact Jaccard scores, connected components — the
+    x_dedup_census configuration exactly) over the document batch at
+    ``corpus_path`` and publish the cluster-size census plus a
+    template-flood verdict.  The Gini/heavy-hitter monitors say ingest
+    CONCENTRATION rose; THIS localizes it in document space — how much
+    of the arriving batch is near-duplicate mass (``dup_mass``), and
+    WHICH template family is the largest (``top_template`` = the
+    biggest cluster's min-id representative), the alarm the guarded
+    dedup knobs (max_df/max_bucket) exist to absorb.
+
+    Unlike the stage-zone monitors this one is BATCH-anchored, not
+    recent-window-anchored: a census is published per ingest batch
+    (``corpus_path`` IS the batch in a foreachBatch deployment), and
+    cross-batch near-dup state is the dedup ledger's job
+    (``x_dedup_ledger_near``, plans/tierc.py) — re-censusing all
+    history every cadence would redo the ledger's work quadratically.
+
+    Returns ``{"n_docs": int, "n_clusters": int, "census":
+    [{"cluster_size": int, "n_clusters": int, "n_docs": int}, ...],
+    "dup_mass": float | None, "max_cluster": int | None,
+    "top_template": {"cluster_id": ..., "size": int} | None,
+    "flooding": bool}`` (plain dict, foreachBatch-safe); ``census`` is
+    ascending by cluster_size.  An empty batch reads empty/None and
+    never fires; ``flooding`` fires when the share of docs sitting in
+    size ≥ 2 clusters exceeds ``dup_mass_threshold``.
+
+    Scale: the corpus-sized work is the guarded dedup path itself
+    (worst bucket bounded at max_df² pairs; CC rides pair-sized edges)
+    — the census on top is two keyed counts over the label table, and
+    the collects are control-plane-sized: the size histogram
+    (≤ distinct-sizes rows) and the 1-row top cluster.  The
+    cluster-size table feeds both, so it is lazily localCheckpointed
+    once (the shared-subtree convention; persist(DISK_ONLY) is the
+    cluster variant).
+    """
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    df = spark.read.parquet(corpus_path)
+    corpus = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    edges = ngram_jaccard_pairs(
+        corpus, threshold=threshold, max_df=max_df
+    ).select("id_a", "id_b")
+    labels = connected_components(edges, corpus.select("doc_id"))
+    cs = (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .localCheckpoint(eager=False)
+    )
+    census_rows = (
+        cs.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("sz")
+        .collect()
+    )  # control-plane: <= distinct-cluster-sizes rows
+    if not census_rows:
+        return {"n_docs": 0, "n_clusters": 0, "census": [],
+                "dup_mass": None, "max_cluster": None,
+                "top_template": None, "flooding": False}
+    top = cs.orderBy(
+        F.col("sz").desc(), F.col("cluster_id").asc()
+    ).limit(1).collect()[0]  # control-plane: 1 row
+    census = [
+        {"cluster_size": int(r["sz"]), "n_clusters": int(r["n_clusters"]),
+         "n_docs": int(r["sz"]) * int(r["n_clusters"])}
+        for r in census_rows
+    ]
+    n_docs = sum(c["n_docs"] for c in census)
+    dup_docs = sum(c["n_docs"] for c in census if c["cluster_size"] >= 2)
+    dup_mass = round(dup_docs / n_docs, 6)  # census non-empty ⇒ n_docs ≥ 1
+    return {
+        "n_docs": n_docs,
+        "n_clusters": sum(c["n_clusters"] for c in census),
+        "census": census,
+        "dup_mass": dup_mass,
+        "max_cluster": census[-1]["cluster_size"],
+        "top_template": {"cluster_id": top["cluster_id"],
+                         "size": int(top["sz"])},
+        "flooding": dup_mass > dup_mass_threshold,
+    }
+
+
 def sketch_store_monitor_report(
     spark: SparkSession,
     stage_path: str,
@@ -1618,6 +1714,7 @@ def pipeline_maintenance(
     monitor_source_kl: bool = False,
     monitor_heavy_hitters: bool = False,
     monitor_sketch_store: bool = False,
+    monitor_dedup_census_path: str | None = None,
 ) -> dict:
     """One scheduled-maintenance pass — the in-engine analog of the
     reference's nightly crawler run (``cron(0 4 * * ? *)``,
@@ -1681,6 +1778,12 @@ def pipeline_maintenance(
     :func:`sketch_store_monitor_report`): per-day HLL sketch health —
     daily and unioned estimates adjudicated against exact distincts,
     plus ingestion-gap days.
+    ``monitor_dedup_census_path`` (a document-batch parquet path, the
+    way ``drift_profile_path`` carries its own input) adds a
+    ``dedup_census`` block (see :func:`dedup_census_monitor_report`):
+    the guarded near-dup cluster-size census with a template-flood
+    verdict — Gini/heavy-hitters say concentration rose, this names
+    the template family doing it in document space.
     """
     import os as _os
 
@@ -1731,6 +1834,10 @@ def pipeline_maintenance(
     if monitor_sketch_store and _os.path.isdir(stage_path):
         report["sketch_store"] = sketch_store_monitor_report(
             spark, stage_path
+        )
+    if monitor_dedup_census_path and _os.path.isdir(monitor_dedup_census_path):
+        report["dedup_census"] = dedup_census_monitor_report(
+            spark, monitor_dedup_census_path
         )
     for t in catalog_tables or []:
         if spark.catalog.tableExists(t):

@@ -1370,6 +1370,83 @@ def test_heavy_hitters_monitor_names_flooding_key(spark, tmp_path):
     assert report["heavy_hitters"] == got
 
 
+def test_dedup_census_monitor_localizes_template_flood(spark, tmp_path):
+    """The maintenance-cadence near-dup census monitor (streaming twin
+    of x_dedup_census, r14 — the VERDICT r13 #6 echo): a batch with a
+    6-copy template family, one organic 0.6-Jaccard near-pair, and 12
+    distinct singletons must census as {1:12, 2:1, 6:1}, read
+    dup_mass = 8/20, name the template cluster's min-id representative,
+    and fire the flood verdict; an all-distinct batch reads dup_mass 0
+    and stays quiet; NULL id/text rows are screened; the report is
+    partitioning-invariant; an empty batch reads empty/None."""
+    from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.sources.maintenance import (
+        dedup_census_monitor_report,
+        pipeline_maintenance,
+    )
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    template = "free prize click here now winner claim today"
+    rows = [(100 + i, template) for i in range(6)]
+    rows += [(200, "alpha beta gamma delta epsilon zeta"),
+             (201, "alpha beta gamma delta epsilon eta")]  # J = 3/5 = 0.6
+    rows += [(300 + i, f"organic{i} document{i} body{i} text{i} unique{i}")
+             for i in range(12)]
+    path = str(tmp_path / "batch")
+    spark.createDataFrame(rows, "doc_id int, text string").write.parquet(path)
+    got = dedup_census_monitor_report(spark, path)
+    assert got["census"] == [
+        {"cluster_size": 1, "n_clusters": 12, "n_docs": 12},
+        {"cluster_size": 2, "n_clusters": 1, "n_docs": 2},
+        {"cluster_size": 6, "n_clusters": 1, "n_docs": 6},
+    ]
+    assert got["n_docs"] == 20 and got["n_clusters"] == 14
+    assert got["dup_mass"] == 0.4 and got["max_cluster"] == 6
+    assert got["top_template"] == {"cluster_id": 100, "size": 6}
+    assert got["flooding"]
+
+    # NULL id/text rows belong to no census — report unchanged
+    dirty = rows + [(None, template), (999, None)]
+    dp = str(tmp_path / "dirty")
+    spark.createDataFrame(dirty, "doc_id int, text string").write.parquet(dp)
+    assert dedup_census_monitor_report(spark, dp) == got
+
+    # partitioning-equivalence: pure function of the rows, not layout
+    pp = str(tmp_path / "parts7")
+    spark.createDataFrame(rows, "doc_id int, text string").repartition(
+        7
+    ).write.parquet(pp)
+    assert dedup_census_monitor_report(spark, pp) == got
+
+    # an all-distinct batch: every doc a singleton, no flood
+    solo = [(i, f"alone{i} words{i} here{i} only{i} once{i}")
+            for i in range(5)]
+    sp = str(tmp_path / "solo")
+    spark.createDataFrame(solo, "doc_id int, text string").write.parquet(sp)
+    sz = dedup_census_monitor_report(spark, sp)
+    assert sz["census"] == [
+        {"cluster_size": 1, "n_clusters": 5, "n_docs": 5}
+    ]
+    assert sz["dup_mass"] == 0.0 and not sz["flooding"]
+    assert sz["top_template"]["size"] == 1
+
+    # empty batch: silent, never fires
+    ep = str(tmp_path / "empty")
+    spark.createDataFrame([], "doc_id int, text string").write.parquet(ep)
+    assert dedup_census_monitor_report(spark, ep) == {
+        "n_docs": 0, "n_clusters": 0, "census": [], "dup_mass": None,
+        "max_cluster": None, "top_template": None, "flooding": False,
+    }
+
+    # and through the maintenance entry point (own-path pattern, like
+    # drift_profile_path — the stage zone carries no document text)
+    declared = StructType([StructField("deviceid", IntegerType())])
+    report = pipeline_maintenance(
+        spark, str(tmp_path / "nostage"), declared,
+        monitor_dedup_census_path=path,
+    )
+    assert report["dedup_census"] == got
+
+
 def test_sketch_store_monitor_adjudicates_daily_and_union_hll(spark, tmp_path):
     """The maintenance-cadence HLL sketch-store health gate (streaming
     twin of x_active_users_hll, r13 — the other VERDICT r12 #7 echo):
