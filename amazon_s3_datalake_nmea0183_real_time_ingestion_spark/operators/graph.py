@@ -90,11 +90,25 @@ def weighted_edges(edges: DataFrame, materialize: bool = True) -> DataFrame:
     need the degree recover it FROM this frame (count rows per src —
     w = 1/deg makes it exact), never from a second stored copy of the
     raw pairs."""
+    from pyspark import StorageLevel
+
     w = Window.partitionBy("src")
     out = edges.select(
         "src", "dst", (F.lit(1.0) / F.count("*").over(w)).alias("__w")
     )
-    return out.localCheckpoint(eager=False) if materialize else out
+    if not materialize:
+        return out
+    # SERIALIZED blocks (MEMORY_AND_DISK; _DESER is the checkpoint
+    # default): a corpus-scale edge list stored deserialized is two JVM
+    # objects per row — at 10⁸ rows that object census alone is what GC
+    # scans every young collection while the rank iterations allocate
+    # beside it.  Serialized storage packs the same rows into a few
+    # hundred large buffers (UnsafeRow bytes, no per-row headers),
+    # trading a cheap per-iteration deserialize for an object count that
+    # no longer grows with the corpus.
+    return out.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
 
 
 def pagerank(
