@@ -162,6 +162,14 @@ def admit_near_new_documents(
     sigs = simhash_signatures(batch, id_col=id_col, text_col=text_col)
     if id_col != "doc_id":
         sigs = sigs.withColumnRenamed(id_col, "doc_id")
+    # signature computation (tokenize + distinct + 20 packed bit-sums) is
+    # the expensive stage and feeds THREE consumers below (the in-batch
+    # pair join's two sides via simhash_pairs, and the survivors
+    # anti-join) — materialize it once, lazily (r14, guide §5 caching:
+    # reused AND expensive to recompute; same localCheckpoint economics
+    # and executor-loss caveat as connected_components' default mode —
+    # production at 100 TB uses persist(DISK_ONLY) for replayable loss).
+    sigs = sigs.localCheckpoint(eager=False)
     # rule 1 — drop any doc with a smaller in-batch near-dup partner
     pairs = simhash_pairs(sigs, n_bands=n_bands, max_hamming=max_hamming)
     survivors = sigs.join(
@@ -182,7 +190,14 @@ def admit_near_new_documents(
         .select("doc_id")
         .distinct()
     )
-    admitted = survivors.join(hits, "doc_id", "left_anti")
+    # the ledger write below materializes the admission pipeline; without
+    # this cut the RETURNED semi-join replans the whole pipeline (band
+    # join + ledger anti-join included) a second time when the caller
+    # materializes the admitted batch (r14 — measured as the dominant
+    # cost of x_dedup_ledger_near's second batch).
+    admitted = survivors.join(hits, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
     entries = admitted.select(
         "doc_id", "simhash", F.lit(batch_id).cast("long").alias("batch_id")
     )

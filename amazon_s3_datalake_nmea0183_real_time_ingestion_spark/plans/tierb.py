@@ -1116,17 +1116,35 @@ def q_lateral(spark: SparkSession, sf: str) -> DataFrame:
 def q_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
     # Recursive CTE (Spark 4.x, SPARK-24497): generate a 61-day calendar
     # spine from the data's own min date, then left-join order counts —
-    # the gap-filling shape reporting pipelines need.  Depth 61 is within
-    # Spark's default recursion-level limit (100).
+    # the gap-filling shape reporting pipelines need.
+    #
+    # r14 optimization (guide §1.2 "the distributed algorithm"): Spark
+    # executes each recursive step as its own job (UnionLoop), so the
+    # original +1-day formulation paid 61 sequential iterations — and its
+    # loop condition embedded a scalar subquery over v_orders, re-scanning
+    # orders EVERY iteration (61 extra scan+min jobs; plan showed
+    # Aggregate-over-LogicalRelation inside the UnionLoopRef branch).
+    # This heap-numbered form generates the same 0..60 index set as a
+    # binary tree — row j emits 2j+1 and 2j+2 — reaching every index in
+    # ceil(log2(62)) = 6 iterations with no orders scan in the loop; the
+    # min-date anchor is joined on AFTER the recursion.  Measured 8.8 s →
+    # 1.7 s at sf0.1 (oracle-identical rows; the DuckDB oracle keeps the
+    # sequential +1-day replay as the independent derivation).  Depth is
+    # within Spark's default recursion-level limit (100) either way.
     table(spark, sf, "orders").createOrReplaceTempView("v_orders")
     return spark.sql(
         """
-        WITH RECURSIVE d(dt) AS (
-          SELECT CAST(min(o_orderdate) AS DATE) FROM v_orders
+        WITH RECURSIVE idx(j) AS (
+          SELECT 0
           UNION ALL
-          SELECT dt + INTERVAL '1' DAY FROM d
-          WHERE dt < (SELECT CAST(min(o_orderdate) AS DATE) + INTERVAL '60' DAY
-                      FROM v_orders)
+          SELECT 2 * j + c
+          FROM idx CROSS JOIN (SELECT explode(array(1, 2)) AS c)
+          WHERE 2 * j + c <= 60
+        ),
+        d AS (
+          SELECT date_add(m.mn, idx.j) AS dt
+          FROM idx CROSS JOIN (SELECT CAST(min(o_orderdate) AS DATE) AS mn
+                               FROM v_orders) m
         )
         SELECT d.dt AS dt, count(o.o_orderkey) AS n_orders
         FROM d LEFT JOIN v_orders o ON CAST(o.o_orderdate AS DATE) = d.dt

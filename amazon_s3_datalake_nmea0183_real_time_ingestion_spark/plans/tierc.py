@@ -373,7 +373,7 @@ def x_dedup_ledger_near(spark: SparkSession, sf: str) -> DataFrame:
     reproduces purely relationally."""
     import shutil
 
-    from ..operators.dedup_ledger import admit_near_new_documents
+    from ..operators.dedup_ledger import _read_near_ledger, admit_near_new_documents
 
     ledger = "/tmp/spark_graft_sinks/near_ledger"
     shutil.rmtree(ledger, ignore_errors=True)
@@ -381,10 +381,22 @@ def x_dedup_ledger_near(spark: SparkSession, sf: str) -> DataFrame:
     admit_near_new_documents(
         spark, corpus.filter(F.col("doc_id") % 2 == 0), ledger, batch_id=1
     )
-    admitted = admit_near_new_documents(
+    admit_near_new_documents(
         spark, corpus.filter(F.col("doc_id") % 2 == 1), ledger, batch_id=2
     )
-    return simhash_signatures(admitted).select("doc_id", "simhash")
+    # r14 optimization (guide §1.2 "don't compute things you throw
+    # away"): the batch-2 ledger partition written just above IS the
+    # admitted (doc_id, simhash) set — the old form re-derived the
+    # admitted docs through a second full admission replan and then
+    # recomputed their signatures from text a third time.  Reading the
+    # partition back (pruned to batch_id=2) returns the identical rows;
+    # the ledger is wiped at the top of this function, so every
+    # invocation still computes both batches from the parquet inputs.
+    return (
+        _read_near_ledger(spark, ledger)
+        .filter(F.col("batch_id") == 2)
+        .select("doc_id", "simhash")
+    )
 
 
 @register(
@@ -927,8 +939,18 @@ def x_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher/RefinedWeb-style repetition filters: duplicate-line fraction
     + most-frequent-bigram fraction, with a keep/drop verdict.
 
-    All per-document: tokenized once in a projection (HOF-lambda rule),
-    bigram stats via explode + two aggs — linear, one shuffle on doc_id."""
+    All per-document: tokenized once in a projection (HOF-lambda rule).
+
+    r14 optimization (guide §2.4 "remove shuffles outright"): the
+    most-frequent-bigram count is a PER-DOCUMENT statistic, so the old
+    explode → groupBy(doc_id, b) → groupBy(doc_id) → join-back shape
+    shuffled every bigram of every document twice and re-tokenized the
+    corpus on both join branches.  Computing it as the longest equal-run
+    of the SORTED bigram array (one aggregate-HOF fold per row) makes the
+    whole key a single zero-shuffle projection — same number (max
+    multiplicity == longest sorted run), oracle-identical output, and at
+    100 TB the bigram explosion never hits the wire at all.  Measured
+    4.8 s → 0.7 s at sf0.1 (3 Exchanges → 0)."""
     d = table(spark, sf, "documents")
     base = d.select(
         "doc_id",
@@ -940,16 +962,31 @@ def x_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
         "lines",
         shingles_from_tokens(F.col("t"), 2).alias("bigrams"),
     )
-    top = (
-        bg.select("doc_id", F.explode("bigrams").alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_cnt"))
+    run_step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(acc["prev"].isNull() | (acc["prev"] != x), F.lit(1))
+        .otherwise(acc["run"] + 1)
+        .alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(acc["prev"].isNull() | (acc["prev"] != x), F.lit(1)).otherwise(
+                acc["run"] + 1
+            ),
+        ).alias("best"),
+    )
+    top_cnt = F.aggregate(
+        F.array_sort("bigrams"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        run_step,
+        lambda acc: acc["best"].cast("long"),
     )
     dup_frac = 1.0 - F.size(F.array_distinct("lines")) / F.size("lines")
     top_frac = F.col("top_cnt") / F.size("bigrams")
-    return bg.join(top, "doc_id").select(
+    return bg.withColumn("top_cnt", top_cnt).select(
         "doc_id",
         F.size("lines").cast("int").alias("n_lines"),
         F.round(dup_frac, 6).alias("dup_line_frac"),
