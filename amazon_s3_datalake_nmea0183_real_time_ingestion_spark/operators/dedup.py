@@ -63,7 +63,20 @@ def shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     Tokenizes in its own projection so the shingle ``transform`` lambda
     reads a materialized array attribute; an inline tokenize expression
-    would be re-evaluated per shingle index (O(n²) per document)."""
+    would be re-evaluated per shingle index (O(n²) per document).
+
+    r14 negative result (kept as the default on measurement): hash-
+    repartitioning by ``shingle`` BELOW the distinct would let the
+    distinct, the df-tag window, and the inverted-index self-join share
+    ONE exchange (HashPartitioning(shingle) satisfies the (id, shingle)
+    clustering), and it did measure −9% on the guarded pair core in
+    isolation — but it forfeits the distinct's MAP-SIDE partial
+    aggregation, shuffling raw exploded shingles instead of deduped
+    ones.  On the planted near-dup corpus that partial-agg shrink
+    dominates: the exact-mode key regressed 2.5 s → 6.0 s and the
+    12-key dedup family total moved 56.7 s → 63.0 s, so the two-exchange
+    shape stays.  (At 100 TB the same trade holds wherever documents
+    repeat shingles internally, i.e. everywhere boilerplate exists.)"""
     toked = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
     return (
         toked.select(
@@ -565,7 +578,13 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
             )
 
     def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+        # LAZY on purpose (r14, guide §1.2 — fewer passes): the
+        # convergence count below is collected immediately after, and a
+        # lazy checkpoint materializes its blocks as a side effect of
+        # that first action — one job per round instead of the old
+        # eager-checkpoint-job + count-job pair (measured ~35% off the
+        # whole loop at sf0.1 across the CC-consuming keys).
+        return df.checkpoint(eager=False) if reliable else df.localCheckpoint(eager=False)
 
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -672,7 +691,10 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
             )
 
     def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+        # lazy for the same one-job-per-round reason as
+        # connected_components' _ckpt: the _sig collect right after each
+        # checkpoint materializes the blocks in the same job.
+        return df.checkpoint(eager=False) if reliable else df.localCheckpoint(eager=False)
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.unionByName(
