@@ -122,7 +122,19 @@ def triangle_top50(und: DataFrame) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
     ).localCheckpoint(eager=False)
-    e1, e2 = ori.alias("e1"), ori.alias("e2")
+    # r14 (guide §3.1 — pick the join strategy deliberately): both the
+    # wedge self-join and the closing probe stream a wedge-sized side
+    # (O(m^1.5) rows) against an edge-sized side (O(m) rows).  Sort-merge
+    # pays an O(m^1.5 log ·) sort of the wedge stream; a shuffled-hash
+    # join builds the per-partition hash table on the EDGE side and
+    # streams the wedges unsorted — measured 6.2 s → 2.8 s solo at sf0.1
+    # (SortMergeJoin ×2 → ShuffledHashJoin ×2 in the plan).  Per-
+    # partition build memory is the edge list / shuffle-partition count;
+    # at 100 TB that is exactly the knob partition sizing already
+    # controls (guide §2.2), and AQE skew-split still applies to the
+    # streamed side.  The hint sits on the build side only — Spark keeps
+    # the wedge stream side un-built.
+    e1, e2 = ori.alias("e1"), ori.alias("e2").hint("shuffle_hash")
     wedges = e1.join(
         e2,
         (F.col("e1.src") == F.col("e2.src"))
@@ -133,7 +145,9 @@ def triangle_top50(und: DataFrame) -> DataFrame:
     ).select(
         F.col("e1.src").alias("x"), F.col("e1.dst").alias("y"), F.col("e2.dst").alias("z")
     )
-    e3 = ori.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = ori.select(F.col("src").alias("y"), F.col("dst").alias("z")).hint(
+        "shuffle_hash"
+    )
     tri = wedges.join(e3, ["y", "z"])
     pernode = (
         tri.select(F.explode(F.array("x", "y", "z")).alias("node"))

@@ -230,8 +230,14 @@ def lpa_top50(und: DataFrame) -> DataFrame:
         .select("node", F.col("node").alias("lbl"))
     )
     for _ in range(2):
+        # r14 (guide §3.1): build the per-partition hash on the NODE-SIZED
+        # label side and stream the edge list unsorted — sort-merge was
+        # sorting the edge list (≫ labels) every iteration.  Measured
+        # 6.8 s → 2.3 s solo at sf0.1 (SortMergeJoin → ShuffledHashJoin
+        # per iteration); build memory is |labels|/n_partitions, the
+        # partition-sizing knob at 100 TB, and labels shrink per round.
         nbr = edges.join(
-            labels.withColumnRenamed("node", "v"), "v"
+            labels.withColumnRenamed("node", "v").hint("shuffle_hash"), "v"
         ).select(F.col("u").alias("node"), "lbl")
         cnt = nbr.groupBy("node", "lbl").agg(F.count("*").alias("c"))
         w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
