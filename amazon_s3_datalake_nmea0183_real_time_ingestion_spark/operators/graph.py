@@ -153,7 +153,7 @@ def pagerank(
     ranks = base.select("node", (F.lit(1.0) / F.col("__n")).alias("r"))
     for _ in range(n_iter):
         contrib = (
-            weighted.join(ranks, weighted["src"] == ranks["node"])
+            weighted.join(ranks.hint("shuffle_hash"), weighted["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), (F.col("r") * F.col("__w")).alias("c"))
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("__m"))
