@@ -586,16 +586,23 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         # whole loop at sf0.1 across the CC-consuming keys).
         return df.checkpoint(eager=False) if reliable else df.localCheckpoint(eager=False)
 
+    # materialize the candidate graph ONCE (lazily — round 1 computes it,
+    # later rounds read the stored blocks): each round is its own job, so
+    # without this the upstream edge derivation — for dedup graphs an
+    # expensive shingle inverted-index join — replans EVERY round.
+    # r14: the checkpoint sits BELOW the symmetrization, not above it —
+    # the union's two branches each embed the full edge-derivation
+    # subtree, and storing the unioned frame made round 1 execute that
+    # subtree's non-shared tail twice (measured: CC wall over the guarded
+    # ngram graph 8.7 s with the union stored vs 5.5 s storing the pair
+    # list; pairs-only blocks are also half the stored bytes — the same
+    # single-copy rule as the pagerank weighted-edge remedy).  The
+    # per-round swap union over stored blocks is two narrow projections,
+    # no shuffle.  Durable variant under reliable.
+    edges = edges.checkpoint(eager=False) if reliable else edges.localCheckpoint(eager=False)
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    # materialize the candidate graph ONCE (lazily — round 1 computes it,
-    # later rounds read the stored blocks): each round is its own job
-    # (eager label checkpoint + convergence collect), so without this the
-    # upstream edge derivation — for dedup graphs an expensive shingle
-    # inverted-index join — replans EVERY round.  Same lineage-cut as the
-    # per-round label checkpoint below; durable variant under reliable.
-    sym = sym.checkpoint(eager=False) if reliable else sym.localCheckpoint(eager=False)
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
     rounds = 0
     converged = False

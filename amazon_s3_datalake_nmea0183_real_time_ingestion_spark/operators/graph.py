@@ -205,11 +205,17 @@ def kcore(edges: DataFrame, k: int, rounds: int,
     the periphery dwarfs the core — on the registered corpus (only ~6 %
     peels) the stationary list is ~20 % faster, so it stays the default.
     """
+    if materialize:
+        # checkpoint BELOW the symmetrization (r14): the union's branches
+        # each embed the full pair-derivation subtree, so storing the
+        # unioned frame executed that subtree's non-shared tail twice on
+        # first use and stored 2× the bytes — same single-copy rule as
+        # connected_components / the pagerank weighted-edge remedy; the
+        # swap union over stored blocks is two shuffle-free projections.
+        edges = edges.localCheckpoint(eager=False)
     sym = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
-    if materialize:
-        sym = sym.localCheckpoint(eager=False)
     if shrink_edges:
         # rewrite the edge list to the surviving subgraph each round:
         # degree comes straight off the (already-restricted) list, and
@@ -311,6 +317,13 @@ def adamic_adar(edges: DataFrame) -> DataFrame:
     center always has deg >= 2 (it touches both endpoints), so
     ln(deg) > 0 and the weight is finite by construction.
     """
+    # r14 negative result: checkpointing ``edges`` here (the CC/kcore
+    # single-copy placement) measured SLOWER (2.8 s → 3.7 s solo for
+    # x_link_adamic) — sym's branches and deg already share the heavy
+    # pair-derivation exchange via ReuseExchange inside the one wsym
+    # materialization job, so a pair-list checkpoint only added a second
+    # stored frame and a second barrier.  wsym below stays the single
+    # stored frame.
     sym = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )

@@ -219,10 +219,12 @@ def lpa_top50(und: DataFrame) -> DataFrame:
     """2-iteration synchronous LPA community census body over an
     undirected (u, v) edge list (algorithm notes on x_lpa) — shared by
     the exhaustive key and the max_basket-guarded twin (tierh)."""
-    edges = (
-        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint(eager=False)
-    )
+    # checkpoint BELOW the symmetrization (r14): storing the union would
+    # execute the pair-derivation subtree in both branches on first use
+    # and store 2× the bytes (see connected_components); the swap union
+    # over stored pair blocks is two shuffle-free projections per use.
+    und = und.localCheckpoint(eager=False)
+    edges = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # init: every node is its own community
     labels = (
         edges.select(F.col("u").alias("node"))
