@@ -78,6 +78,14 @@ def shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shape stays.  (At 100 TB the same trade holds wherever documents
     repeat shingles internally, i.e. everywhere boilerplate exists.)"""
     toked = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    # r14 negative result #2: replacing the .distinct() with a map-side
+    # array_distinct (zero-shuffle per-doc dedup, the winning move in
+    # simhash_signatures) measured a NET LOSS here (8-key family total
+    # 22.6 s → 26.1 s): shingle_set feeds 2-4 consumers per plan, and the
+    # distinct's exchange is the shared materialization point ReuseExchange
+    # dedups the expensive tokenize+shingle projection through — dropping
+    # it re-tokenizes the corpus once per consumer subtree.  simhash keeps
+    # the map-side form because its token frame has exactly ONE consumer.
     return (
         toked.select(
             F.col(id_col),
