@@ -37,37 +37,54 @@ def copurchase_pairs(li: DataFrame, key_col: str = "l_orderkey",
     ``lsh_candidate_pairs(max_bucket=...)`` / ``ngram_jaccard_pairs
     (max_df=...)``: a basket holding w items emits w² pairs, so ONE
     power-law hub key (a catalog-wide "order", a crawl page linking half
-    the web) turns the self-join quadratic on a single key.  Baskets
+    the web) turns pair generation quadratic on a single key.  Baskets
     wider than ``max_basket`` are dropped from pair generation, bounding
     the worst key at max_basket² pairs; treat over-wide baskets as
     list-page/boilerplate signal, the same judgement call as the dedup
-    guards.  The width count is a window riding the same ``key_col``
-    exchange the self-join needs, so the guard adds no extra shuffle on
-    the big side.  Default None keeps derivation exhaustive (the oracle
+    guards.  Default None keeps derivation exhaustive (the oracle
     mode — TPC-H baskets are bounded at 7 lineitems, so the registered
     exhaustive keys are safe on the driver data; the guarded twins are
     the production registration).
-    """
-    from .dedup import cap_group_width
 
-    li = li.select(key_col, item_col).distinct()
+    Shape (r15, guide §2.3/§2.4 — aggregate before you shuffle, remove
+    shuffles outright): baskets are WIDTH-BOUNDED (7 on TPC-H; ``max_basket``
+    in production), so pair enumeration is done MAP-SIDE from per-basket
+    sorted item arrays — one ``collect_set`` aggregation (partial
+    aggregation dedups (key, item) repeats before the exchange, which the
+    old ``distinct()`` paid a full shuffle for) followed by an array HOF
+    that expands each basket's C(w, 2) ordered pairs in the projection,
+    then the one pair-keyed ``distinct``.  This replaces the previous
+    4-exchange derivation (distinct → keyed self-join with its two sort
+    exchanges → distinct) with 2 exchanges and no sort-merge sort; the
+    width guard becomes a ``size(items) <= max_basket`` filter riding the
+    same aggregation.  Directed mode derives both orientations by a
+    map-side swap union AFTER the half-sized (u < v) distinct, so the
+    doubled edge list never crosses an exchange.
+    """
+    baskets = li.groupBy(key_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("__items")
+    )
     if max_basket is not None:
-        li = cap_group_width(li, [key_col], max_basket)
-    a, b = li.alias("a"), li.alias("b")
-    same_key = F.col(f"a.{key_col}") == F.col(f"b.{key_col}")
-    if directed:
-        rel = F.col(f"a.{item_col}") != F.col(f"b.{item_col}")
-        out = ("src", "dst")
-    else:
-        rel = F.col(f"a.{item_col}") < F.col(f"b.{item_col}")
-        out = ("u", "v")
-    return (
-        a.join(b, same_key & rel)
-        .select(
-            F.col(f"a.{item_col}").alias(out[0]),
-            F.col(f"b.{item_col}").alias(out[1]),
+        baskets = baskets.filter(F.size("__items") <= max_basket)
+    items = F.col("__items")
+    pair_structs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
         )
+    )
+    und = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .distinct()
+    )
+    if not directed:
+        return und
+    return und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
 
 
@@ -192,18 +209,40 @@ def kcore(edges: DataFrame, k: int, rounds: int,
     peel cascade on the co-purchase graph converges in ≤ 6 rounds at both
     tested SFs (tests pin fixpoint-at-rounds on the registered corpus).
 
-    Scale: the symmetrized edge list is lazily localCheckpointed ONCE
-    (stationary dataset); each round is two keyed semi-joins against the
-    (shrinking, node-sized) active set plus one map-side-combinable
-    degree count — the same per-round economics as connected_components'
-    label exchange, and AQE broadcasts the active set as it shrinks
-    below the threshold.  Each round's active set is lazily
-    localCheckpointed so lineage stays linear in rounds, not geometric.
+    Scale (r15 — incremental degree-delta peeling, guide §1.2 "the
+    algorithm"): the peel recurrence only ever SUBTRACTS — a node's
+    in-subgraph degree changes exactly by the number of neighbors
+    removed that round — so the default path maintains one node-sized
+    (node, deg) state and, per round, re-counts ONLY against the
+    just-removed nodes:
+
+        losers_t    = {u in state : deg_t(u) < k}
+        deg_{t+1}(u) = deg_t(u) - |N(u) ∩ losers_t|   (u surviving)
+
+    The previous shape re-derived every round's degree from scratch with
+    two semi-joins of the FULL symmetrized list against the active set —
+    RDD-backed frames carry no size statistics, so the planner chose
+    SortMergeJoin and shuffled+sorted the whole edge list twice per
+    round (measured: ~90 % of x_kcore's wall time was these per-round
+    cascades; the peel itself removes ~6 % of nodes ONCE).  Now the edge
+    list is never shuffled after its one checkpoint: each round is one
+    broadcast semi-probe of the stationary edges against the (tiny)
+    loser set plus a node-sized merge.  ``losers`` is explicitly
+    broadcast because this default path is documented for the LIGHT-PEEL
+    regime (losers per round ≪ nodes); a heavy-peel graph — where one
+    round removes a broadcast-hostile fraction of nodes — is exactly
+    when you switch to ``shrink_edges=True``, which rewrites the edge
+    list instead.  Per-round state is lazily localCheckpointed so
+    lineage stays linear in rounds; the final (node, core_deg) answer IS
+    the maintained state (no closing recount join).  Bit-identical to
+    the two-semi-join form (pytest-pinned, oracle-adjudicated): both
+    compute |N(u) ∩ A_t| exactly, and the final filter deg >= 1 matches
+    the old recount's inner joins, which emitted no row for a survivor
+    whose every neighbor was removed in the last round.
     ``shrink_edges=True`` instead REWRITES the edge list to the
     surviving subgraph each round (bit-identical output, pytest-pinned):
     later rounds then join shrinking operands, the winning shape when
-    the periphery dwarfs the core — on the registered corpus (only ~6 %
-    peels) the stationary list is ~20 % faster, so it stays the default.
+    the periphery dwarfs the core.
     """
     if materialize:
         # checkpoint BELOW the symmetrization (r14): the union's branches
@@ -239,22 +278,41 @@ def kcore(edges: DataFrame, k: int, rounds: int,
         return sym.groupBy("node").agg(
             F.count("*").cast("bigint").alias("core_deg")
         )
-    active = sym.select("node").distinct()
+    # state: (node, __deg) over the current active set; round 0's degree
+    # is the plain full-graph count (map-side combinable, one shuffle)
+    state = sym.groupBy("node").agg(F.count("*").alias("__deg")).localCheckpoint(
+        eager=False
+    )
     for _ in range(rounds):
-        active = (
-            sym.join(active, "node")
-            .join(active.select(F.col("node").alias("nbr")), "nbr")
+        losers = state.filter(F.col("__deg") < k).select(
+            F.col("node").alias("nbr")
+        )
+        # empty loser set ⟹ delta empty ⟹ state unchanged ⟹ every
+        # remaining round is a no-op — stop peeling (the fixed-round
+        # output is bit-identical; this count is also the action that
+        # materializes the round's lazy checkpoint)
+        if losers.count() == 0:
+            break
+        # |N(u) ∩ losers|: probe the stationary edge list against the
+        # broadcast loser set — no edge-list shuffle, tiny agg exchange
+        delta = (
+            sym.join(F.broadcast(losers), "nbr")
             .groupBy("node")
-            .agg(F.count("*").alias("__d"))
-            .filter(F.col("__d") >= k)
-            .select("node")
+            .agg(F.count("*").alias("__delta"))
+        )
+        state = (
+            state.filter(F.col("__deg") >= k)
+            .join(delta, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("__deg") - F.coalesce(F.col("__delta"), F.lit(0))
+                ).alias("__deg"),
+            )
             .localCheckpoint(eager=False)
         )
-    return (
-        sym.join(active, "node")
-        .join(active.select(F.col("node").alias("nbr")), "nbr")
-        .groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("core_deg"))
+    return state.filter(F.col("__deg") >= 1).select(
+        "node", F.col("__deg").cast("bigint").alias("core_deg")
     )
 
 
