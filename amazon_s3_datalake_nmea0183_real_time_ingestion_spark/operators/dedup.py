@@ -242,8 +242,18 @@ def ngram_pairs_with_sizes(sh: DataFrame, id_col: str = "doc_id",
     """(id_a, id_b, n_inter, sz_a, sz_b): the intersection core joined
     with both sides' set sizes — the shared scaffold every set-overlap
     scorer (Jaccard, containment, overlap coefficient) derives from."""
-    pairs = ngram_intersection_pairs(sh, id_col, max_df)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    if max_df is None:
+        pairs = ngram_intersection_pairs(sh, id_col, max_df)
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    else:
+        # scale mode: sizes ride the SAME stored df-tagged frame the
+        # candidate core materializes (tagged is sh plus the df column,
+        # one row per (id, shingle) — counting its rows per id IS the
+        # set size), so the shingle distinct is not recomputed for the
+        # size branch (guide §1.2 — don't compute things twice).
+        tagged = _df_tagged_shingles(sh, id_col)
+        pairs = _guarded_intersection_pairs(tagged, id_col, max_df)
+        sizes = tagged.groupBy(id_col).agg(F.count("*").alias("sz"))
     za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return pairs.join(za, "id_a").join(zb, "id_b")
@@ -266,51 +276,75 @@ def ngram_intersection_pairs(sh: DataFrame, id_col: str = "doc_id",
             .agg(F.count("*").alias("n_inter"))
         )
     else:
-        # scale mode: candidates come from the rare-shingle inverted index,
-        # and their RARE-side intersection count falls out of that same
-        # self-join's groupBy (no distinct, no full-set recount join).  The
-        # exact n_inter then only needs the HOT-shingle correction: how many
-        # df>max_df shingles each candidate pair also shares — computed
-        # against the hot index, whose per-doc width is the (small) number
-        # of boilerplate shingles, so the correction join is bounded by
-        # candidates × hot-shingles-per-doc, never candidates × full sets.
-        # Scores stay exact: n_inter = n_rare + n_hot partitions the true
-        # intersection by df class.
-        #
-        # df is tagged with a WINDOW over the shingle shuffle, not a
-        # separate groupBy+join: the self-join below needs sh partitioned
-        # (and sorted) by shingle anyway, so the window's one exchange
-        # serves df-tagging, the rare/hot split, AND both join sides —
-        # measured 25% faster than the groupBy+rejoin formulation at sf0.1.
-        w_sh = Window.partitionBy("shingle")
-        tagged = sh.withColumn("__df", F.count("*").over(w_sh))
-        rare_sh = tagged.filter(F.col("__df") <= max_df).drop("__df")
-        hot_sh = tagged.filter(F.col("__df") > max_df).drop("__df")
-        ra = rare_sh.select(F.col(id_col).alias("id_a"), "shingle")
-        rb = rare_sh.select(F.col(id_col).alias("id_b"), "shingle")
-        rare_pairs = (
-            ra.join(rb, "shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("n_rare"))
-        )
-        ha = hot_sh.select(F.col(id_col).alias("id_a"), "shingle")
-        hb = hot_sh.select(F.col(id_col).alias("id_b"), "shingle")
-        hot_inter = (
-            rare_pairs.select("id_a", "id_b")
-            .join(ha, "id_a")
-            .join(hb, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("n_hot"))
-        )
-        pairs = rare_pairs.join(hot_inter, ["id_a", "id_b"], "left").select(
-            "id_a",
-            "id_b",
-            (F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0))).alias(
-                "n_inter"
-            ),
+        pairs = _guarded_intersection_pairs(
+            _df_tagged_shingles(sh, id_col), id_col, max_df
         )
     return pairs
+
+
+def _df_tagged_shingles(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle, __df) with the shingle's document frequency tagged on
+    every row — the shared frame under the guarded candidate core, stored
+    ONCE (lazy localCheckpoint).
+
+    df is tagged with a WINDOW over the shingle shuffle, not a separate
+    groupBy+join (measured 25% faster than the groupBy+rejoin formulation
+    at sf0.1).  r15: the tagged frame is materialized because FOUR
+    branches consume it (both sides of the rare self-join, the hot
+    correction index, the set-size count) — ReuseExchange shared the
+    window's input exchange across them, but the window itself (a full
+    sort of every (id, shingle) row by shingle string) re-executed per
+    branch: 4 sorts of the corpus-shingle frame per key, measured ~60%
+    of the candidate core's wall time.  Stored blocks are read by all
+    four consumers instead; this is the operator family's single
+    corpus-scale stored frame (same single-copy rule as the pagerank
+    weighted edge list — production swaps in persist(DISK_ONLY) when
+    executor loss must replay lineage)."""
+    w_sh = Window.partitionBy("shingle")
+    return sh.withColumn("__df", F.count("*").over(w_sh)).localCheckpoint(
+        eager=False
+    )
+
+
+def _guarded_intersection_pairs(tagged: DataFrame, id_col: str,
+                                max_df: int) -> DataFrame:
+    """Scale-mode candidate + intersection core over the stored df-tagged
+    shingle frame: candidates come from the rare-shingle inverted index,
+    and their RARE-side intersection count falls out of that same
+    self-join's groupBy (no distinct, no full-set recount join).  The
+    exact n_inter then only needs the HOT-shingle correction: how many
+    df>max_df shingles each candidate pair also shares — computed
+    against the hot index, whose per-doc width is the (small) number
+    of boilerplate shingles, so the correction join is bounded by
+    candidates × hot-shingles-per-doc, never candidates × full sets.
+    Scores stay exact: n_inter = n_rare + n_hot partitions the true
+    intersection by df class."""
+    rare_sh = tagged.filter(F.col("__df") <= max_df).drop("__df")
+    hot_sh = tagged.filter(F.col("__df") > max_df).drop("__df")
+    ra = rare_sh.select(F.col(id_col).alias("id_a"), "shingle")
+    rb = rare_sh.select(F.col(id_col).alias("id_b"), "shingle")
+    rare_pairs = (
+        ra.join(rb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_rare"))
+    )
+    ha = hot_sh.select(F.col(id_col).alias("id_a"), "shingle")
+    hb = hot_sh.select(F.col(id_col).alias("id_b"), "shingle")
+    hot_inter = (
+        rare_pairs.select("id_a", "id_b")
+        .join(ha, "id_a")
+        .join(hb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_hot"))
+    )
+    return rare_pairs.join(hot_inter, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        (F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0))).alias(
+            "n_inter"
+        ),
+    )
 
 
 _SIMHASH_LANES_PER_SUM = 3
