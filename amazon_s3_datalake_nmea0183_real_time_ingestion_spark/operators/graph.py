@@ -19,7 +19,7 @@ a pure linear map both engines replay identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -89,29 +89,32 @@ def copurchase_pairs(li: DataFrame, key_col: str = "l_orderkey",
 
 
 def weighted_edges(edges: DataFrame, materialize: bool = True) -> DataFrame:
-    """ONE-PASS degree fold: (src, dst) -> (src, dst, __w = 1/out-deg),
-    hash-partitioned on src by the window exchange itself.  The window
-    count over ``partitionBy(src)`` replaces the old groupBy-count +
-    re-join + explicit repartition — the edge list is consumed ONCE, the
-    degree rides the same src exchange the iteration joins want, and the
-    result is the SINGLE corpus-scale frame pagerank stores (lazy
-    localCheckpoint; ``.persist(StorageLevel.DISK_ONLY)`` is the cluster
-    variant when executor memory is the binding constraint).
+    """Degree fold: (src, dst) -> (src, dst, __w = 1/out-deg), the SINGLE
+    corpus-scale frame pagerank stores (lazy localCheckpoint;
+    ``.persist(StorageLevel.DISK_ONLY)`` is the cluster variant when
+    executor memory is the binding constraint).
 
-    This is the r14 memory-cliff remedy (SCALE.md §7t): the previous
-    shape checkpointed BOTH the raw pair list and the derived weighted
-    list, holding the co-purchase graph twice as MEMORY_AND_DISK blocks
-    while the rank iterations shuffled beside it — measured 5.99× on an
-    sf1→sf2 doubling with a GC death at the default heap.  Storing only
-    the weighted list halves corpus-scale block storage; callers that
-    need the degree recover it FROM this frame (count rows per src —
-    w = 1/deg makes it exact), never from a second stored copy of the
-    raw pairs."""
+    Shape (r15 — guide §2.5 skew): degree is a ``groupBy(src).count()``
+    (MAP-SIDE partial aggregation — each task emits one partial count per
+    local src, so a power-law hub's millions of edge rows collapse before
+    the exchange) joined back onto the edge list on src.  The r14 window
+    form (``count(*) over partitionBy(src)``) shuffled EVERY edge row to
+    its src's single partition with no partial aggregation and no skew
+    remedy — AQE skew-splitting applies to joins, not windows — so one
+    hot node serialized its whole edge set into one task.  The join-back
+    is skew-splittable by AQE, the degree side is node-sized, and the
+    joined output keeps the src hash partitioning the rank iterations
+    want.  The edge derivation feeds both branches through one reused
+    exchange (its trailing distinct is keyed identically in both), so the
+    fold still costs one derivation pass; storing only the weighted list
+    (not the raw pairs) remains the r14 memory-cliff remedy — callers
+    that need the degree recover it FROM this frame (count rows per
+    src — w = 1/deg makes it exact), never from a second stored copy."""
     from pyspark import StorageLevel
 
-    w = Window.partitionBy("src")
-    out = edges.select(
-        "src", "dst", (F.lit(1.0) / F.count("*").over(w)).alias("__w")
+    deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
+    out = edges.join(deg.hint("shuffle_hash"), "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w")
     )
     if not materialize:
         return out
