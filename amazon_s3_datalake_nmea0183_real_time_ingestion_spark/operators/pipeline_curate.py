@@ -40,7 +40,7 @@ consume it).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, quality_logit, tokens
@@ -48,7 +48,6 @@ from .curation import hash_split
 from .dedup import (
     connected_components,
     connected_components_star,
-    exact_dedup,
     minhash_near_dup,
 )
 
@@ -93,15 +92,24 @@ def curate_corpus(
         .drop("__t")
     )
 
-    # exact: keep the lowest id per normalized-text fingerprint.
-    # localCheckpoint (lazy): this frame feeds the LSH pair join, the
-    # collapse join, AND two funnel counts — without it each consumer
-    # re-runs tokenize + quality_logit + the dedup window over the full
-    # corpus (several redundant 100 TB passes for a 5-row report).
-    exact = exact_dedup(
-        gated.withColumn("__fp", doc_fingerprint(text_col)),
-        ["__fp"], [F.col(id_col).asc()],
-    ).drop("__fp").localCheckpoint(eager=False)
+    # exact: keep the lowest id per normalized-text fingerprint
+    # (exact_dedup's window, inlined so the PRE-filter tagged frame is
+    # the one stored).  localCheckpoint (lazy) on the TAGGED frame, not
+    # the post-filter survivors (r15, guide §1.2): the frame feeds the
+    # LSH pair join, the collapse join, AND two funnel counts — and the
+    # funnel's quality_gate count needs the pre-dedup row set, which a
+    # survivors-only checkpoint forced back through a second full
+    # tokenize + quality_logit corpus pass.  Storing the tagged frame
+    # (gated-sized: survivors + the duplicate rows the filter drops)
+    # serves both counts from the same blocks; the dedup filter is a
+    # narrow projection over them.
+    w_fp = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    tagged = (
+        gated.withColumn("__fp", doc_fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w_fp))
+        .localCheckpoint(eager=False)
+    )
+    exact = tagged.filter(F.col("__rn") == 1).drop("__fp", "__rn")
 
     # near-dup: guarded MinHash-LSH pairs -> components -> keep canonical
     pairs = minhash_near_dup(
@@ -144,7 +152,10 @@ def curate_corpus(
     cnt = F.count("*").cast("bigint").alias("n_docs")
     funnel = (
         docs.agg(cnt).select(F.lit("input").alias("stage"), "n_docs")
-        .unionByName(gated.agg(cnt).select(F.lit("quality_gate").alias("stage"), "n_docs"))
+        # quality_gate count reads the stored tagged blocks (row set is
+        # identical to gated's — the dedup window adds columns, drops
+        # nothing), not a second tokenize+quality pass over the corpus
+        .unionByName(tagged.agg(cnt).select(F.lit("quality_gate").alias("stage"), "n_docs"))
         .unionByName(exact.agg(cnt).select(F.lit("exact_dedup").alias("stage"), "n_docs"))
         .unionByName(collapsed.agg(cnt).select(F.lit("near_dedup").alias("stage"), "n_docs"))
         .unionByName(clean.agg(cnt).select(F.lit("decontaminated").alias("stage"), "n_docs"))
