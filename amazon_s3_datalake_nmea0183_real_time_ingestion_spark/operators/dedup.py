@@ -356,6 +356,15 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     """60-bit SimHash per document over its distinct token set — one
     groupBy with PACKED bit-count aggregates.
 
+    Contract (ADVICE r14): ``docs`` must hold ONE row per ``id_col``.
+    The per-row ``array_distinct`` dedups tokens within a row only; a
+    duplicated id would have its token multiset summed across rows
+    (exact duplicate rows still yield identical signatures, but partial
+    duplicates diverge from the old global (id, token) distinct).
+    Every in-repo caller passes a one-row-per-doc corpus;
+    ``dropDuplicates([id_col])`` upstream restores the old semantics if
+    a future caller cannot guarantee it.
+
     The naive form is 60 parallel sign-sums (±1 per token per bit).  The
     sign of bit b only needs ``2*count_of_set_bits > n_tokens``, and a
     set-bit count fits a narrow integer lane, so THREE 21-bit counters

@@ -139,9 +139,19 @@ def admit_near_new_documents(
     text_col: str = "text",
     n_bands: int = 4,
     max_hamming: int = 8,
+    _pinned: list | None = None,
 ) -> DataFrame:
     """Cross-batch NEAR-dup admission: the SimHash-band complement of
     :func:`admit_new_documents` (which only catches byte-identical text).
+
+    ``_pinned`` (ADVICE r14, streaming callers): when given, the two
+    intermediate cuts use ``persist(DISK_ONLY)`` instead of
+    ``localCheckpoint`` and the pinned frames are appended to the list so
+    the caller can ``unpersist()`` them after consuming the admitted
+    batch — localCheckpoint blocks are only freed by driver-side GC, so a
+    long stream of micro-batches accumulates executor storage.  Batch
+    callers keep the default (localCheckpoint truncates lineage AND dies
+    with the session).
 
     A batch document is admitted iff
     1. no in-batch document with a SMALLER id is a near-dup of it
@@ -159,6 +169,16 @@ def admit_near_new_documents(
     dynamic-overwrites it."""
     if SIMHASH_BITS % n_bands != 0:
         raise ValueError(f"n_bands={n_bands} must divide SIMHASH_BITS={SIMHASH_BITS}")
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if _pinned is None:
+            return df.localCheckpoint(eager=False)
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.DISK_ONLY)
+        _pinned.append(df)
+        return df
+
     sigs = simhash_signatures(batch, id_col=id_col, text_col=text_col)
     if id_col != "doc_id":
         sigs = sigs.withColumnRenamed(id_col, "doc_id")
@@ -169,7 +189,7 @@ def admit_near_new_documents(
     # reused AND expensive to recompute; same localCheckpoint economics
     # and executor-loss caveat as connected_components' default mode —
     # production at 100 TB uses persist(DISK_ONLY) for replayable loss).
-    sigs = sigs.localCheckpoint(eager=False)
+    sigs = _cut(sigs)
     # rule 1 — drop any doc with a smaller in-batch near-dup partner
     pairs = simhash_pairs(sigs, n_bands=n_bands, max_hamming=max_hamming)
     survivors = sigs.join(
@@ -195,9 +215,7 @@ def admit_near_new_documents(
     # join + ledger anti-join included) a second time when the caller
     # materializes the admitted batch (r14 — measured as the dominant
     # cost of x_dedup_ledger_near's second batch).
-    admitted = survivors.join(hits, "doc_id", "left_anti").localCheckpoint(
-        eager=False
-    )
+    admitted = _cut(survivors.join(hits, "doc_id", "left_anti"))
     entries = admitted.select(
         "doc_id", "simhash", F.lit(batch_id).cast("long").alias("batch_id")
     )
@@ -230,12 +248,19 @@ def start_near_dedup_stream(
     ``out_path``."""
 
     def _admit(batch: DataFrame, batch_id: int) -> None:
+        # per-batch persist + explicit unpersist (ADVICE r14): a long
+        # stream must not accumulate storage blocks across micro-batches
+        pinned: list[DataFrame] = []
         admitted = admit_near_new_documents(
             batch.sparkSession, batch, ledger_path, batch_id,
             id_col=id_col, text_col=text_col,
-            n_bands=n_bands, max_hamming=max_hamming,
+            n_bands=n_bands, max_hamming=max_hamming, _pinned=pinned,
         )
-        admitted.write.mode("append").parquet(out_path)
+        try:
+            admitted.write.mode("append").parquet(out_path)
+        finally:
+            for df in pinned:
+                df.unpersist()
 
     writer = stream.writeStream.foreachBatch(_admit).option(
         "checkpointLocation", checkpoint

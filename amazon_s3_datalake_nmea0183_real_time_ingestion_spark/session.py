@@ -55,7 +55,15 @@ def get_spark(app_name: str = "nmea-datalake-spark", shuffle_partitions: int | N
     # driver's bench runs against.
     extra = os.environ.get("SPARK_GRAFT_CONF", "")
     for kv in extra.split(";"):
-        if kv.strip():
-            k, _, v = kv.partition("=")
-            builder = builder.config(k.strip(), v.strip())
+        if not kv.strip():
+            continue
+        k, sep, v = kv.partition("=")
+        if not sep or not k.strip():
+            # ADVICE r14: a typo'd entry ('spark.x.y', 'key:value') would
+            # silently set the conf key to '' and break the session in a
+            # hard-to-diagnose way — fail loudly at startup instead
+            raise ValueError(
+                f"SPARK_GRAFT_CONF entry {kv!r} is not key=value"
+            )
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
