@@ -18,59 +18,47 @@ from . import tierl  # noqa: F401,E402
 from . import tierm  # noqa: F401,E402
 
 # The driver adjudicates queries() in dict-insertion order and caps at 50
-# keys per round.  After round 13: ALL 226 keys are green at their latest
-# driver check, 0 failures ever; staleness census (union of
-# CORRECTNESS_r01–r13, latest row per key): 26 keys at r9 (the oldest
-# evidence anywhere), 50 each at r10/r11/r12/r13.  Round 14 (VERDICT.md
-# r13 "Next round" #1–#2) front-loads:
-#   1. slots 1-26 = the 26 r9-era rows, CORRECTNESS_r09 insertion order
-#      — exactly the post-cut queue the r13 comment pinned;
-#   2. slots 27-28 = x_pagerank + x_pagerank_guarded: the shipped
-#      single-checkpoint remedy (weighted_edges one-pass fold; SCALE.md
-#      §7t) changed both keys' plan this round, so by the
-#      zero-changes-outside-window rule they enter the window now,
-#      displacing the two newest r10-era candidates exactly as the r13
-#      note prescribed;
-#   3. slots 29-50 = the first 22 of the r10 block, CORRECTNESS_r10
-#      insertion order.  The remaining r10-era keys are listed in the
-#      same order past the cut (x_pagerank_guarded already holds a
-#      window slot, so it is skipped there) so the r15 window continues
-#      with no re-planning: r15 takes the 27 queued r10-era names below,
-#      then starts the r11 block (CORRECTNESS_r11 insertion order,
-#      skipping x_pagerank, which gets its fresh row this round).
+# keys per round.  Round 15 (optimization round 2; VERDICT.md r14 "Next
+# round" #2) front-loads, in this order:
+#   1. slots 1-22 = EVERY key whose plan or operator code changed in r14
+#      or r15 (the zero-changes-outside-window rule): the 14 r14-changed
+#      keys the r14 window missed (VERDICT r14 correctness-gate list),
+#      plus the r15-changed keys — the copurchase-derivation consumers
+#      (q_triangle_count/x_pagerank/x_lpa families re-enter even though
+#      r14 gave them fresh rows, because r15 changed them again), the
+#      guarded pair-core consumers (x_split_leakage,
+#      x_dedup_containment_guarded), and the exact-mode pair-core
+#      consumers (x_dedup_ngram, x_dedup_containment);
+#   2. slots 23-42 = the r10-era queue carried from the r14 cut line,
+#      CORRECTNESS_r10 insertion order, minus keys already in slots 1-22;
+#   3. slots 43-50 = the start of the r11 block (CORRECTNESS_r11
+#      insertion order, skipping keys already above).  The remaining
+#      r11-era names queue past the cut for any future round.
 _NEEDS_VERDICT = [
-    # r9-era rows (r13 VERDICT #2) — MUST hold slots 1-26,
-    # CORRECTNESS_r09 insertion order
-    "x_theta_intersect", "x_active_users_hll", "x_diff_in_diff",
-    "x_survival", "x_auc", "x_dedup_simhash_rep", "q_triangle_count",
-    "x_outlier_mad", "q_ts_downsample", "x_sample_weighted",
-    "x_decontaminate_bloom", "x_dedup_semantic", "x_dedup_lev",
-    "x_sample_stratified", "x_winsorize", "x_dedup_containment",
-    "x_drift_psi", "x_dedup_containment_guarded", "x_novelty",
-    "x_hard_negatives", "x_lpa", "x_dedup_substring",
-    "x_data_temperature", "x_dsir", "x_dedup_substring_guarded",
-    "x_label_noise",
-    # the r14 single-checkpoint remedy pair (code changed this round —
-    # zero-changes-outside-window rule, r13 VERDICT #1/#3)
-    "x_pagerank", "x_pagerank_guarded",
-    # r10-era rows (next-oldest), CORRECTNESS_r10 insertion order; the
-    # first 22 complete this round's window, the rest queue for r15
-    "op_classify", "f_unbase64", "f_isbase64", "f_from_json",
-    "agg_class_count", "src_ingest", "q_agg_grouping_sets",
-    "q_agg_percentile", "q_agg_stats", "q_explode", "q_fn_bitwise",
-    "q_fn_conditional", "q_fn_sql_udfs", "q_join_full", "q_lateral",
-    "q_pivot", "q_recursive_cte", "q_trajectory", "q_unpivot",
-    "q_win_firstlast", "q_win_ntile", "q_win_range",
-    # --- r14 cut line (50) --- r15 continues here, r10 order preserved
-    # (x_pagerank_guarded skipped: it holds slot 28 above)
+    # r14/r15-changed keys (slots 1-22)
+    "x_text_repetition", "x_dedup_ledger_near", "x_kcore",
+    "x_dedup_best", "x_dedup_best_guarded", "x_dedup_cluster",
+    "x_dedup_cluster_guarded", "x_dedup_cluster_star", "x_dedup_simhash",
+    "x_dedup_census", "x_split_cluster_safe", "x_curate_corpus",
+    "q_triangle_count_guarded", "x_lpa_guarded", "q_triangle_count",
+    "x_pagerank", "x_pagerank_guarded", "x_lpa", "x_split_leakage",
+    "x_dedup_containment_guarded", "x_dedup_ngram", "x_dedup_containment",
+    # r10-era queue (slots 23-42), CORRECTNESS_r10 order preserved
     "x_embed_quantize", "x_lm_bigram", "x_minhash_calibration",
     "x_pmi_collocations", "x_sim_ivf2", "x_sim_quantized",
     "x_token_entropy", "cat_register", "x_sprt", "x_mmr_diversify",
-    "x_gains_lift", "x_mann_whitney", "x_cramers_v", "x_dedup_simhash",
-    "x_rank_fusion", "x_percentile_norm", "x_dedup_census",
-    "x_split_leakage", "x_split_cluster_safe", "x_keywords_tfidf",
+    "x_gains_lift", "x_mann_whitney", "x_cramers_v",
+    "x_rank_fusion", "x_percentile_norm", "x_keywords_tfidf",
     "x_lang_mismatch", "x_embed_norms", "x_dataset_diff", "x_source_kl",
-    "x_curate_corpus", "q_triangle_count_guarded", "x_lpa_guarded",
+    # r11-block start (slots 43-50), CORRECTNESS_r11 order
+    "x_sim_ivf_2level", "x_sim_ivf_2level_exact", "x_curriculum_shards",
+    "x_dataset_card", "x_decontaminate_near", "x_chunk_documents",
+    "x_multimodal_decode", "q_funnel",
+    # --- r15 cut line (50) --- future rounds continue with the rest of
+    # the r11 block: q_retention, q_gapfill, x_scd2, x_bm25, x_surprisal,
+    # x_zorder, q_merge, q_pattern_match, q_agg_approx_quantile,
+    # x_ann_recall, q_fn_variant, x_data_checks, x_dedup_url,
+    # q_histogram, q_join_asof_near, then the r12 block.
 ]
 
 
