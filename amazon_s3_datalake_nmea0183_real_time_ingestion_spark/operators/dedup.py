@@ -306,10 +306,15 @@ def _df_tagged_shingles(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     corpus-scale stored frame (same single-copy rule as the pagerank
     weighted edge list — production swaps in persist(DISK_ONLY) when
     executor loss must replay lineage)."""
+    return _df_tag(sh).localCheckpoint(eager=False)
+
+
+def _df_tag(sh: DataFrame) -> DataFrame:
+    """The df-tagging projection itself (window over the shingle shuffle,
+    NOT a groupBy+rejoin — measured 25% faster); split from the stored
+    wrapper so the plan shape stays pytest-pinnable above the RDD scan."""
     w_sh = Window.partitionBy("shingle")
-    return sh.withColumn("__df", F.count("*").over(w_sh)).localCheckpoint(
-        eager=False
-    )
+    return sh.withColumn("__df", F.count("*").over(w_sh))
 
 
 def _guarded_intersection_pairs(tagged: DataFrame, id_col: str,

@@ -381,13 +381,15 @@ def test_simhash_pairs_has_no_pair_distinct_exchange(spark, queries):
 
 def test_guarded_ngram_pairs_window_tagged_df(spark):
     """The guarded n-gram scorer (ngram_jaccard_pairs max_df mode) tags df
-    with a WINDOW over the shingle shuffle (one exchange shape shared by
-    the rare/hot split and the self-join at runtime via ReuseExchange —
-    the static plan shows the duplicated subtrees), instead of a separate
-    groupBy+rejoin; and nothing drops to Python, a cartesian product, or
-    a nested-loop join."""
+    with a WINDOW over the shingle shuffle instead of a separate
+    groupBy+rejoin, stores the tagged frame ONCE (r15: four consumers —
+    both rare self-join sides, the hot index, the sizes — read the stored
+    blocks instead of re-running the window sort per branch), and nothing
+    drops to Python, a cartesian product, or a nested-loop join."""
     from amazon_s3_datalake_nmea0183_real_time_ingestion_spark.operators.dedup import (
+        _df_tag,
         ngram_jaccard_pairs,
+        shingle_set,
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
@@ -395,8 +397,14 @@ def test_guarded_ngram_pairs_window_tagged_df(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the df guard is a windowspec over shingle, not an aggregate+join
-    assert "windowspecdefinition(shingle" in plan, plan[:2000]
+    # the consumers read the one stored tagged frame, not per-branch
+    # re-evaluations of the window subtree
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert "windowspecdefinition(shingle" not in plan, plan[:2000]
+    # ... and the stored frame's producing plan is the window tag, not an
+    # aggregate+join
+    tag_plan = plan_of(_df_tag(shingle_set(docs)))
+    assert "windowspecdefinition(shingle" in tag_plan, tag_plan[:2000]
 
 
 def _shuffle_exchanges(plan: str) -> list[str]:
